@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface of the graft engine (SURVEY.md §2.7).
+  *
+  * Everything here is a composition of built-in, codegen-friendly
+  * `org.apache.spark.sql.functions` — no UDFs. The single genuinely novel
+  * scalar, the locale-tolerant numeric parse, is a native Catalyst
+  * expression ([[ParseLocaleNumber]]).
+  */
+object GraftFunctions {
+
+  /** F1 — key normalization: `str(x).strip().lower()`, null-preserving
+    * (ref `Actualizar_Precios_de_Nexo.py:76-78`). */
+  def normKey(c: Column): Column = lower(trim(c.cast("string")))
+
+  /** F2 — collapse internal whitespace + trim (ref `:80-82`). */
+  def cleanWs(c: Column): Column = regexp_replace(trim(c.cast("string")), "\\s+", " ")
+
+  /** F3 — locale-tolerant numeric parse (ref `:104-128`); custom expression. */
+  def localeNum(c: Column): Column = ParseLocaleNumber.localeNum(c)
+
+  private val Sentinels = Seq("", "NA", "N/A", "#N/A", "#ND", "None", "null", "-")
+
+  /** F4 — `_safe_num` (ref `python_json.py:64-78`): sentinel strings to
+    * null, then es-PE fixed-locale parse (`.` thousands, `,` decimal). */
+  def safeNum(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val cleaned = regexp_replace(regexp_replace(s, "\\.", ""), ",", ".")
+    when(s.isNull || s.isin(Sentinels: _*), lit(null).cast("double"))
+      .otherwise(cleaned.try_cast("double"))
+  }
+
+  /** F5 — integer-string canonicalization: `"101.0"` -> `"101"`; otherwise
+    * the trimmed string (ref `:243-250`). Unit numbers must join as text. */
+  def canonUnit(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    when(s.rlike("^\\d+(\\.\\d+)?$"), s.cast("double").cast("long").cast("string"))
+      .otherwise(s)
+  }
+
+  /** F6 — accent folding for header/metadata text (ref `python_json.py:44-48`). */
+  def stripAccents(c: Column): Column =
+    translate(c, "áéíóúÁÉÍÓÚ", "aeiouAEIOU")
+
+  /** F8/F10 — tolerant casts: invalid input -> null, never an error. */
+  def tryTimestamp(c: Column): Column = c.cast("string").try_cast("timestamp")
+  def tryDouble(c: Column): Column = c.cast("string").try_cast("double")
+
+  /** F13 — NumPy `isclose(a, b, equal_nan=True)` (ref `:427-434`): true when
+    * both null, false when exactly one is null, else |a-b| <= atol+rtol*|b|.
+    * Note the asymmetry: rtol scales `b`, matching NumPy. */
+  def isClose(a: Column, b: Column, rtol: Double = 1e-5, atol: Double = 1e-8): Column = {
+    val close = abs(a - b) <= lit(atol) + lit(rtol) * abs(b)
+    when(a.isNull && b.isNull, lit(true))
+      .when(a.isNull || b.isNull, lit(false))
+      .otherwise(coalesce(close, lit(false)))
+  }
+
+  /** F14 — null-sentinel string compare: change = values differ, with
+    * null==null counting as no change (ref `:435-436`). */
+  def nullSafeNeq(a: Column, b: Column): Column = !(a <=> b)
+
+  /** Document fingerprint: polynomial rolling hash over characters,
+    * mod 1e9+7 (fits in a long at every step: acc < 1e9+7, *31 + 127 < 2^63).
+    * Single-pass per row via higher-order `aggregate` — no shuffle.
+    */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1000000007L))
+    )
+
+  /** Register SQL-callable names for the custom expressions on a session.
+    * Idempotent; lets `spark.sql("... locale_num(col) ...")` work. */
+  def register(spark: SparkSession): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(
+        "locale_num", exprs => ParseLocaleNumber(exprs.head), "scala_udf")
+  }
+}

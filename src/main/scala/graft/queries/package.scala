@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+package object queries {
+  /** A query over a testdata scale-factor directory. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table carries parquet TIMESTAMP(NANOS) which Spark only
+    // reads via the legacy long mapping (ns since epoch as BIGINT).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts read under nanosAsLong: BIGINT ns since epoch -> whole seconds. */
+  def nsToEpochSec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.floor(c / 1000000000L)
+}
