@@ -64,6 +64,17 @@ object TowerPrefix {
   }
 }
 
+/** P2 — ensure-column: materialize missing target columns as all-NULL of
+  * the right type (ref `:216-217,311-316`). */
+object EnsureColumns {
+  import org.apache.spark.sql.types.DataType
+  def apply(df: DataFrame, specs: Seq[(String, DataType)]): DataFrame =
+    specs.foldLeft(df) { case (d, (name, tpe)) =>
+      if (d.columns.contains(name)) d
+      else d.withColumn(name, lit(null).cast(tpe))
+    }
+}
+
 /** A7 — value_counts: counts per value with nulls bucketed as `__NA__`,
   * descending by count (ref `python_json.py:154-157`). */
 object ValueCounts {
@@ -100,10 +111,12 @@ object PivotCounts {
       .na.fill(0L, pivotValues)
     if (!percent) counts.orderBy(rowKey)
     else {
-      val total = pivotValues.map(col).reduce(_ + _)
-      pivotValues.foldLeft(counts) { (acc, v) =>
-        acc.withColumn(v, round(lit(100.0) * col(v) / total, 2))
-      }.orderBy(rowKey)
+      // materialize the row total BEFORE overwriting any pivot column,
+      // otherwise later columns normalize against already-percented ones
+      val withTotal = counts.withColumn("__total", pivotValues.map(col).reduce(_ + _))
+      pivotValues.foldLeft(withTotal) { (acc, v) =>
+        acc.withColumn(v, round(lit(100.0) * col(v) / col("__total"), 2))
+      }.drop("__total").orderBy(rowKey)
     }
   }
 }
