@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.streaming.EventWindows
+import graft.textanalysis.TextAnalysis
+
+/** North-star extension queries: dedup, similarity search, text analysis,
+  * multimodal plumbing, event-time windows. Hash-based ops (MinHash,
+  * SimHash) have no DuckDB-expressible oracle and get rows-only checks;
+  * everything else is oracle-checked.
+  */
+object Extensions {
+
+  val defs: Map[String, Q] = Map(
+    // exact dedup on the canonical word-set digest
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("dedup_key")),
+
+    // exact windowed Jaccard near-dup pairs (deterministic variant)
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsWindowed(tbl(s, dir, "documents"), "doc_id", "text",
+        window = 25, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash/LSH candidate generation + Jaccard verification (rows-only)
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9, numHashes = 64, bands = 8)
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // SimHash per document + blocked near-dup pairs (rows-only)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.withSimHash(tbl(s, dir, "documents"), "text", "simhash")
+        .select(col("doc_id"), col("simhash"),
+          shiftrightunsigned(col("simhash"), 48).as("block"))
+        .orderBy("doc_id")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // brute-force cosine of every vector against the vec_id=0 query
+    "sim_cosine_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.cosineToQuery(emb, "vec_id", "embedding", q, "qvec")
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("vec_id")
+    }),
+
+    // brute-force top-k (deterministic: rounded sim, id tiebreak)
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.topK(emb, "vec_id", "embedding", q, "qvec", k = 20)
+    }),
+
+    // LSH-bucketed ANN: probe only the query's sign-bucket
+    "sim_ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.annTopK(emb, "vec_id", "embedding", q, "qvec",
+        dims = Seq(0, 7, 19, 33), k = 10)
+    }),
+
+    // text analysis
+    "text_token_count" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // multimodal: binary payload -> partition-parallel decoded features
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.documentFeatures(s, tbl(s, dir, "documents"))
+        .toDF().orderBy("id")),
+
+    // event-time windows (batch = oracle twin of the streaming path)
+    "stream_tumbling" -> ((s, dir) =>
+      EventWindows.tumbling(tbl(s, dir, "events"), "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    "stream_sliding" -> ((s, dir) =>
+      EventWindows.sliding(tbl(s, dir, "events"), "1 hour", "30 minutes")
+        .orderBy("window_start")),
+
+    "stream_session" -> ((s, dir) =>
+      EventWindows.sessions(tbl(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "session_start"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(text), '\s+'))), ' ')) AS dedup_key,
+         min(doc_id) AS first_id, count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY dedup_key""",
+    "dedup_jaccard_pairs" ->
+      """WITH sets AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(a.s || b.s)), 3) AS jaccard
+         FROM sets a JOIN sets b
+           ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(a.s || b.s)) >= 0.8
+         ORDER BY id_a, id_b""",
+    "sim_cosine_all" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
+         FROM embeddings, q ORDER BY vec_id""",
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
+         FROM embeddings, q
+         ORDER BY sim DESC, vec_id LIMIT 20""",
+    "sim_ann_lsh" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[20] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[34] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS sim, bucket
+         FROM b, q WHERE bucket = qbucket
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "text_token_count" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n,
+           length(text)::DOUBLE AS len,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> list_contains(['the','a','and','of','to','in'], x)))::DOUBLE AS stop,
+           (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE AS punct,
+           length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS nospace
+           FROM documents)
+         SELECT doc_id,
+           round(least(n / 50.0, 1.0) * 0.3 + (stop / n) * 0.3
+             + (1.0 - punct / len) * 0.2
+             + least((nospace / n) / 8.0, 1.0) * 0.2, 3) AS quality
+         FROM t ORDER BY doc_id""",
+    "text_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS tok FROM documents),
+         c AS (SELECT doc_id,
+           len(list_filter(tok, x -> list_contains(['the','a','and','of'], x))) AS en,
+           len(list_filter(tok, x -> list_contains(['el','la','de','y'], x))) AS es,
+           len(list_filter(tok, x -> list_contains(['le','les','et','une'], x))) AS fr,
+           len(list_filter(tok, x -> list_contains(['der','die','und','das'], x))) AS de
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN en + es + fr + de = 0 THEN 'und'
+                WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+                WHEN es >= fr AND es >= de THEN 'es'
+                WHEN fr >= de THEN 'fr'
+                ELSE 'de' END AS lang_pred
+         FROM c ORDER BY doc_id""",
+    "mm_decode_meta" ->
+      """SELECT doc_id AS id, 'text' AS kind,
+         strlen(text)::BIGINT AS byte_len,
+         ord(substr(text, 1, 1)) AS header_byte,
+         list_sum(list_transform(string_split(text, ''),
+           x -> ord(x)::BIGINT))::BIGINT AS byte_sum,
+         (ord(substr(text, 1, 1)) & 127) + 1 AS width,
+         (ord(substr(text, length(text), 1)) & 127) + 1 AS height
+         FROM documents ORDER BY id""",
+    "stream_tumbling" ->
+      """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS window_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_sliding" ->
+      """WITH w AS (
+           SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) AS ws, value
+           FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP)
+             - INTERVAL '30 minutes' AS ws, value
+           FROM events)
+         SELECT floor(epoch(ws))::BIGINT AS window_start, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM w GROUP BY ws ORDER BY window_start""",
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS t, value FROM events),
+         m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         SELECT user_id, floor(epoch(min(t)))::BIGINT AS session_start,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+  )
+}

@@ -60,18 +60,18 @@ object Relational2 {
       PivotCounts(tbl(s, dir, "lineitem"), "l_returnflag", "l_linestatus",
         Seq("F", "O"), percent = true)),
 
-    // J4 — semi-join (EXISTS)
+    // J4 — semi-join (EXISTS): customers with at least one big order
     "join_semi" -> ((s, dir) => {
       tbl(s, dir, "customer")
-        .join(tbl(s, dir, "orders"),
+        .join(tbl(s, dir, "orders").filter(col("o_totalprice") > 300000),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
-    // J6 — anti-join (NOT EXISTS)
+    // J6 — anti-join (NOT EXISTS): customers with no big order
     "join_anti" -> ((s, dir) => {
       tbl(s, dir, "customer")
-        .join(tbl(s, dir, "orders"),
+        .join(tbl(s, dir, "orders").filter(col("o_totalprice") > 300000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
@@ -124,10 +124,11 @@ object Relational2 {
         .orderBy("nation")
     }),
 
-    // U2 — set difference on distinct keys
+    // U2 — set difference on distinct keys: nations with no wealthy supplier
     "set_except" -> ((s, dir) => {
       tbl(s, dir, "nation").select(col("n_nationkey"))
-        .except(tbl(s, dir, "customer").select(col("c_nationkey")))
+        .except(tbl(s, dir, "supplier").filter(col("s_acctbal") > 3000)
+          .select(col("s_nationkey")))
         .orderBy("n_nationkey")
     }),
 
@@ -318,11 +319,13 @@ object Relational2 {
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
          ORDER BY c_custkey""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
          ORDER BY c_custkey""",
     "join_flag" ->
       """SELECT c_custkey,
@@ -356,7 +359,8 @@ object Relational2 {
          GROUP BY n_name ORDER BY nation""",
     "set_except" ->
       """SELECT n_nationkey FROM nation
-         EXCEPT SELECT c_nationkey FROM customer ORDER BY n_nationkey""",
+         EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 3000
+         ORDER BY n_nationkey""",
     "window_running" ->
       """SELECT o_custkey, o_orderkey,
          round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time windowing over the events stream (SURVEY.md §2.8 extension).
+  *
+  * The same aggregations run in batch (for the correctness oracle) and as
+  * Structured Streaming with a watermark (the scale path: incremental
+  * state, late-data eviction). The events table stores nanosecond epochs
+  * (read as BIGINT under the nanos-as-long mapping); they convert to
+  * microsecond timestamps for Spark's window functions.
+  */
+object EventWindows {
+
+  /** BIGINT nanoseconds -> TimestampType (microsecond precision). */
+  def nsToTs(ns: Column): Column = timestamp_micros((ns / 1000).cast("long"))
+
+  def epochSec(ts: Column): Column = unix_timestamp(ts)
+
+  /** Tumbling windows: one row per (window, event_type). */
+  def tumbling(events: DataFrame, every: String): DataFrame =
+    events.withColumn("__ts", nsToTs(col("ts")))
+      .groupBy(window(col("__ts"), every).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(epochSec(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows (size/slide): each event lands in size/slide windows. */
+  def sliding(events: DataFrame, size: String, slide: String): DataFrame =
+    events.withColumn("__ts", nsToTs(col("ts")))
+      .groupBy(window(col("__ts"), size, slide).as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(epochSec(col("w.start")).as("window_start"), col("n"),
+        col("sum_value"))
+
+  /** Session windows per user: events closer than `gap` merge. */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events.withColumn("__ts", nsToTs(col("ts")))
+      .groupBy(session_window(col("__ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), epochSec(col("w.start")).as("session_start"),
+        col("n"), col("sum_value"))
+
+  /** The events schema as stored (ts already BIGINT nanoseconds). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming variant of [[tumbling]] with a watermark: reads a directory
+    * of event parquet files as an unbounded source; state for a window is
+    * dropped once the watermark passes its end (bounded state at any
+    * scale). `eventsDir` must be a directory (file-stream source contract).
+    */
+  def streamingTumbling(spark: SparkSession, eventsDir: String, every: String,
+                        watermark: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .parquet(eventsDir)
+      .withColumn("__ts", nsToTs(col("ts")))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), every).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(epochSec(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+}

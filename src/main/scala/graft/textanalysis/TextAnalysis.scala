@@ -1,0 +1,82 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, n-gram-heuristic language ID. All single-pass column
+  * expressions — no UDFs, no shuffles; they vectorize inside whole-stage
+  * codegen and scale linearly with the scan.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count; empty/blank input counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Share of tokens that are stopwords (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("double") / n)
+  }
+
+  /** Share of punctuation characters in the raw text. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0)).otherwise(
+      (len - length(regexp_replace(text, "[.,;:!?'\"()-]", ""))).cast("double") / len)
+  }
+
+  /** Mean token length (characters, whitespace excluded). */
+  def avgWordLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / n)
+  }
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Composite quality score in [0,1]:
+    * 0.3*min(tokens/50,1) + 0.3*stopword_ratio + 0.2*(1-punct_ratio)
+    * + 0.2*min(avg_word_len/8,1) — weights mirror the usual
+    * length/stopword/punctuation heuristics for web-scale corpus filtering.
+    */
+  def qualityScore(text: Column,
+                   stopwords: Seq[String] = DefaultStopwords): Column =
+    round(
+      least(tokenCount(text).cast("double") / 50.0, lit(1.0)) * 0.3 +
+        stopwordRatio(text, stopwords) * 0.3 +
+        (lit(1.0) - punctRatio(text)) * 0.2 +
+        least(avgWordLen(text) / 8.0, lit(1.0)) * 0.2,
+      3)
+
+  /** Marker words per language for the n-gram-heuristic language ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  private def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  /** Heuristic language ID: argmax of marker-word hits with a fixed
+    * priority order (en > es > fr > de) for ties; no hit at all -> "und".
+    */
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, markers) =>
+      lang -> markerCount(text, markers)
+    }
+    val total = counts.map(_._2).reduce(_ + _)
+    val best = counts.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, cnt), idx), elseExpr) =>
+        val beatsLater = counts.drop(idx + 1).map(_._2)
+          .foldLeft(lit(true))((acc, c) => acc && cnt >= c)
+        when(beatsLater, lit(lang)).otherwise(elseExpr)
+    }
+    when(total === 0, lit("und")).otherwise(best)
+  }
+}

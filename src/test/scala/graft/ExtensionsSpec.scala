@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.multimodal.{MediaRecord, Multimodal}
+import graft.similarity.Similarity
+import graft.streaming.EventWindows
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely unrelated content here"),
+    (4L, "dog lazy the over jumps fox brown quick the") // same word set as 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical word sets") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 3) // docs 1 and 4 share a word-set digest
+    val g = groups.find(_.getAs[Long]("n_docs") == 2).get
+    assert(g.getAs[Long]("first_id") === 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and identical-set pair") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // jaccard 1.0 — must survive any banding
+    // (1,2) has jaccard 8/10 = 0.8 — probabilistically caught; don't assert
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical word sets collide, unrelated text is distant") {
+    val h = Dedup.withSimHash(docs, "text", "simhash")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // doc 4 = doc 1's words reordered + one extra "the" (same multiset votes
+    // differ only via duplicate weighting) — must be very close
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+    assert(hamming(h(1L), h(4L)) <= 8)
+  }
+
+  test("windowed jaccard pairs match set arithmetic") {
+    val got = Dedup.jaccardPairsWindowed(docs, "doc_id", "text", 10, 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // (1,2): |A|=|B|=8, intersect 7, union 9 -> 0.778
+    assert(got.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got((1L, 4L)) === 1.0)
+    assert(got((1L, 2L)) === 0.778)
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: identity=1, orthogonal=0, opposite=-1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val sims = Similarity.cosineToQuery(vecs, "vec_id", "embedding", q, "qvec")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sims(1L) - 1.0) < 1e-12)
+    assert(math.abs(sims(2L)) < 1e-12)
+    assert(math.abs(sims(3L) + 1.0) < 1e-12)
+  }
+
+  test("ann bucket pruning keeps the query itself and only its bucket") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val top = Similarity.annTopK(emb, "vec_id", "embedding", q, "qvec",
+      dims = Seq(0, 7, 19, 33), k = 10).collect()
+    assert(top.head.getAs[Long]("vec_id") === 0L) // self-match ranks first
+    assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-9)
+    assert(top.map(_.getAs[Int]("bucket")).distinct.length === 1)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("binary plumbing: blobify -> mapPartitions decode is deterministic") {
+    val docs = Seq((7L, "abc")).toDF("doc_id", "text")
+    val f = Multimodal.documentFeatures(spark, docs).collect().head
+    assert(f.byte_len === 3L)
+    assert(f.header_byte === 'a'.toInt)
+    assert(f.byte_sum === ('a' + 'b' + 'c').toLong)
+    assert(f.width === ('a' & 0x7f) + 1 && f.height === ('c' & 0x7f) + 1)
+    // stub decode twice = same answer (purity contract for the real codec)
+    assert(Multimodal.decodeStub("abc".getBytes) ===
+      Multimodal.decodeStub("abc".getBytes))
+  }
+
+  test("empty payload handled") {
+    val ds = Seq(MediaRecord(1L, "text", Array.emptyByteArray)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.byte_len === 0L && f.header_byte === -1 && f.width === 0)
+  }
+}
+
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming tumbling agg equals the batch twin (memory sink)") {
+    val batch = EventWindows
+      .tumbling(spark.read.parquet(s"$sf/events.parquet"), "1 hour")
+      .collect().map(_.toSeq).toSet
+
+    // file-stream sources need a directory: stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+
+    val q = EventWindows.streamingTumbling(spark, dir.toString, "1 hour", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_tumbling_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_tumbling_test")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    // user 1: 3 events within 30min -> one session; then a 2h jump -> new one
+    val ns = Seq(0L, 600L, 1200L, 8400L).map(_ * 1000000000L)
+    val df = ns.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, 1L, "e", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = EventWindows.sessions(df, "30 minutes")
+      .orderBy("session_start").collect()
+    assert(sessions.length === 2)
+    assert(sessions(0).getAs[Long]("n") === 3L)
+    assert(sessions(1).getAs[Long]("n") === 1L)
+  }
+}
