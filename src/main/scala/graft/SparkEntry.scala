@@ -7,14 +7,15 @@ import graft.queries._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("agg_groupby_multi")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_price_update")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ Relational2.defs ++ Extensions.defs
+    Relational.defs ++ Relational2.defs ++ Extensions.defs ++ Pipelines.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ Extensions.oracles
+    Relational.oracles ++ Relational2.oracles ++ Extensions.oracles ++
+      Pipelines.oracles
 }
