@@ -55,11 +55,14 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
+    // persisted: the band table feeds both sides of the self-join — at
+    // corpus scale this is the "materialize the signature table" stage
     val sigs = df
       .withColumn("__sh", wordSet(col(textCol)))
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), bands, rows))
       .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.toDF(s"${idCol}_a", "band", "bucket")
     val b = sigs.toDF(s"${idCol}_b", "band_b", "bucket_b")
     a.join(b, a("band") === b("band_b") && a("bucket") === b("bucket_b")
@@ -81,6 +84,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
         round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** Single-pass LSH dedup decision: each doc's representative is the
+    * smallest id sharing any of its band buckets (self included). O(n)
+    * output — the scalable alternative to materializing all near-dup
+    * pairs. One groupBy per bucket + one join back; not transitively
+    * closed (a chain a~b~c may keep b), which is the standard trade for
+    * one-pass dedup at corpus scale.
+    */
+  def minhashRepresentatives(df: DataFrame, idCol: String, textCol: String,
+                             numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val bandRows = df
+      .withColumn("__sh", wordSet(col(textCol)))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .withColumn("__bands", bandHashes(col("__sig"), bands, rows))
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bucket")))
+    // per-bucket min via a window, not a groupBy+join-back: signatures are
+    // computed once and the data shuffles once (on the bucket key)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    bandRows.withColumn("__bucket_min", min(idCol).over(w))
+      .groupBy(idCol)
+      .agg(min("__bucket_min").as("rep_id"))
+      .withColumn("is_kept", col(idCol) === col("rep_id"))
   }
 
   // ---------------- SimHash ----------------
@@ -128,10 +155,18 @@ object Dedup {
     */
   def jaccardPairsWindowed(df: DataFrame, idCol: String, textCol: String,
                            window: Int, threshold: Double): DataFrame = {
+    // A raw range join (id_b <= id_a + window) plans as a nested-loop over
+    // all n^2 pairs. Blocking on floor(id/window) turns it into a hash
+    // equi-join: a partner within `window` lives in the same or the next
+    // id-block, so the left side probes exactly two block keys.
     val sets = df.select(col(idCol), wordSet(col(textCol)).as("__set"))
     val a = sets.toDF("id_a", "__set_a")
+      .withColumn("__blk", explode(array(floor(col("id_a") / window),
+        floor(col("id_a") / window) + 1)))
     val b = sets.toDF("id_b", "__set_b")
-    a.join(b, b("id_b") > a("id_a") && b("id_b") <= a("id_a") + window)
+      .withColumn("__blk", floor(col("id_b") / window))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + window)
       .withColumn("jaccard", jaccard(col("__set_a"), col("__set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))

@@ -39,6 +39,11 @@ object Extensions {
           shiftrightunsigned(col("simhash"), 48).as("block"))
         .orderBy("doc_id")),
 
+    // single-pass LSH dedup decision: O(n) representative assignment
+    "dedup_minhash_keep" -> ((s, dir) =>
+      Dedup.minhashRepresentatives(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
         maxHamming = 16)

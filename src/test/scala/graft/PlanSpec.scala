@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan shape assertions — the scale contract, not just the
+  * row values: dimension joins must broadcast (no shuffle of the fact
+  * side), filters must reach the parquet scan, per-row operators must
+  * stay inside whole-stage codegen. If a refactor regresses one of these,
+  * correctness tests stay green but the 100 TB plan is broken — this
+  * suite is what catches it.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (no fact-side shuffle)") {
+    Seq("join_left", "join_star", "pipeline_price_update").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q should broadcast its dimension side")
+    }
+    // star join: all three dims broadcast — zero shuffled joins
+    assert(!plan("join_star").contains("SortMergeJoin"),
+      "join_star must not sort-merge any dimension")
+  }
+
+  test("semi/anti joins broadcast too") {
+    assert(plan("join_semi").contains("BroadcastHashJoin"))
+    assert(plan("join_anti").contains("BroadcastHashJoin"))
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val p = plan("filter_bool")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull"),
+      "filter_bool should push predicates into the scan")
+    val p2 = plan("sort_topn")
+    assert(p2.contains("TakeOrderedAndProject"),
+      "top-n should plan as TakeOrderedAndProject, not global sort + limit")
+  }
+
+  test("column pruning reaches the scan (narrow ReadSchema)") {
+    val p = plan("agg_ratio")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(reads.contains("l_returnflag") && !reads.contains("l_extendedprice"),
+      s"agg_ratio should scan only l_returnflag: $reads")
+  }
+
+  test("per-row operators run inside whole-stage codegen") {
+    Seq("scalar_locale_parse", "scalar_isclose", "scalar_canon_unit").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // AQE only materializes codegen stages in the final plan
+      val p = df.queryExecution.executedPlan.toString
+      // "*(n) Project ..." marks a whole-stage-codegen span in plan text
+      assert(p.contains("*(1)"), s"$q should be codegen'd:\n$p")
+    }
+  }
+
+  test("LSH candidate join is a hash equi-join, not nested-loop") {
+    val p = plan("dedup_minhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band-bucket join must stay an equi-join")
+    val p2 = plan("dedup_jaccard_pairs")
+    assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"),
+      "blocked jaccard join must stay an equi-join")
+  }
+}
