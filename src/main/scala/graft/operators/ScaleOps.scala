@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join: salt the skewed (big) side, replicate the small
+  * side across salts, join on (keys + salt). Result is row-identical to
+  * the unsalted join; the skewed key's rows now spread over `salts`
+  * shuffle partitions instead of hot-spotting one reducer.
+  *
+  * AQE's skew-join handling covers sort-merge joins after the fact; this
+  * operator is the explicit form for when the skew is known up front
+  * (e.g. a null-heavy or celebrity key) or the join is hash-partitioned
+  * by a custom strategy.
+  */
+object SaltedJoin {
+  def apply(big: DataFrame, small: DataFrame, keys: Seq[String],
+            salts: Int, joinType: String = "inner"): DataFrame = {
+    // deterministic per-row salt: hash of the whole row, not rand() —
+    // re-running the plan (task retry, AQE re-plan) must not move rows
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}
+
+/** Deterministic distributed sampling: bottom-k by a stable per-row hash.
+  * Unlike `df.sample` (partition-dependent RNG), the same rows are chosen
+  * regardless of partitioning or retries — the property a reproducible
+  * training-data pipeline needs. Plans as TakeOrderedAndProject: each
+  * partition keeps its local bottom-k, the driver merges (no full sort).
+  */
+object BottomKSample {
+  def apply(df: DataFrame, k: Int, seedCols: Seq[String]): DataFrame =
+    df.withColumn("__h", xxhash64(seedCols.map(col): _*))
+      .orderBy("__h")
+      .limit(k)
+      .drop("__h")
+}
+
+/** Proportional deterministic sampling via a hash threshold: keeps a
+  * fraction of rows with no shuffle at all (pure filter — scales to any
+  * corpus size and composes with pushdown).
+  */
+object HashSample {
+  def apply(df: DataFrame, fraction: Double, seedCols: Seq[String]): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val bound = (fraction * (1L << 60).toDouble).toLong
+    df.filter(pmod(xxhash64(seedCols.map(col): _*), lit(1L << 60)) < bound)
+  }
+}

@@ -108,7 +108,39 @@ object Extensions {
 
     "stream_session" -> ((s, dir) =>
       EventWindows.sessions(tbl(s, dir, "events"), "30 minutes")
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // custom arbitrary-state sessionization (flatMapGroups batch twin of
+    // the flatMapGroupsWithState streaming operator)
+    "stream_session_custom" -> ((s, dir) => {
+      val ds = graft.streaming.SessionState.fromEventsTable(s, tbl(s, dir, "events"))
+      graft.streaming.SessionState
+        .batchSessions(s, ds, 30L * 60 * 1000000000L, Int.MaxValue)
+        .toDF()
+        .withColumn("sum_value", round(col("sum_value"), 2))
+        .orderBy("user_id", "session_start_sec")
+    }),
+
+    // deterministic distributed sampling (hash-based; rows-only checks)
+    "sample_bottomk" -> ((s, dir) =>
+      graft.operators.BottomKSample(tbl(s, dir, "lineitem"), 1000,
+        Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "sample_hash" -> ((s, dir) =>
+      graft.operators.HashSample(tbl(s, dir, "lineitem"), 0.25,
+        Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // HLL sketch next to the exact count (approximate: rows-only)
+    "agg_approx_distinct" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,6 +244,26 @@ object Extensions {
          SELECT floor(epoch(ws))::BIGINT AS window_start, count(*) AS n,
            round(sum(value), 2) AS sum_value
          FROM w GROUP BY ws ORDER BY window_start""",
+    "stream_session_custom" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, value, event_type
+             FROM events),
+         m AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL
+               OR tn - lag(tn) OVER w >= 1800000000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_type)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+               ORDER BY tn, event_type ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+         g AS (SELECT user_id, sid, min(tn) // 1000000000 AS session_start_sec,
+               count(*) AS n, round(sum(value), 2) AS sum_value,
+               min_by(event_type, lpad(tn::VARCHAR, 20, '0') || '|' || event_type)
+                 AS first_type,
+               max_by(event_type, lpad(tn::VARCHAR, 20, '0') || '|' || event_type)
+                 AS last_type
+           FROM s GROUP BY user_id, sid)
+         SELECT user_id, session_start_sec, n, sum_value, first_type, last_type,
+           CASE WHEN sid = (SELECT max(sid) FROM g g2
+                            WHERE g2.user_id = g.user_id)
+                THEN 'end' ELSE 'gap' END AS closed_by
+         FROM g ORDER BY user_id, session_start_sec""",
     "stream_session" ->
       """WITH e AS (SELECT user_id, ts::TIMESTAMP AS t, value FROM events),
          m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{BottomKSample, HashSample, SaltedJoin}
+import graft.streaming.SessionState
+import graft.streaming.SessionState.Event
+
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join (inner and left)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Seq("inner", "left").foreach { jt =>
+      val plain = orders.join(customer, Seq("o_custkey"), jt)
+        .select("o_orderkey", "c_name").collect().map(_.toSeq).toSet
+      val salted = SaltedJoin(orders, customer, Seq("o_custkey"), salts = 7,
+        joinType = jt).select("o_orderkey", "c_name")
+        .collect().map(_.toSeq).toSet
+      assert(salted === plain, s"join type $jt")
+    }
+  }
+
+  test("bottom-k sample is deterministic and partitioning-independent") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    // note: testdata lineitem has duplicate (orderkey, linenumber) pairs,
+    // so compare as sorted multisets
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      BottomKSample(df, 100, keys).select(keys.map(col): _*)
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(","))
+    val s1 = sample(li)
+    val s2 = sample(li.repartition(13))
+    assert(s1.length === 100 && s1 === s2)
+    // plans as a top-k, not a global sort
+    assert(BottomKSample(li, 100, keys).queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("hash sample keeps a stable fraction with zero shuffle") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = li.count().toDouble
+    val sampled = HashSample(li, 0.25, Seq("l_orderkey", "l_linenumber"))
+    val k = sampled.count().toDouble
+    assert(math.abs(k / n - 0.25) < 0.03)
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"))
+    // re-evaluation returns the identical subset
+    assert(sampled.count() === k.toLong)
+  }
+
+  test("bucketed tables co-locate: join without a shuffle exchange") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
+
+class SessionStateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val gapNs = 30L * 60 * 1000000000L // 30 min
+
+  test("batch flatMapGroups sessionization: gap and max-events closure") {
+    val mins: Long => Long = m => m * 60L * 1000000000L
+    val events = Seq(
+      Event(1L, mins(0), "view", 1.0),
+      Event(1L, mins(10), "click", 2.0),
+      Event(1L, mins(20), "purchase", 3.0), // same session (gaps < 30min)
+      Event(1L, mins(120), "view", 4.0), // gap -> new session
+      Event(2L, mins(0), "a", 1.0), Event(2L, mins(1), "b", 1.0),
+      Event(2L, mins(2), "c", 1.0), Event(2L, mins(3), "d", 1.0) // max 3
+    ).toDS()
+    val out = SessionState.batchSessions(spark, events, gapNs, maxEvents = 3)
+      .collect().sortBy(s => (s.user_id, s.session_start_sec))
+    val u1 = out.filter(_.user_id == 1L)
+    assert(u1.length === 2)
+    assert(u1(0).n === 3 && u1(0).first_type === "view"
+      && u1(0).last_type === "purchase" && u1(0).sum_value === 6.0
+      && u1(0).closed_by === "gap")
+    assert(u1(1).n === 1 && u1(1).closed_by === "end")
+    val u2 = out.filter(_.user_id == 2L)
+    assert(u2.map(_.n).toSeq === Seq(3, 1)) // max_events split
+    assert(u2(0).closed_by === "max_events")
+  }
+
+  test("streaming flatMapGroupsWithState emits closed sessions incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = SessionState.streamingSessions(spark, input.toDS(), gapNs, 100)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_stream").start()
+    try {
+      val mins: Long => Long = m => m * 60L * 1000000000L
+      input.addData(Event(1L, mins(0), "view", 1.0),
+        Event(1L, mins(5), "click", 2.0))
+      q.processAllAvailable()
+      // session still open -> nothing emitted yet
+      assert(spark.table("sessions_stream").count() === 0)
+      input.addData(Event(1L, mins(90), "view", 9.0)) // gap closes session 1
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_stream").as[SessionState.SessionOut]
+        .collect()
+      assert(emitted.length === 1)
+      assert(emitted(0).n === 2 && emitted(0).closed_by === "gap")
+    } finally q.stop()
+  }
+
+  test("batch sessionization on real events agrees with a naive reference") {
+    val ds = SessionState.fromEventsTable(spark,
+      graft.queries.tbl(spark, sf, "events"))
+    val got = SessionState.batchSessions(spark, ds, gapNs, Int.MaxValue)
+      .collect().map(s => (s.user_id, s.session_start_sec, s.n)).toSet
+    // naive reference computed on the driver
+    val ref = ds.collect().groupBy(_.user_id).flatMap { case (u, evs) =>
+      SessionState.sessionize(evs.iterator, gapNs, Int.MaxValue)
+    }.map(s => (s.user_id, s.session_start_sec, s.n)).toSet
+    assert(got === ref)
+  }
+}
