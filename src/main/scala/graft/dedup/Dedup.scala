@@ -76,10 +76,12 @@ object Dedup {
                       threshold: Double, numHashes: Int = 64,
                       bands: Int = 16): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands)
+    // the candidate-pair table dwarfs the doc table: broadcast the sets so
+    // the (potentially huge) pair stream never shuffles for the lookups
     val sets = df.select(col(idCol), wordSet(col(textCol)).as("__set"))
     cand
-      .join(sets.toDF(s"${idCol}_a", "__set_a"), Seq(s"${idCol}_a"))
-      .join(sets.toDF(s"${idCol}_b", "__set_b"), Seq(s"${idCol}_b"))
+      .join(broadcast(sets.toDF(s"${idCol}_a", "__set_a")), Seq(s"${idCol}_a"))
+      .join(broadcast(sets.toDF(s"${idCol}_b", "__set_b")), Seq(s"${idCol}_b"))
       .withColumn("jaccard", jaccard(col("__set_a"), col("__set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"),

@@ -16,8 +16,14 @@ object Similarity {
 
   def toVec(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product — deterministic summation order. */
-  def dot(a: Column, b: Column): Column =
+  /** Fused-loop native dot product (codegen) — see [[graft.functions.DotProduct]].
+    * Identical result to the sequential fold, without the intermediate
+    * array or interpreted lambdas. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
+
+  /** The composable higher-order-function form (kept as the reference
+    * semantics the native expression is tested against). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
