@@ -59,7 +59,8 @@ object Kpi {
   def toJson(df: DataFrame, priceNum: String, estadoCol: String,
              generatedAt: String): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def jnum(d: Double) = if (d == d.floor && !d.isInfinite) f"$d%.2f" else d.toString
+    // python-json repr parity: integral doubles print one decimal (558372.0)
+    def jnum(d: Double) = if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
 
     val c = cards(df, priceNum).head()
     val byP = byProyecto(df, priceNum).collect()

@@ -38,6 +38,14 @@ class ViewServer(base: DataFrame, viewName: String = "units") {
     df.orderBy(if (asc) sortCol.asc_nulls_last else sortCol.desc_nulls_last)
   }
 
+  /** O4b — locale-collated display sort (ICU collation, e.g. "es"),
+    * approximating the dashboard's `localeCompare("es")` ordering. */
+  def sortedByLocale(df: DataFrame, key: String, locale: String = "es",
+                     asc: Boolean = true): DataFrame = {
+    val c = collate(col(key).cast("string"), locale)
+    df.orderBy(if (asc) c.asc_nulls_last else c.desc_nulls_last)
+  }
+
   /** O5 — page of the current view under a deterministic ordering. */
   def page(df: DataFrame, order: Seq[Column], pageNo: Int, size: Int): DataFrame =
     Paginate(df, order, pageNo, size)

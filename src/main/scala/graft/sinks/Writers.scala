@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object Writers {
 
+  /** F7 — filename sanitization (ref `:101-102`): keep
+    * `[A-Za-z0-9._ \-()]`, fall back to "Proyecto" when nothing survives. */
+  def safeFilename(name: String): String = {
+    val cleaned = Option(name).getOrElse("")
+      .replaceAll("[^A-Za-z0-9._ \\-()]", "").trim
+    if (cleaned.isEmpty) "Proyecto" else cleaned
+  }
+
   /** S5 — per-project sink: `partitionBy` gives one directory per project
     * (the distributed analogue of one workbook per project), with the key
     * columns ordered first (ref `:399-406`).
