@@ -134,6 +134,24 @@ object Extensions {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // as-of join: each purchase looks up the user's most recent click
+    "asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.AsOfJoin(purchases, clicks, Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        payload = Seq("click_ts", "click_value"), tiebreak = Some("click_id"))
+        .select(col("user_id"), col("event_id"),
+          // micro precision on both sides (DuckDB's ASOF coerces to us);
+          // integral div — double division loses ulps at 1e18 ns
+          expr("click_ts div 1000").as("click_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // HLL sketch next to the exact count (approximate: rows-only)
     "agg_approx_distinct" -> ((s, dir) =>
       tbl(s, dir, "lineitem").agg(
@@ -244,6 +262,16 @@ object Extensions {
          SELECT floor(epoch(ws))::BIGINT AS window_start, count(*) AS n,
            round(sum(value), 2) AS sum_value
          FROM w GROUP BY ws ORDER BY window_start""",
+    "asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+             WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events
+             WHERE event_type = 'click')
+         SELECT p.user_id, p.event_id,
+           epoch_us(c.ts) AS click_us, c.value AS click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY event_id""",
     "stream_session_custom" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tn, value, event_type
              FROM events),

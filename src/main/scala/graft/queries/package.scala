@@ -13,7 +13,8 @@ package object queries {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.ts read under nanosAsLong: BIGINT ns since epoch -> whole seconds. */
+  /** events.ts read under nanosAsLong: BIGINT ns since epoch -> whole
+    * seconds, via exact integral division (not double floor). */
   def nsToEpochSec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.floor(c / 1000000000L)
+    graft.streaming.EventWindows.nsDiv(c, 1000000000L)
 }

@@ -14,8 +14,15 @@ import org.apache.spark.sql.types._
   */
 object EventWindows {
 
+  /** Exact integral floor-division for epoch arithmetic: plain `/` is
+    * double division, which loses ulps at 1e18-scale nanoseconds. */
+  def nsDiv(ns: Column, d: Long): Column = {
+    val q = (ns / d).cast("long")
+    q - when(q * d > ns, lit(1L)).otherwise(lit(0L))
+  }
+
   /** BIGINT nanoseconds -> TimestampType (microsecond precision). */
-  def nsToTs(ns: Column): Column = timestamp_micros((ns / 1000).cast("long"))
+  def nsToTs(ns: Column): Column = timestamp_micros(nsDiv(ns, 1000L))
 
   def epochSec(ts: Column): Column = unix_timestamp(ts)
 
