@@ -134,6 +134,21 @@ object Extensions {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // range join: events whose value falls in each part's interval,
+    // blocked into a hash equi-join (no nested-loop plan)
+    "range_join_agg" -> ((s, dir) => {
+      val intervals = tbl(s, dir, "part").filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          (col("p_size") * 4.0).as("lo"),
+          (col("p_size") * 4.0 + 2.0).as("hi"))
+      val points = tbl(s, dir, "events").select("event_id", "value")
+      graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "value", "lo", "hi", blockWidth = 4)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("p_partkey")
+    }),
+
     // as-of join: each purchase looks up the user's most recent click
     "asof_join" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
@@ -262,6 +277,12 @@ object Extensions {
          SELECT floor(epoch(ws))::BIGINT AS window_start, count(*) AS n,
            round(sum(value), 2) AS sum_value
          FROM w GROUP BY ws ORDER BY window_start""",
+    "range_join_agg" ->
+      """SELECT p_partkey, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM part JOIN events
+           ON value >= p_size * 4.0 AND value <= p_size * 4.0 + 2.0
+         WHERE p_partkey <= 100
+         GROUP BY p_partkey ORDER BY p_partkey""",
     "asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events
              WHERE event_type = 'purchase'),
