@@ -233,9 +233,10 @@ object Extensions {
            length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS nospace
            FROM documents)
          SELECT doc_id,
-           round(least(n / 50.0, 1.0) * 0.3 + (stop / n) * 0.3
+           floor((least(n / 50.0, 1.0) * 0.3 + (stop / n) * 0.3
              + (1.0 - punct / len) * 0.2
-             + least((nospace / n) / 8.0, 1.0) * 0.2, 3) AS quality
+             + least((nospace / n) / 8.0, 1.0) * 0.2) * 1000.0 + 0.5) / 1000.0
+             AS quality
          FROM t ORDER BY doc_id""",
     "text_lang_id" ->
       """WITH t AS (SELECT doc_id,

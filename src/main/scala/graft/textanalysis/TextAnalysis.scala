@@ -45,13 +45,18 @@ object TextAnalysis {
     * length/stopword/punctuation heuristics for web-scale corpus filtering.
     */
   def qualityScore(text: Column,
-                   stopwords: Seq[String] = DefaultStopwords): Column =
-    round(
+                   stopwords: Seq[String] = DefaultStopwords): Column = {
+    val raw =
       least(tokenCount(text).cast("double") / 50.0, lit(1.0)) * 0.3 +
         stopwordRatio(text, stopwords) * 0.3 +
         (lit(1.0) - punctRatio(text)) * 0.2 +
-        least(avgWordLen(text) / 8.0, lit(1.0)) * 0.2,
-      3)
+        least(avgWordLen(text) / 8.0, lit(1.0)) * 0.2
+    // arithmetic 3-decimal rounding: round() on doubles goes through the
+    // shortest decimal repr and disagrees across engines at .xxx5
+    // boundaries; floor(x*1000+0.5)/1000 is pure double math every engine
+    // computes identically
+    floor(raw * 1000.0 + 0.5) / 1000.0
+  }
 
   /** Marker words per language for the n-gram-heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
