@@ -76,6 +76,27 @@ object Extensions {
         dims = Seq(0, 7, 19, 33), k = 10)
     }),
 
+    // embedding-cosine near-dup: sign-bucket blocking, exact cosine verify
+    "dedup_cosine_pairs" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toVec(col("embedding")).as("v"))
+        .withColumn("bucket", Similarity.lshBucket(col("v"), Seq(0, 7, 19, 33)))
+      val a = emb.toDF("id_a", "v_a", "bucket")
+      val b = emb.toDF("id_b", "v_b", "bucket_b")
+      a.join(b, a("bucket") === b("bucket_b") && a("id_a") < b("id_b"))
+        .withColumn("sim", round(Similarity.cosine(col("v_a"), col("v_b")), 4))
+        .filter(col("sim") >= 0.5)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // semi-structured column: JSON property extraction from events.props
+    "scalar_json_extract" -> ((s, dir) =>
+      tbl(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+        .orderBy("event_id")),
+
     // text analysis
     "text_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -194,6 +215,22 @@ object Extensions {
          WHERE len(list_intersect(a.s, b.s))::DOUBLE
              / len(list_distinct(a.s || b.s)) >= 0.8
          ORDER BY id_a, id_b""",
+    "dedup_cosine_pairs" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[20] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[34] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b2.v), 4) AS sim
+         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.5
+         ORDER BY id_a, id_b""",
+    "scalar_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+         FROM events ORDER BY event_id""",
     "sim_cosine_all" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                     WHERE vec_id = 0)
