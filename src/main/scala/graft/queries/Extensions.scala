@@ -85,7 +85,7 @@ object Extensions {
       val b = emb.toDF("id_b", "v_b", "bucket_b")
       a.join(b, a("bucket") === b("bucket_b") && a("id_a") < b("id_b"))
         .withColumn("sim", round(Similarity.cosine(col("v_a"), col("v_b")), 4))
-        .filter(col("sim") >= 0.5)
+        .filter(col("sim") >= 0.3)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
     }),
@@ -225,7 +225,7 @@ object Extensions {
          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b2.v), 4) AS sim
          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.5
+         WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.3
          ORDER BY id_a, id_b""",
     "scalar_json_extract" ->
       """SELECT event_id,
