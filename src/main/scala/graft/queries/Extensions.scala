@@ -100,7 +100,8 @@ object Extensions {
     // text analysis
     "text_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) =>
@@ -258,7 +259,10 @@ object Extensions {
     "text_token_count" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+           AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,

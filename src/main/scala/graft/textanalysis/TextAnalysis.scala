@@ -16,6 +16,17 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** BPE-ish subword-boundary token count: GPT-2-style pre-tokenizer
+    * pattern (contraction suffixes, space-prefixed letter runs, digit
+    * runs, punctuation runs). A real tokenizer's merge step happens on
+    * top of this split; the count is the standard corpus-size estimate.
+    */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Share of tokens that are stopwords (quality signal). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val n = tokenCount(text)
