@@ -97,6 +97,22 @@ object Extensions {
         get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
         .orderBy("event_id")),
 
+    // per-label vector centroids via a typed Aggregator (IVF quantizer
+    // reduction); long format (label, dim, value) for oracle comparison
+    "agg_centroids" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("label"), Similarity.toVec(col("embedding")).as("v"))
+        .as[(Int, Seq[Double])]
+      val agg = new graft.similarity.VectorCentroid(64)
+        .toColumn.name("centroid")
+      emb.groupByKey(_._1).mapValues(_._2).agg(agg)
+        .toDF("label", "centroid")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "cval")))
+        .withColumn("cval", round(col("cval"), 4))
+        .orderBy("label", "dim")
+    }),
+
     // text analysis
     "text_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
@@ -216,6 +232,10 @@ object Extensions {
          WHERE len(list_intersect(a.s, b.s))::DOUBLE
              / len(list_distinct(a.s || b.s)) >= 0.8
          ORDER BY id_a, id_b""",
+    "agg_centroids" ->
+      """SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 4) AS cval
+         FROM embeddings, generate_series(1, 64) AS g(i)
+         GROUP BY label, i ORDER BY label, dim""",
     "dedup_cosine_pairs" ->
       """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
              (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)

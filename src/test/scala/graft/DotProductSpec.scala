@@ -31,6 +31,17 @@ class DotProductSpec extends SparkTestBase {
     assert(got(3L) === Some(0.0))
   }
 
+  test("VectorCentroid aggregator: elementwise mean with partial merge") {
+    val ds = Seq(
+      (0, Seq(1.0, 10.0)), (0, Seq(3.0, 30.0)), (1, Seq(5.0, 7.0))
+    ).toDS()
+    val agg = new graft.similarity.VectorCentroid(2).toColumn.name("c")
+    val got = ds.groupByKey(_._1).mapValues(_._2).agg(agg)
+      .collect().toMap
+    assert(got(0) === Seq(2.0, 20.0))
+    assert(got(1) === Seq(5.0, 7.0))
+  }
+
   test("stays inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(Similarity.toVec($"embedding").as("v"))
