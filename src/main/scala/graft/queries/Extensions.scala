@@ -55,7 +55,7 @@ object Extensions {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
       Similarity.cosineToQuery(emb, "vec_id", "embedding", q, "qvec")
-        .withColumn("sim", round(col("sim"), 4))
+        .withColumn("sim", round(col("sim"), 4) + lit(0.0)) // kill -0.0
         .orderBy("vec_id")
     }),
 
@@ -65,6 +65,7 @@ object Extensions {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
       Similarity.topK(emb, "vec_id", "embedding", q, "qvec", k = 20)
+        .withColumn("sim", col("sim") + lit(0.0))
     }),
 
     // LSH-bucketed ANN: probe only the query's sign-bucket
@@ -74,6 +75,7 @@ object Extensions {
         .select(col("embedding").as("qvec"))
       Similarity.annTopK(emb, "vec_id", "embedding", q, "qvec",
         dims = Seq(0, 7, 19, 33), k = 10)
+        .withColumn("sim", col("sim") + lit(0.0))
     }),
 
     // embedding-cosine near-dup: sign-bucket blocking, exact cosine verify
@@ -109,7 +111,9 @@ object Extensions {
       emb.groupByKey(_._1).mapValues(_._2).agg(agg)
         .toDF("label", "centroid")
         .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "cval")))
-        .withColumn("cval", round(col("cval"), 4))
+        // + 0.0 normalizes IEEE negative zero (engines disagree on the
+        // sign of a rounded -0.00004, and -0.0 hashes/sorts != 0.0)
+        .withColumn("cval", round(col("cval"), 4) + lit(0.0))
         .orderBy("label", "dim")
     }),
 
@@ -233,7 +237,8 @@ object Extensions {
              / len(list_distinct(a.s || b.s)) >= 0.8
          ORDER BY id_a, id_b""",
     "agg_centroids" ->
-      """SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 4) AS cval
+      """SELECT label, i - 1 AS dim,
+         round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS cval
          FROM embeddings, generate_series(1, 64) AS g(i)
          GROUP BY label, i ORDER BY label, dim""",
     "dedup_cosine_pairs" ->
@@ -256,13 +261,13 @@ object Extensions {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                     WHERE vec_id = 0)
          SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0 AS sim
          FROM embeddings, q ORDER BY vec_id""",
     "sim_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                     WHERE vec_id = 0)
          SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0 AS sim
          FROM embeddings, q
          ORDER BY sim DESC, vec_id LIMIT 20""",
     "sim_ann_lsh" ->
@@ -273,7 +278,8 @@ object Extensions {
            + (CASE WHEN embedding[34] > 0 THEN 8 ELSE 0 END) AS bucket
            FROM embeddings),
          q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
-         SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS sim, bucket
+         SELECT vec_id, round(list_cosine_similarity(v, qv), 4) + 0.0 AS sim,
+           bucket
          FROM b, q WHERE bucket = qbucket
          ORDER BY sim DESC, vec_id LIMIT 10""",
     "text_token_count" ->
