@@ -59,6 +59,41 @@ object Multimodal {
     }
   }
 
+  /** STUB RESIZE — a real image library maps (bytes, w, h) -> bytes; the
+    * deterministic fake truncates/tiles the payload to w*h bytes so the
+    * distributed contract (pure function, size-bounded output) is testable.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(0, w * h)
+    if (bytes == null || bytes.isEmpty) new Array[Byte](n)
+    else Array.tabulate(n)(i => bytes(i % bytes.length))
+  }
+
+  /** STUB FRAME SAMPLER — a real video codec yields frame byte buffers;
+    * the fake slices the payload into `frameSize` chunks and keeps every
+    * `stride`-th chunk. The plumbing (one row in, N typed rows out via
+    * flatMap-style explode) is the real shape for frame extraction.
+    */
+  def sampleFramesStub(bytes: Array[Byte], frameSize: Int,
+                       stride: Int): Seq[Array[Byte]] = {
+    require(frameSize > 0 && stride > 0)
+    if (bytes == null || bytes.isEmpty) Nil
+    else bytes.grouped(frameSize).zipWithIndex
+      .collect { case (chunk, i) if i % stride == 0 => chunk }
+      .toSeq
+  }
+
+  /** Per-media sampled frames as typed rows (media id, frame index,
+    * frame bytes) — partition-parallel, no shuffle. */
+  def explodeFrames(ds: Dataset[MediaRecord], frameSize: Int,
+                    stride: Int): Dataset[(Long, Int, Array[Byte])] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      sampleFramesStub(r.content, frameSize, stride).zipWithIndex
+        .map { case (f, i) => (r.id, i, f) }
+    }
+  }
+
   /** End-to-end: documents text -> binary media column -> decoded features. */
   def documentFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

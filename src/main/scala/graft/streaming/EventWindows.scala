@@ -50,6 +50,25 @@ object EventWindows {
       .select(col("user_id"), epochSec(col("w.start")).as("session_start"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream interval join with watermarks on both sides: right
+    * rows within `[left.time - within, left.time]` per key. The
+    * watermarks bound the join state — each side buffers only rows newer
+    * than (watermark - within), so state is O(rate x window) at any
+    * corpus size. Column names must be pre-disambiguated by the caller
+    * (required for self-joins of one source).
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTime: String, rightTime: String,
+                            watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $within") &&
+        col(rightTime) <= col(leftTime))
+  }
+
   /** The events schema as stored (ts already BIGINT nanoseconds). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

@@ -99,6 +99,21 @@ class MultimodalSpec extends SparkTestBase {
     val f = Multimodal.extractFeatures(ds).collect().head
     assert(f.byte_len === 0L && f.header_byte === -1 && f.width === 0)
   }
+
+  test("resize stub: size contract + purity; frame sampling explodes rows") {
+    val payload = "abcdefghij".getBytes
+    val r1 = Multimodal.resizeStub(payload, 4, 3)
+    assert(r1.length === 12)
+    assert(r1.toSeq === Multimodal.resizeStub(payload, 4, 3).toSeq) // pure
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 2, 2).length === 4)
+
+    val ds = Seq(MediaRecord(7L, "video", payload)).toDS()
+    val frames = Multimodal.explodeFrames(ds, frameSize = 3, stride = 2)
+      .collect().sortBy(_._2)
+    // chunks: abc def ghi j -> keep idx 0 and 2
+    assert(frames.map(f => new String(f._3)).toSeq === Seq("abc", "ghi"))
+    assert(frames.forall(_._1 == 7L))
+  }
 }
 
 class StreamingSpec extends SparkTestBase {

@@ -123,6 +123,40 @@ class SessionStateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream interval join (purchase <- recent click)") {
+    import graft.streaming.EventWindows
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val ev = input.toDS()
+      .withColumn("t", EventWindows.nsToTs(col("ts_ns")))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"t".as("p_t"), $"value".as("p_value"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"t".as("c_t"), $"value".as("c_value"))
+    val joined = EventWindows.streamingIntervalJoin(purchases, clicks,
+      "p_user", "c_user", "p_t", "c_t",
+      watermark = "1 hour", within = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      // realistic epoch base: Spark's initial watermark is 0, so events
+      // near 1970 are dropped as late before any data arrives
+      val base = 1704067200L * 1000000000L // 2024-01-01
+      val mins: Long => Long = m => base + m * 60L * 1000000000L
+      input.addData(
+        Event(1L, mins(0), "click", 1.0), // 20 min before purchase: joins
+        Event(1L, mins(20), "purchase", 100.0),
+        Event(2L, mins(0), "click", 2.0), // 2h before purchase: outside window
+        Event(2L, mins(120), "purchase", 200.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("p_user", "p_value", "c_value").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(0) === 1L && rows.head.getDouble(2) === 1.0)
+    } finally q.stop()
+  }
+
   test("batch sessionization on real events agrees with a naive reference") {
     val ds = SessionState.fromEventsTable(spark,
       graft.queries.tbl(spark, sf, "events"))
