@@ -36,11 +36,13 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** numHashes minhash values; hash family = xxhash64(shingle, seed=i). */
+  /** numHashes minhash values; hash family = xxhash64(shingle, seed=i),
+    * computed by the single-pass codegen'd [[graft.functions.MinHashSignature]]
+    * expression (bit-identical to the composable
+    * `array_min(transform(...))` form, one traversal instead of numHashes).
+    */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, x => xxhash64(x, lit(i))))
-    }: _*)
+    graft.functions.MinHashSignature.signature(shingles, numHashes)
 
   /** One hash per band over the signature slice (bands x rows = numHashes). */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
@@ -54,15 +56,24 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sets = df.select(col(idCol), wordSet(col(textCol)).as("__set"))
+    bandedCandidates(sets, idCol, "__set", numHashes, bands)
+  }
+
+  /** Banded LSH self-join over a (id, set) table. Not cached: the
+    * single-pass signature expression makes recomputing the band table
+    * for the second join side cheaper than a cluster-wide MEMORY_AND_DISK
+    * cache (which at corpus scale would spill the whole signature table
+    * to executor disk and leak until unpersist). At 100 TB, materialize
+    * this stage explicitly to a staging table instead.
+    */
+  private def bandedCandidates(sets: DataFrame, idCol: String, setCol: String,
+                               numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    // persisted: the band table feeds both sides of the self-join — at
-    // corpus scale this is the "materialize the signature table" stage
-    val sigs = df
-      .withColumn("__sh", wordSet(col(textCol)))
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val sigs = sets
+      .withColumn("__sig", minhashSignature(col(setCol), numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), bands, rows))
       .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.toDF(s"${idCol}_a", "band", "bucket")
     val b = sigs.toDF(s"${idCol}_b", "band_b", "bucket_b")
     a.join(b, a("band") === b("band_b") && a("bucket") === b("bucket_b")
@@ -71,21 +82,89 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash near-dup pairs, verified with the true Jaccard similarity. */
+  /** MinHash near-dup pairs, verified with the true Jaccard similarity.
+    *
+    * Two scale levers over the naive banded join:
+    *
+    * 1. LSH runs at the UNIQUE-word-set level: exact duplicates share
+    *    identical signatures, band buckets, and pairwise Jaccard, so the
+    *    corpus first collapses to one representative per word-set digest;
+    *    verified digest pairs expand back to document pairs (plus the
+    *    within-digest pairs, whose Jaccard is 1.0 by construction).
+    *    Candidate work scales with |unique templates|, not |copies|.
+    *
+    * 2. The candidate join is FUSED with verification (the MLlib
+    *    `approxSimilarityJoin` shape): each side carries its band-hash
+    *    array and sorted set through the (band, bucket) self-join; a
+    *    pair is kept only in the band where the signatures FIRST collide
+    *    ([[graft.functions.FirstEqualIndex]] — dedup inside the join
+    *    stage, no corpus-scale `distinct` shuffle of the pair stream),
+    *    and the true Jaccard evaluates right there via a sorted-merge
+    *    intersection ([[graft.functions.SortedIntersectSize]], zero
+    *    allocation, `|A∪B| = |A|+|B|-|A∩B|`). One shuffle of the
+    *    16x-replicated unique-set table replaces three shuffles of the
+    *    (much larger) candidate-pair stream.
+    *
+    * The output is row-identical to the naive doc-level form.
+    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64,
                       bands: Int = 16): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands)
-    // the candidate-pair table dwarfs the doc table: broadcast the sets so
-    // the (potentially huge) pair stream never shuffles for the lookups
-    val sets = df.select(col(idCol), wordSet(col(textCol)).as("__set"))
-    cand
-      .join(broadcast(sets.toDF(s"${idCol}_a", "__set_a")), Seq(s"${idCol}_a"))
-      .join(broadcast(sets.toDF(s"${idCol}_b", "__set_b")), Seq(s"${idCol}_b"))
-      .withColumn("jaccard", jaccard(col("__set_a"), col("__set_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+    val aCol = s"${idCol}_a"
+    val bCol = s"${idCol}_b"
+    val rows = numHashes / bands
+    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
+    // per unique set: the minhash signature stays on the STRING set (the
+    // r01-identical hash family / candidate buckets), while verification
+    // uses the sorted word-HASH set — primitive-long merge kernel
+    val reps = df.select(wordSetKey(col(textCol)).as("__dig"),
+        wordSet(col(textCol)).as("__set"))
+      .dropDuplicates("__dig")
+      .withColumn("__hset", array_sort(transform(col("__set"), w => xxhash64(w))))
+      .withColumn("__sig", minhashSignature(col("__set"), numHashes))
+      .withColumn("__bands", bandHashes(col("__sig"), bands, rows))
+      .select(col("__dig"), col("__hset"), col("__bands"),
+        posexplode(col("__bands")).as(Seq("band", "bucket")))
+
+    val a = reps.toDF("__dig_a", "__hset_a", "__bands_a", "band", "bucket")
+    val b = reps.toDF("__dig_b", "__hset_b", "__bands_b", "band_b", "bucket_b")
+    val jac = graft.functions.SortedJaccard(col("__hset_a"), col("__hset_b"))
+    // The ENTIRE verification lives in the join condition, authored in
+    // cheap-to-expensive order so codegen short-circuits do the pruning:
+    //   1. id order (halves the stream)
+    //   2. size-ratio bound — exact necessary condition for J >= t,
+    //      since J <= min(|A|,|B|)/max(|A|,|B|): two int ops
+    //   3. first-colliding-band dedup (<= bands long compares) — the
+    //      exactly-once guarantee that replaces a pair-stream distinct()
+    //   4. the true Jaccard, one fused merge per surviving pair
+    // (Authoring it inline, rather than as post-join filters, pins this
+    // order — pushed-down filters land in optimizer-chosen order.)
+    val verified = a.join(b,
+        a("band") === b("band_b") && a("bucket") === b("bucket_b")
+          && a("__dig_a") < b("__dig_b")
+          && least(size(col("__hset_a")), size(col("__hset_b"))).cast("double")
+            >= lit(threshold) * greatest(size(col("__hset_a")), size(col("__hset_b")))
+          && graft.functions.FirstEqualIndex(col("__bands_a"), col("__bands_b"))
+            === col("band")
+          && jac >= threshold)
+      .select(col("__dig_a"), col("__dig_b"), jac.as("jaccard"))
+
+    // expand verified digest pairs to document pairs (id_a < id_b)
+    val cross = verified
+      .join(members.toDF("__x", "__dig_a"), Seq("__dig_a"))
+      .join(members.toDF("__y", "__dig_b"), Seq("__dig_b"))
+      .select(least(col("__x"), col("__y")).as(aCol),
+        greatest(col("__x"), col("__y")).as(bCol),
         round(col("jaccard"), 3).as("jaccard"))
+
+    // exact duplicates: every within-digest pair is a near-dup at J=1.0
+    val m1 = members.toDF(aCol, "__dig")
+    val m2 = members.toDF(bCol, "__dig2")
+    val within = m1.join(m2, col("__dig") === col("__dig2")
+        && col(aCol) < col(bCol))
+      .select(col(aCol), col(bCol), lit(1.0).as("jaccard"))
+
+    if (threshold <= 1.0) cross.unionByName(within) else cross
   }
 
   /** Single-pass LSH dedup decision: each doc's representative is the

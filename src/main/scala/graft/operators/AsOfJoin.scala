@@ -1,22 +1,27 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: for each left row, the latest right row with
   * `right.time <= left.time` within the same key — the temporal lookup
   * (trade↔quote, event↔state) Spark has no built-in operator for.
   *
   * Implemented as union + window, not a range join: both sides are
-  * tagged, unioned, and sorted once per key; `last(..., ignoreNulls)`
-  * carries the most recent right-side payload forward onto left rows.
-  * One hash shuffle on the key, no pair explosion — the scalable shape
-  * for billions of rows per side (a range join would nested-loop; a
-  * per-left-row subquery would be O(n*m)).
+  * tagged, unioned, and sorted once per key; a single
+  * `last(struct(payload*), ignoreNulls)` carries the most recent right
+  * ROW forward onto left rows. Carrying one struct (not one window call
+  * per column) keeps the match atomic: every payload field comes from
+  * the same right row, including its nulls — matching ASOF JOIN
+  * semantics (a per-column carry would backfill a null field from an
+  * older row). One hash shuffle on the key, no pair explosion — the
+  * scalable shape for billions of rows per side.
   *
   * Right-side ties on (key, time) resolve to the greatest `tiebreak`
-  * value; left rows with no prior right row get nulls.
+  * value; left rows with no prior right row get nulls in all payload
+  * columns.
   */
 object AsOfJoin {
   /** @param left      probe side
@@ -29,35 +34,33 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
             leftTime: String, rightTime: String,
             payload: Seq[String], tiebreak: Option[String] = None): DataFrame = {
+    if (payload.isEmpty) return left
     val t = "__asof_t"
     val leftCols = left.columns.toSeq
-    // tag: right rows sort before left rows at equal times (<=" semantics")
+    val payType = StructType(payload.map(p => right.schema(p)))
+    // tag: right rows sort before left rows at equal times ("<=" semantics)
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(null).cast("long"))
-    var r = right
+      .withColumn("__pay", lit(null).cast(payType))
+    val r = right
       .withColumn(t, col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tie",
         tiebreak.map(col(_).cast("long")).getOrElse(lit(0L)))
-    // align schemas: left's columns null on right rows and vice versa
-    val rPayload = payload.map(p => s"__p_$p")
-    payload.zip(rPayload).foreach { case (p, ap) => r = r.withColumnRenamed(p, ap) }
-    val lAligned = rPayload.foldLeft(l)((d, ap) =>
-      d.withColumn(ap, lit(null)))
-    val rAligned = leftCols.filterNot(keys.contains).foldLeft(r)((d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
-    val unioned = UnionByName(Seq(lAligned, rAligned))
+      .withColumn("__pay", struct(payload.map(col): _*))
+      .select((keys ++ Seq(t, "__side", "__tie", "__pay")).map(col): _*)
+    // union-by-name fills left-only columns with nulls on right rows
+    val unioned = UnionByName(Seq(l, r))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(t).asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rPayload.foldLeft(unioned) { (d, ap) =>
-      d.withColumn(ap, last(col(ap), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    unioned
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        payload.zip(rPayload).map { case (p, ap) => col(ap).as(p) }): _*)
+        payload.map(p => col("__pay").getField(p).as(p))): _*)
   }
 }

@@ -23,6 +23,12 @@ object DedupLatest {
   /** `max_fecha`: latest by `dateCol` (nulls lose), deterministic tiebreak. */
   def latestBy(df: DataFrame, keys: Seq[String], dateCol: String, tiebreak: String): DataFrame =
     apply(df, keys, Seq(col(dateCol).desc_nulls_last, col(tiebreak).desc))
+
+  /** `ultimo`: keep the LAST row per key in input/load order (ref `:141`
+    * `keep="last"`), ignoring any date column — `ordinal` is the load
+    * ordinal captured at ingest (`_row`/`_file_row`). */
+  def lastByOrdinal(df: DataFrame, keys: Seq[String], ordinal: String): DataFrame =
+    apply(df, keys, Seq(col(ordinal).desc))
 }
 
 /** U1 — union-by-name with outer schema union: missing columns become NULL

@@ -18,10 +18,20 @@ object Kpi {
   case class Cards(unidades: Long, promedio: Double, mediana: Double)
 
   /** Add `_num` shadow columns via the F4 sentinel-aware fixed-locale
-    * parse (ref `pj:120-127`). */
+    * parse (ref `pj:120-127`). Faithful to `_safe_num` (`pj:64-78`):
+    * already-numeric cells pass through unchanged (xlrd hands the
+    * reference floats, and isinstance(float) short-circuits before the
+    * string munging); only string cells take the es-PE thousands/decimal
+    * rewrite. */
   def withNumShadows(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (d, c) =>
-      if (d.columns.contains(c)) d.withColumn(s"${c}_num", safeNum(col(c))) else d
+      if (!d.columns.contains(c)) d
+      else {
+        val numeric = d.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val shadow = if (numeric) col(c).cast("double") else safeNum(col(c))
+        d.withColumn(s"${c}_num", shadow)
+      }
     }
 
   /** Global cards: row count, round(mean,2), round(exact median,2); all-null

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 import graft.operators._
@@ -58,11 +57,16 @@ object PriceUpdate {
       .withColumn("_precio_num_antes", localeNum(col(ColPre)))
     val prefixed = TowerPrefix(canonical, cfg.towerProjects,
       "Proyecto", ColNum, "Tipologia")
+    // `_rowid` must be a stable total order over (file, row-in-file). A
+    // global `row_number()` window would move the entire unified table to
+    // ONE task; composing the two ordinals arithmetically is shuffle-free
+    // and preserves exactly the same (file_ord, file_row) ordering —
+    // 2^40 rows per file headroom before ordinals could collide.
     val dfTotal = prefixed
       .withColumn("_key_proy", normKey(col("Proyecto")))
       .withColumn("_key_num", normKey(col(ColNum)))
       .withColumn("_rowid",
-        row_number().over(Window.orderBy("_file_ord", "_file_row")) - 1)
+        col("_file_ord").cast("long") * lit(1L << 40) + col("_file_row"))
 
     // ---- right side: ensure cols, keys, dedup to one row per key ----
     var sp = sperant

@@ -44,6 +44,15 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // J2 (Ultimo rule) — keep the LAST row per key in input/load order,
+    // ignoring the timestamp (ref `Actualizar_Precios_de_Nexo.py:141`
+    // keep="last"; event_id is the load ordinal of the events table)
+    "dedup_latest_ultimo" -> ((s, dir) => {
+      DedupLatest.lastByOrdinal(tbl(s, dir, "events"), Seq("user_id"), "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
     // J2/O1/O2 — argmax-by-date dedup (latest event per user)
     "dedup_latest" -> ((s, dir) => {
       DedupLatest.latestBy(tbl(s, dir, "events"), Seq("user_id"), "ts", "event_id")
@@ -98,6 +107,11 @@ object Relational {
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id
              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "dedup_latest_ultimo" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY event_id DESC) AS rn FROM events)
          WHERE rn = 1 ORDER BY user_id""",
     "union_by_name" ->
       """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,

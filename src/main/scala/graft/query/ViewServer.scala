@@ -46,6 +46,26 @@ class ViewServer(base: DataFrame, viewName: String = "units") {
     df.orderBy(if (asc) c.asc_nulls_last else c.desc_nulls_last)
   }
 
+  /** O4c — numeric-aware locale sort, approximating the dashboard's
+    * `localeCompare("es", {numeric: true})` (ref `index.html:222-234`):
+    * the text with digit runs removed collates under ICU; the first digit
+    * run compares numerically via (length, digits) — so "A2" < "A10"
+    * without a cast that could overflow on long digit runs. (Divergence
+    * from full natural sort: only the first digit run participates, and
+    * leading zeros order by digit count; both are beyond the dashboard's
+    * unit-label domain.)
+    */
+  def sortedByLocaleNumeric(df: DataFrame, key: String, locale: String = "es",
+                            asc: Boolean = true): DataFrame = {
+    val s = col(key).cast("string")
+    val textKey = collate(regexp_replace(s, "\\d+", ""), locale)
+    val digits = regexp_extract(s, "(\\d+)", 1)
+    val numKeys = Seq(length(digits), digits)
+    val ordered = (textKey +: numKeys).map(c =>
+      if (asc) c.asc_nulls_last else c.desc_nulls_last)
+    df.orderBy(ordered: _*)
+  }
+
   /** O5 — page of the current view under a deterministic ordering. */
   def page(df: DataFrame, order: Seq[Column], pageNo: Int, size: Int): DataFrame =
     Paginate(df, order, pageNo, size)

@@ -15,9 +15,15 @@ import org.apache.spark.sql.types._
 object EventWindows {
 
   /** Exact integral floor-division for epoch arithmetic: plain `/` is
-    * double division, which loses ulps at 1e18-scale nanoseconds. */
+    * double division, which loses ulps at 1e18-scale nanoseconds (an
+    * exact multiple of d whose long->double conversion rounds down would
+    * come out floor-1). SQL `div` is exact truncating long division; the
+    * correction turns truncation into floor for negative epochs. */
   def nsDiv(ns: Column, d: Long): Column = {
-    val q = (ns / d).cast("long")
+    val q = org.apache.spark.sql.graft.Shim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Shim.expression(ns),
+        org.apache.spark.sql.graft.Shim.expression(lit(d))))
     q - when(q * d > ns, lit(1L)).otherwise(lit(0L))
   }
 

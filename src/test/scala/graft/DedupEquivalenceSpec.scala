@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** The fused digest-level MinHash join must be ROW-IDENTICAL to the
+  * naive doc-level reference implementation (band self-join + distinct +
+  * per-pair array_intersect/array_union verification) across band/
+  * threshold configurations — same pairs, same jaccard values.
+  */
+class DedupEquivalenceSpec extends SparkTestBase {
+
+  /** The r01 doc-level shape, kept as the semantic reference. */
+  private def naiveNearDups(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, numHashes: Int,
+                            bands: Int): DataFrame = {
+    val cand = Dedup.minhashCandidates(df, idCol, textCol, numHashes, bands)
+    val sets = df.select(col(idCol), Dedup.wordSet(col(textCol)).as("__set"))
+    cand
+      .join(sets.toDF(s"${idCol}_a", "__set_a"), Seq(s"${idCol}_a"))
+      .join(sets.toDF(s"${idCol}_b", "__set_b"), Seq(s"${idCol}_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("__set_a"), col("__set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  test("fused minhashNearDups is row-identical to the naive form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq((0.9, 8), (0.8, 16), (0.5, 4)).foreach { case (t, bands) =>
+      val fused = Dedup.minhashNearDups(docs, "doc_id", "text", t, 64, bands)
+      val naive = naiveNearDups(docs, "doc_id", "text", t, 64, bands)
+      val onlyFused = fused.exceptAll(naive).count()
+      val onlyNaive = naive.exceptAll(fused).count()
+      assert(onlyFused === 0L && onlyNaive === 0L,
+        s"t=$t bands=$bands: fused-only=$onlyFused naive-only=$onlyNaive")
+    }
+  }
+}

@@ -11,14 +11,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsRegistrationSpec extends AnyFunSuite {
 
   test("extension-built session exposes locale_num and dot_product in SQL") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // Under the full suite a shared session already exists and getOrCreate
+    // would return it WITHOUT applying extensions. Clear the active/default
+    // session first (the shared SparkContext is reused — no second JVM
+    // context), and restore both afterwards so later suites see theirs.
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
       val r = spark.sql(
         """SELECT locale_num('1.234.567,89') AS v,
                   dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""")
@@ -26,7 +34,10 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(r.getDouble(0) === 1234567.89)
       assert(r.getDouble(1) === 11.0)
     } finally {
-      // keep the shared context alive for other suites; just drop the view state
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      if (prevActive.isEmpty) SparkSession.clearActiveSession()
+      if (prevDefault.isEmpty) SparkSession.clearDefaultSession()
     }
   }
 }

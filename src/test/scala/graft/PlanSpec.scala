@@ -61,4 +61,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"),
       "blocked jaccard join must stay an equi-join")
   }
+
+  test("MinHash pairs: fused verify join, no forced corpus broadcast") {
+    val p = plan("dedup_minhash_pairs")
+    // r01 scale-killer regression guard: the plan must contain no
+    // BroadcastExchange produced by an explicit broadcast() of the
+    // corpus-sized word-set table. (AQE may still броadcast genuinely
+    // small runtime sides: that is adaptive sizing, not a forced hint.)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // verification is fused into the band join: first-collision dedup
+    // replaces a pair-stream distinct(), and the Jaccard kernel is the
+    // codegen'd sorted-merge intersection
+    assert(p.contains("first_equal_index"),
+      s"pair dedup must be the in-join first-collision filter:\n$p")
+    assert(p.contains("sorted_jaccard"),
+      s"verification must use the fused sorted-merge Jaccard kernel:\n$p")
+  }
+
+  test("MinHash signature is the single-pass native expression") {
+    val p = plan("dedup_minhash_pairs")
+    assert(p.contains("minhash_signature"),
+      "signature must be the fused MinHashSignature expression, " +
+        "not 64 interpreted transform passes")
+  }
 }

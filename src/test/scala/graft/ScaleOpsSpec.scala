@@ -108,7 +108,10 @@ class SessionStateSpec extends SparkTestBase {
       .writeStream.outputMode("append")
       .format("memory").queryName("sessions_stream").start()
     try {
-      val mins: Long => Long = m => m * 60L * 1000000000L
+      // epoch base away from 1970: the watermark starts at 0 and events
+      // at ts <= watermark are dropped as late
+      val base = 1704067200L * 1000000000L // 2024-01-01
+      val mins: Long => Long = m => base + m * 60L * 1000000000L
       input.addData(Event(1L, mins(0), "view", 1.0),
         Event(1L, mins(5), "click", 2.0))
       q.processAllAvailable()
@@ -120,6 +123,63 @@ class SessionStateSpec extends SparkTestBase {
         .collect()
       assert(emitted.length === 1)
       assert(emitted(0).n === 2 && emitted(0).closed_by === "gap")
+    } finally q.stop()
+  }
+
+  test("streaming state is O(1): max_events successor <1s later, no re-emit") {
+    // regression: the old event-buffer state rebuilt its tail from the open
+    // session's start truncated to whole SECONDS, so a session closed by
+    // max_events whose successor started <1s later re-included (and
+    // re-emitted) the closed session's events in the next batch
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = SessionState.streamingSessions(spark, input.toDS(), gapNs, 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_maxev").start()
+    try {
+      val base = 1704067200L * 1000000000L // 2024-01-01 (see above re: 1970)
+      val ms: Long => Long = m => base + m * 1000000L // base + milliseconds
+      // 3 events cap the session; the 4th lands 100ms later (same second)
+      input.addData(Event(1L, ms(0), "a", 1.0), Event(1L, ms(100), "b", 1.0),
+        Event(1L, ms(200), "c", 1.0), Event(1L, ms(300), "d", 1.0))
+      q.processAllAvailable()
+      val first = spark.table("sessions_maxev").as[SessionState.SessionOut]
+        .collect()
+      assert(first.length === 1 && first(0).closed_by === "max_events"
+        && first(0).n === 3)
+      // next batch: event 500ms after the open session's start — must merge
+      // into the open session, not resurrect the closed one
+      input.addData(Event(1L, ms(800), "e", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_maxev").as[SessionState.SessionOut]
+        .collect()
+      assert(emitted.length === 1, "closed session must not re-emit")
+    } finally q.stop()
+  }
+
+  test("idle user's open session flushes via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = SessionState.streamingSessions(spark, input.toDS(), gapNs, 100)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_timeout").start()
+    try {
+      // realistic epoch base: the initial watermark is 0, so 1970-adjacent
+      // events would be dropped as late
+      val base = 1704067200L * 1000000000L // 2024-01-01
+      val mins: Long => Long = m => base + m * 60L * 1000000000L
+      input.addData(Event(1L, mins(0), "view", 1.0),
+        Event(1L, mins(5), "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_timeout").count() === 0) // still open
+      // a different user's event advances the watermark far past
+      // user 1's (end + gap) timeout -> user 1's open session flushes
+      input.addData(Event(2L, mins(240), "view", 9.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_timeout")
+        .as[SessionState.SessionOut].collect()
+      val u1 = emitted.filter(_.user_id == 1L)
+      assert(u1.length === 1 && u1(0).closed_by === "timeout" && u1(0).n === 2)
     } finally q.stop()
   }
 
