@@ -177,41 +177,44 @@ object Dedup {
   def minhashRepresentatives(df: DataFrame, idCol: String, textCol: String,
                              numHashes: Int = 64, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
+    // Digest collapse (as in [[minhashNearDups]]): identical word-sets
+    // share all buckets, so banding runs once per unique set; each
+    // digest carries the min id of its exact-duplicate group, buckets
+    // take their min over digests, and the result expands back to one
+    // row per document. Identical output to doc-level banding — the
+    // bucket min over doc ids equals the min over per-digest min ids.
+    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
+    val digMin = members.groupBy("__dig").agg(min(idCol).as("__dmin"))
     val bandRows = df
-      .withColumn("__sh", wordSet(col(textCol)))
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(wordSetKey(col(textCol)).as("__dig"),
+        wordSet(col(textCol)).as("__set"))
+      .dropDuplicates("__dig")
+      .withColumn("__sig", minhashSignature(col("__set"), numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), bands, rows))
-      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bucket")))
+      .select(col("__dig"), posexplode(col("__bands")).as(Seq("band", "bucket")))
+      .join(digMin, Seq("__dig"))
     // per-bucket min via a window, not a groupBy+join-back: signatures are
     // computed once and the data shuffles once (on the bucket key)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    bandRows.withColumn("__bucket_min", min(idCol).over(w))
-      .groupBy(idCol)
+    val digRep = bandRows.withColumn("__bucket_min", min("__dmin").over(w))
+      .groupBy("__dig")
       .agg(min("__bucket_min").as("rep_id"))
-      .withColumn("is_kept", col(idCol) === col("rep_id"))
+    members.join(digRep, Seq("__dig"))
+      .select(col(idCol), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("is_kept"))
   }
 
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash computed in one pass per row (no shuffle): per-word
-    * xxhash64, each bit votes +1/-1, final bit = sign of the vote sum.
-    * SQL lambdas keep the hash per word evaluated once.
+    * xxhash64, each bit votes +1/-1, final bit = sign of the vote sum —
+    * fused into the single codegen'd [[graft.functions.SimHash64]]
+    * expression (bit-identical to the SQL-lambda `aggregate`/`zip_with`
+    * form it replaces, without the per-word 64-slot array allocations).
     */
-  def withSimHash(df: DataFrame, textCol: String, out: String): DataFrame = {
-    val votes = expr(
-      s"""aggregate(
-            transform(split(trim($textCol), '\\\\s+'), w -> xxhash64(w)),
-            array_repeat(0L, 64),
-            (acc, h) -> zip_with(acc,
-              transform(sequence(0, 63), i -> IF(((h >> i) & 1) = 1, 1L, -1L)),
-              (a, b) -> a + b))""")
-    val bitsFromVotes = (0 until 64).map { i =>
-      when(element_at(col("__votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.withColumn("__votes", votes)
-      .withColumn(out, bitsFromVotes)
-      .drop("__votes")
-  }
+  def withSimHash(df: DataFrame, textCol: String, out: String): DataFrame =
+    df.withColumn(out,
+      graft.functions.SimHash64(split(trim(col(textCol)), "\\s+")))
 
   /** SimHash near-dup pairs: block on the high 16 bits (single shuffle),
     * then verify hamming distance <= maxHamming within each block.

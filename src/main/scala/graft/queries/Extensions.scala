@@ -68,6 +68,21 @@ object Extensions {
         .withColumn("sim", col("sim") + lit(0.0))
     }),
 
+    // IVF ANN: coarse k-means quantizer + inverted-list probe. With
+    // nprobe = nlist the probe covers every list, so the result is
+    // EXACTLY brute-force top-k — which is what the DuckDB oracle
+    // checks; production uses nprobe << nlist + partition pruning.
+    "sim_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val (assigned, cents) = Similarity.ivfIndex(
+        emb, "vec_id", "embedding", dim = 64, nlist = 8, iters = 1)
+      Similarity.ivfTopK(assigned, cents, "vec_id", "embedding",
+        q, "qvec", nprobe = 8, k = 20)
+        .withColumn("sim", col("sim") + lit(0.0))
+    }),
+
     // LSH-bucketed ANN: probe only the query's sign-bucket
     "sim_ann_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -264,6 +279,13 @@ object Extensions {
            round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0 AS sim
          FROM embeddings, q ORDER BY vec_id""",
     "sim_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0 AS sim
+         FROM embeddings, q
+         ORDER BY sim DESC, vec_id LIMIT 20""",
+    "sim_ann_ivf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                     WHERE vec_id = 0)
          SELECT vec_id,

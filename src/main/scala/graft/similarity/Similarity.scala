@@ -71,4 +71,79 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ---------------- IVF (inverted-file) ANN ----------------
+
+  /** Assign every vector its nearest centroid by cosine. Centroids are
+    * tiny (nlist rows) and broadcast; the argmax is a `max_by` hash
+    * aggregation with map-side partial combine — no window, no sort, one
+    * shuffle of (id, cell, vec). Ties break to the smaller cell id.
+    */
+  private def assign(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(toVec(col(vecCol)), col("__cvec")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("__cell"), struct(col("__csim"), -col("__cell"))).as("__cell"),
+        first(col(vecCol)).as(vecCol))
+
+  /** Build an IVF coarse-quantizer index: deterministic hash seeding
+    * (`cell = pmod(xxhash64(id), nlist)`), then `iters` Lloyd rounds —
+    * centroids via the [[VectorCentroid]] typed aggregator (map-side
+    * partial agg: the shuffle carries nlist x dim doubles regardless of
+    * corpus size), reassignment via [[assign]].
+    *
+    * Returns (corpus + `__cell`, centroids `(__cell, __cvec)`). At scale,
+    * write the assigned corpus partitioned by `__cell`: queries then
+    * partition-prune to `nprobe` inverted lists instead of scanning.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nlist: Int, iters: Int = 1): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def centroidsOf(assigned: DataFrame): DataFrame =
+      assigned.select(col("__cell"), toVec(col(vecCol)).as("__v"))
+        .as[(Int, Seq[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new VectorCentroid(dim).toColumn.name("__cvec"))
+        .toDF("__cell", "__cvec")
+
+    var assigned = corpus.select(col(idCol),
+      pmod(xxhash64(col(idCol)), lit(nlist)).cast("int").as("__cell"),
+      col(vecCol))
+    var cents = centroidsOf(assigned)
+    var i = 0
+    while (i < iters) {
+      assigned = assign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      cents = centroidsOf(assigned)
+      i += 1
+    }
+    (assigned, cents)
+  }
+
+  /** IVF ANN query: score the nlist centroids against the query (tiny,
+    * driver-side ordering), probe the top `nprobe` inverted lists, exact
+    * cosine + top-k within them. `nprobe = nlist` degenerates to exact
+    * brute force (the oracle identity the gate query checks);
+    * `nprobe << nlist` is the production trade of recall for scan
+    * fraction — with the corpus stored partitioned by `__cell`, the
+    * non-probed lists are never read.
+    */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, idCol: String,
+              vecCol: String, query: DataFrame, queryVecCol: String,
+              nprobe: Int, k: Int): DataFrame = {
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("__cell"),
+        cosine(col("__cvec"), toVec(col(queryVecCol))).as("__csim"))
+      .orderBy(col("__csim").desc, col("__cell"))
+      .limit(nprobe)
+      .select("__cell")
+    assigned.join(broadcast(probed), Seq("__cell"))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(cosine(toVec(col(vecCol)), toVec(col(queryVecCol))), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -26,6 +26,32 @@ class DedupEquivalenceSpec extends SparkTestBase {
         round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Doc-level banding + window-min, as shipped in r01. */
+  private def naiveRepresentatives(df: DataFrame, idCol: String, textCol: String,
+                                   numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandRows = df
+      .withColumn("__sh", Dedup.wordSet(col(textCol)))
+      .withColumn("__sig", Dedup.minhashSignature(col("__sh"), numHashes))
+      .withColumn("__bands", Dedup.bandHashes(col("__sig"), bands, rows))
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bucket")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    bandRows.withColumn("__bucket_min", min(idCol).over(w))
+      .groupBy(idCol)
+      .agg(min("__bucket_min").as("rep_id"))
+      .withColumn("is_kept", col(idCol) === col("rep_id"))
+  }
+
+  test("digest-collapsed representatives are row-identical to the naive form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(8, 16).foreach { bands =>
+      val fused = Dedup.minhashRepresentatives(docs, "doc_id", "text", 64, bands)
+      val naive = naiveRepresentatives(docs, "doc_id", "text", 64, bands)
+      assert(fused.exceptAll(naive).count() === 0L, s"bands=$bands fused-only")
+      assert(naive.exceptAll(fused).count() === 0L, s"bands=$bands naive-only")
+    }
+  }
+
   test("fused minhashNearDups is row-identical to the naive form") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     Seq((0.9, 8), (0.8, 16), (0.5, 4)).foreach { case (t, bands) =>
