@@ -101,4 +101,31 @@ object EventWindows {
       .select(epochSec(col("w.start")).as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
   }
+
+  /** Streaming twin of [[sliding]]: watermarked sliding windows over any
+    * streaming source (state per open window, dropped past the
+    * watermark). Column contract matches the batch form exactly, so the
+    * batch query is the oracle.
+    */
+  def streamingSliding(events: DataFrame, size: String, slide: String,
+                       watermark: String): DataFrame =
+    events.withColumn("__ts", nsToTs(col("ts")))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), size, slide).as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(epochSec(col("w.start")).as("window_start"), col("n"),
+        col("sum_value"))
+
+  /** Streaming twin of [[sessions]]: watermarked `session_window` — gaps
+    * merge incrementally in the state store; a session emits once the
+    * watermark passes its close. Column contract matches the batch form.
+    */
+  def streamingSessions(events: DataFrame, gap: String,
+                        watermark: String): DataFrame =
+    events.withColumn("__ts", nsToTs(col("ts")))
+      .withWatermark("__ts", watermark)
+      .groupBy(session_window(col("__ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), epochSec(col("w.start")).as("session_start"),
+        col("n"), col("sum_value"))
 }

@@ -33,6 +33,22 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         .head()
       assert(r.getDouble(0) === 1234567.89)
       assert(r.getDouble(1) === 11.0)
+      val r2 = spark.sql(
+        """SELECT size(minhash_signature(array('a','b'), 16)) AS sig_len,
+                  simhash64(array('hello','world')) AS sh,
+                  sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS j,
+                  first_equal_index(array(1L,2L), array(9L,2L)) AS fei""")
+        .head()
+      val expectedSh = graft.functions.SimHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq("hello", "world"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+        .eval(null).asInstanceOf[Long]
+      assert(r2.getInt(0) === 16)
+      assert(r2.getLong(1) === expectedSh)
+      assert(r2.getDouble(2) === 0.5)
+      assert(r2.getInt(3) === 1)
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)

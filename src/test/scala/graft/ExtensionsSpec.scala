@@ -140,6 +140,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sliding and session twins match their batch forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200L * 1000000000L // 2024-01-01
+    val rows = Seq( // (event_id, ts, user_id, event_type, value, props)
+      (0L, base, 1L, "a", 1.0, "{}"),
+      (1L, base + 600L * 1000000000L, 1L, "b", 2.0, "{}"),
+      (2L, base + 1200L * 1000000000L, 2L, "a", 3.0, "{}"),
+      (3L, base + 9000L * 1000000000L, 1L, "c", 4.0, "{}"))
+    val batchDf = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+
+    val slideIn = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val slideQ = EventWindows.streamingSliding(
+      slideIn.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props"), "1 hour", "30 minutes", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_sliding_twin").start()
+    try {
+      slideIn.addData(rows: _*)
+      slideQ.processAllAvailable()
+      val streamed = spark.table("stream_sliding_twin")
+        .collect().map(_.toSeq).toSet
+      val batch = EventWindows.sliding(batchDf, "1 hour", "30 minutes")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally slideQ.stop()
+
+    val sessIn = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val sessQ = EventWindows.streamingSessions(
+      sessIn.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props"), "30 minutes", "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_sessions_twin").start()
+    try {
+      sessIn.addData(rows: _*)
+      sessQ.processAllAvailable()
+      val streamed = spark.table("stream_sessions_twin")
+        .collect().map(_.toSeq).toSet
+      val batch = EventWindows.sessions(batchDf, "30 minutes")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally sessQ.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     // user 1: 3 events within 30min -> one session; then a 2h jump -> new one
