@@ -88,8 +88,8 @@ object PriceUpdate {
       case MaxFecha => DedupLatest(keyed, Seq("_key_proy", "_key_num"),
         Seq(tryTimestamp(col("fecha_actualizacion")).desc_nulls_last,
           col("_row").desc))
-      case Ultimo => DedupLatest(keyed, Seq("_key_proy", "_key_num"),
-        Seq(col("_row").desc))
+      case Ultimo => DedupLatest.lastByOrdinal(keyed,
+        Seq("_key_proy", "_key_num"), "_row")
     }).withColumn("_matched", lit(true)).drop("_row")
 
     // ---- LEFT join + update rules (right side broadcasts) ----

@@ -54,6 +54,18 @@ object KernelProps extends Properties("LshKernels") {
       }
     }
 
+  private val grammarRegex =
+    "[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r.pattern
+
+  property("hand-rolled grammar scan equals the regex it replaced") =
+    forAll(Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(12)),
+      Gen.listOfN(8, Gen.oneOf("1", "23", "+", "-", ".", "e", "E", ""))
+        .map(_.mkString))) { s =>
+      graft.functions.LocaleNum.validGrammar(s) ==
+        grammarRegex.matcher(s).matches()
+    }
+
   property("first equal index matches zip-indexWhere") =
     forAll(Gen.listOfN(16, Gen.chooseNum(0L, 3L)),
       Gen.listOfN(16, Gen.chooseNum(0L, 3L))) { (a, b) =>
