@@ -72,6 +72,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN: probe the query's sign-bucket AND every bucket at
+    * Hamming distance 1 (one plane flipped) — the standard multi-probe
+    * LSH recall recovery: near neighbors that fall just across one
+    * hyperplane are found without adding hash tables. Scan fraction
+    * grows from 1 to (1 + dims.size) buckets of 2^dims.size; with the
+    * corpus stored partitioned by bucket this stays partition-pruned.
+    */
+  def annTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
+                        query: DataFrame, queryVecCol: String, dims: Seq[Int],
+                        k: Int): DataFrame = {
+    val bucketed = corpus.withColumn("__bucket", lshBucket(toVec(col(vecCol)), dims))
+    val qb = lshBucket(toVec(col(queryVecCol)), dims)
+    // query bucket + each single-bit flip of it
+    val probes = array((qb +: dims.indices.map(i =>
+      qb.bitwiseXOR(lit(1 << i)))): _*)
+    val q = query.withColumn("__probes", probes)
+    bucketed.crossJoin(broadcast(q))
+      .filter(array_contains(col("__probes"), col("__bucket")))
+      .select(col(idCol),
+        round(cosine(toVec(col(vecCol)), toVec(col(queryVecCol))), 4).as("sim"),
+        col("__bucket").as("bucket"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Assign every vector its nearest centroid by cosine. Centroids are

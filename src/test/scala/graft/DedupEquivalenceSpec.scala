@@ -63,4 +63,28 @@ class DedupEquivalenceSpec extends SparkTestBase {
         s"t=$t bands=$bands: fused-only=$onlyFused naive-only=$onlyNaive")
     }
   }
+
+  test("fused == naive on randomized mini-corpora (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("lorem", "ipsum", "dolor", "sit", "amet", "alpha",
+      "beta", "gamma", "delta", "epsilon")
+    (0 until 3).foreach { trial =>
+      // duplicate-heavy: a few templates, each copied with small mutations
+      val templates = Vector.fill(5)(
+        Vector.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))))
+      val docs = (0 until 120).map { i =>
+        val t = templates(rnd.nextInt(templates.size))
+        val mutated =
+          if (rnd.nextBoolean()) t
+          else t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, mutated.mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = Seq(0.5, 0.7, 0.9)(trial)
+      val fused = Dedup.minhashNearDups(docs, "doc_id", "text", t, 32, 8)
+      val naive = naiveNearDups(docs, "doc_id", "text", t, 32, 8)
+      assert(fused.exceptAll(naive).count() === 0L, s"trial $trial fused-only")
+      assert(naive.exceptAll(fused).count() === 0L, s"trial $trial naive-only")
+    }
+  }
 }

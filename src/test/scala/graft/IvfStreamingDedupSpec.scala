@@ -40,6 +40,25 @@ class IvfStreamingDedupSpec extends SparkTestBase {
     assert(sims === sims.sorted.reverse)
   }
 
+  test("multi-probe LSH recall >= single-probe, both subsets of brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val dims = Seq(0, 7, 19, 33)
+    val k = 10
+    val brute = Similarity.topK(emb, "vec_id", "embedding", q, "qvec", k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("vec_id").collect().map(_.getLong(0))
+        .count(brute.contains).toDouble / k
+    val single = recall(
+      Similarity.annTopK(emb, "vec_id", "embedding", q, "qvec", dims, k))
+    val multi = recall(
+      Similarity.annTopKMultiProbe(emb, "vec_id", "embedding", q, "qvec", dims, k))
+    assert(multi >= single)
+    // the query vector itself is always in its own (probed) bucket
+    assert(multi > 0.0)
+  }
+
   test("streaming dedup suppresses within the horizon, evicts after it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
