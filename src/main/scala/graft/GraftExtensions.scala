@@ -33,29 +33,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - fused array<double> dot product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+      require(args.length == n, s"$name expects $n arguments, got ${args.length}")
     e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
-        "minhash_signature(tokens, k) - k-slot minhash of array<string> (k a literal)"),
+        "minhash_signature(tokens, k) - k-slot minhash of array<string> (k a literal int)"),
       (args: Seq[Expression]) => {
-        require(args.length == 2 && args(1).foldable,
-          "minhash_signature(tokens, k): k must be a literal integer")
-        MinHashSignature(args.head,
-          args(1).eval().asInstanceOf[Number].intValue())
+        arity("minhash_signature", 2, args)
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val k = args(1) match {
+          case e if e.foldable && Seq(ByteType, ShortType, IntegerType,
+            LongType).contains(e.dataType) && e.eval() != null =>
+            e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "minhash_signature(tokens, k): k must be a literal integer")
+        }
+        require(k > 0 && k <= 4096,
+          s"minhash_signature: k must be in [1, 4096], got $k")
+        MinHashSignature(args.head, k)
       }))
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit simhash of array<string>"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => {
+        arity("simhash64", 1, args); SimHash64(args.head)
+      }))
     e.injectFunction((
       FunctionIdentifier("sorted_jaccard"),
       info("sorted_jaccard",
         "sorted_jaccard(a, b) - jaccard of two sorted array<long> hash sets"),
-      (args: Seq[Expression]) => SortedJaccard(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity("sorted_jaccard", 2, args); SortedJaccard(args.head, args(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("first_equal_index"),
       info("first_equal_index",
         "first_equal_index(a, b) - first position where two array<long> agree, or -1"),
-      (args: Seq[Expression]) => FirstEqualIndex(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity("first_equal_index", 2, args); FirstEqualIndex(args.head, args(1))
+      }))
   }
 }

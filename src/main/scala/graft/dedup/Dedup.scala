@@ -100,7 +100,7 @@ object Dedup {
     *    ([[graft.functions.FirstEqualIndex]] — dedup inside the join
     *    stage, no corpus-scale `distinct` shuffle of the pair stream),
     *    and the true Jaccard evaluates right there via a sorted-merge
-    *    intersection ([[graft.functions.SortedIntersectSize]], zero
+    *    intersection ([[graft.functions.SortedJaccard]], zero
     *    allocation, `|A∪B| = |A|+|B|-|A∩B|`). One shuffle of the
     *    16x-replicated unique-set table replaces three shuffles of the
     *    (much larger) candidate-pair stream.

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Shim
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Index of the first position where two `array<long>` columns hold equal
   * values, or -1 (0-based). The LSH pair-dedup primitive: a candidate
@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * Precondition (internal operator use): null-free equal-length arrays.
   */
 case class FirstEqualIndex(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "first_equal_index"
 
@@ -81,7 +83,9 @@ object FirstEqualIndex {
   * deterministic, and equal to exact string verification w.h.p.).
   */
 case class SortedJaccard(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_jaccard"
 
@@ -100,7 +104,9 @@ case class SortedJaccard(left: Expression, right: Expression)
       else if (x < y) i += 1
       else j += 1
     }
-    n.toDouble / (na + nb - n)
+    // J(empty, empty) is undefined; return 0.0 rather than IEEE NaN
+    // (never-NaN discipline — see SURVEY.md §7.4)
+    if (na + nb == 0) 0.0 else n.toDouble / (na + nb - n)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -122,7 +128,8 @@ case class SortedJaccard(left: Expression, right: Expression)
           if ($x == $y) { $n++; $i++; $j++; }
           else if ($x < $y) { $i++; } else { $j++; }
         }
-        ${ev.value} = ((double) $n) / ($na + $nb - $n);
+        ${ev.value} = ($na + $nb == 0)
+          ? 0.0 : ((double) $n) / ($na + $nb - $n);
       """
     })
 

@@ -57,16 +57,35 @@ object PriceUpdate {
       .withColumn("_precio_num_antes", localeNum(col(ColPre)))
     val prefixed = TowerPrefix(canonical, cfg.towerProjects,
       "Proyecto", ColNum, "Tipologia")
-    // `_rowid` must be a stable total order over (file, row-in-file). A
-    // global `row_number()` window would move the entire unified table to
-    // ONE task; composing the two ordinals arithmetically is shuffle-free
-    // and preserves exactly the same (file_ord, file_row) ordering —
-    // 2^40 rows per file headroom before ordinals could collide.
-    val dfTotal = prefixed
+    // `_rowid` must reproduce the reference's DENSE concatenated index
+    // (pandas concat + reset_index: 0..n-1 across sheets in order, no
+    // gaps from skipped header/preamble lines) without a GLOBAL
+    // `row_number()` window, which would move the whole unified table to
+    // ONE task. Two distributed pieces instead:
+    //  1. rank within each sheet: a window PARTITIONED by `_file_ord` —
+    //     one task per sheet, the same per-file unit the tolerant reader
+    //     ingests by (never a single all-data reducer);
+    //  2. each sheet's starting offset: per-file counts aggregate to a
+    //     #sheets-row table, and a triangular self-join over THAT (tiny)
+    //     turns counts into running offsets, broadcast-joined back.
+    val perFile = org.apache.spark.sql.expressions.Window
+      .partitionBy("_file_ord").orderBy("_file_row")
+    val ranked = prefixed.withColumn("__rk",
+      row_number().over(perFile).cast("long") - 1L)
+    val fileCounts = prefixed.groupBy("_file_ord")
+      .agg(count(lit(1)).as("__cnt"))
+    val before = fileCounts.select(col("_file_ord").as("__ord2"),
+      col("__cnt").as("__cnt2"))
+    val fileOffsets = fileCounts
+      .join(before, col("__ord2") < col("_file_ord"), "left")
+      .groupBy("_file_ord")
+      .agg(coalesce(sum("__cnt2"), lit(0L)).as("__off"))
+    val dfTotal = ranked
+      .join(broadcast(fileOffsets), Seq("_file_ord"))
       .withColumn("_key_proy", normKey(col("Proyecto")))
       .withColumn("_key_num", normKey(col(ColNum)))
-      .withColumn("_rowid",
-        col("_file_ord").cast("long") * lit(1L << 40) + col("_file_row"))
+      .withColumn("_rowid", col("__off") + col("__rk"))
+      .drop("__off", "__rk")
 
     // ---- right side: ensure cols, keys, dedup to one row per key ----
     var sp = sperant

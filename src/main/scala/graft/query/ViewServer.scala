@@ -48,20 +48,20 @@ class ViewServer(base: DataFrame, viewName: String = "units") {
 
   /** O4c — numeric-aware locale sort, approximating the dashboard's
     * `localeCompare("es", {numeric: true})` (ref `index.html:222-234`):
-    * the text with digit runs removed collates under ICU; the first digit
-    * run compares numerically via (length, digits) — so "A2" < "A10"
-    * without a cast that could overflow on long digit runs. (Divergence
-    * from full natural sort: only the first digit run participates, and
-    * leading zeros order by digit count; both are beyond the dashboard's
-    * unit-label domain.)
+    * keys are (ICU-collated text before the first digit run, the first
+    * digit run compared numerically via (length, digits) — "A2" < "A10"
+    * with no cast that could overflow — then the ICU-collated remainder).
+    * Divergence from full natural sort: digit runs after the first
+    * compare lexically inside the remainder, and leading zeros order by
+    * digit count; both are beyond the dashboard's unit-label domain.
     */
   def sortedByLocaleNumeric(df: DataFrame, key: String, locale: String = "es",
                             asc: Boolean = true): DataFrame = {
     val s = col(key).cast("string")
-    val textKey = collate(regexp_replace(s, "\\d+", ""), locale)
-    val digits = regexp_extract(s, "(\\d+)", 1)
-    val numKeys = Seq(length(digits), digits)
-    val ordered = (textKey +: numKeys).map(c =>
+    val prefix = collate(regexp_extract(s, "^(\\D*)", 1), locale)
+    val digits = regexp_extract(s, "^\\D*(\\d+)", 1)
+    val rest = collate(regexp_replace(s, "^\\D*\\d*", ""), locale)
+    val ordered = Seq(prefix, length(digits), digits, rest).map(c =>
       if (asc) c.asc_nulls_last else c.desc_nulls_last)
     df.orderBy(ordered: _*)
   }

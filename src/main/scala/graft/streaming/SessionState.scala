@@ -102,7 +102,6 @@ object SessionState {
                         gapNs: Long, maxEvents: Int,
                         watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = gapNs / 1000000L
     events
       .withColumn("__ts", EventWindows.nsToTs(col("ts_ns")))
       .withWatermark("__ts", watermarkDelay)
@@ -124,10 +123,13 @@ object SessionState {
             open match {
               case Some(s) =>
                 state.update(s)
-                // must be strictly beyond the current watermark
+                // ceiling ns->ms so the timeout never fires BEFORE the
+                // true end+gap instant (truncation could flush up to 2ms
+                // early and split a session the batch form merges); must
+                // also be strictly beyond the current watermark
+                val fireAtMs = (s.end_ns + gapNs + 999999L) / 1000000L
                 state.setTimeoutTimestamp(math.max(
-                  s.end_ns / 1000000L + gapMs,
-                  state.getCurrentWatermarkMs + 1000L))
+                  fireAtMs, state.getCurrentWatermarkMs + 1000L))
               case None => state.remove()
             }
             closed.iterator

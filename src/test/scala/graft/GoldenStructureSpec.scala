@@ -68,12 +68,16 @@ class GoldenStructureSpec extends SparkTestBase {
   }
 
   test("O4c numeric-aware locale sort: A2 before A10 (localeCompare numeric)") {
-    val df = Seq("A10", "A2", "B1", "A101", "ñ1", "n2").toDF("unit")
+    val df = Seq("A10", "A2", "B1", "A101", "ñ1", "n2", "T10A", "T2B")
+      .toDF("unit")
     val vs = new graft.query.ViewServer(df, "natsort_test")
     try {
       val sorted = vs.sortedByLocaleNumeric(vs.view, "unit", "es")
         .collect().map(_.getString(0))
-      assert(sorted.toSeq === Seq("A2", "A10", "A101", "B1", "n2", "ñ1"))
+      // suffix text after the digit run must not outrank the number:
+      // T2B < T10A, exactly as localeCompare(..., {numeric: true})
+      assert(sorted.toSeq ===
+        Seq("A2", "A10", "A101", "B1", "n2", "ñ1", "T2B", "T10A"))
     } finally vs.close()
   }
 }

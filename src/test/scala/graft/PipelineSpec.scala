@@ -121,6 +121,20 @@ class PipelineSpec extends SparkTestBase {
     assert(f201.getAs[Double]("Precio de lista") === 500000.0) // kept existing
   }
 
+  test("E1: _rowid is the dense concatenated index across sheets (ref parity)") {
+    // pandas concat + reset_index gives 0..n-1 across sheets in order;
+    // the shuffle-free offset compose must reproduce exactly that, not
+    // sparse per-file encodings (regression: multi-sheet _rowid values)
+    val ids = result.updated.select("_rowid").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0L until ids.length).toSeq)
+    // and the order agrees with (sheet order, row-in-sheet order)
+    val byId = result.updated.orderBy("_rowid")
+      .select("Proyecto").collect().map(_.getString(0)).toSeq
+    assert(byId === Seq("Matera", "Matera", "Matera",
+      "Capadocia", "Capadocia", "Fenix", "Fenix"))
+  }
+
   test("E1: locale prices parse correctly through the pipeline") {
     val updated = result.updated.collect()
     val m103 = updated.find(_.getAs[String]("Numero de inmueble") == "C-9")

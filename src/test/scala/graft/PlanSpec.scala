@@ -66,7 +66,7 @@ class PlanSpec extends SparkTestBase {
     val p = plan("dedup_minhash_pairs")
     // r01 scale-killer regression guard: the plan must contain no
     // BroadcastExchange produced by an explicit broadcast() of the
-    // corpus-sized word-set table. (AQE may still броadcast genuinely
+    // corpus-sized word-set table. (AQE may still broadcast genuinely
     // small runtime sides: that is adaptive sizing, not a forced hint.)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     // verification is fused into the band join: first-collision dedup
