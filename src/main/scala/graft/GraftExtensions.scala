@@ -42,16 +42,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("minhash_signature", 2, args)
         import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        // bounds-check on the 64-bit value BEFORE narrowing: intValue()
+        // would truncate 2^32+16 to an in-range 16 and silently alias k
         val k = args(1) match {
           case e if e.foldable && Seq(ByteType, ShortType, IntegerType,
             LongType).contains(e.dataType) && e.eval() != null =>
-            e.eval().asInstanceOf[Number].intValue()
+            e.eval().asInstanceOf[Number].longValue()
           case _ => throw new IllegalArgumentException(
             "minhash_signature(tokens, k): k must be a literal integer")
         }
         require(k > 0 && k <= 4096,
           s"minhash_signature: k must be in [1, 4096], got $k")
-        MinHashSignature(args.head, k)
+        MinHashSignature(args.head, k.toInt)
       }))
     e.injectFunction((
       FunctionIdentifier("simhash64"),
@@ -62,9 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("sorted_jaccard"),
       info("sorted_jaccard",
-        "sorted_jaccard(a, b) - jaccard of two sorted array<long> hash sets"),
+        "sorted_jaccard(a, b) - jaccard of two sorted array<long> hash sets (null elements ignored)"),
       (args: Seq[Expression]) => {
-        arity("sorted_jaccard", 2, args); SortedJaccard(args.head, args(1))
+        arity("sorted_jaccard", 2, args)
+        // order-preserving null removal: the kernel rejects nullable
+        // elements (a NULL slot would merge as 0), and for the SQL
+        // surface "nulls are absent from the set" is the sane semantic
+        import org.apache.spark.sql.catalyst.expressions.ArrayCompact
+        SortedJaccard(ArrayCompact(args.head), ArrayCompact(args(1)))
       }))
     e.injectFunction((
       FunctionIdentifier("first_equal_index"),

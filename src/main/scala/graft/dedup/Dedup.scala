@@ -147,6 +147,9 @@ object Dedup {
           && graft.functions.FirstEqualIndex(col("__bands_a"), col("__bands_b"))
             === col("band")
           && jac >= threshold)
+      // jac re-evaluates here for SURVIVORS only (the fused expression
+      // cannot be shared across a join condition and a projection) —
+      // one extra merge per verified pair, not per candidate
       .select(col("__dig_a"), col("__dig_b"), jac.as("jaccard"))
 
     // expand verified digest pairs to document pairs (id_a < id_b)
@@ -183,11 +186,15 @@ object Dedup {
     // take their min over digests, and the result expands back to one
     // row per document. Identical output to doc-level banding — the
     // bucket min over doc ids equals the min over per-digest min ids.
-    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
+    // NULL text gets a sentinel digest (md5 hex is never empty, so ""
+    // cannot collide): equi-joins on __dig would otherwise drop
+    // null-text documents from the keep/drop decision entirely, where
+    // doc-level banding grouped them (identical all-null signatures).
+    val dig = coalesce(wordSetKey(col(textCol)), lit(""))
+    val members = df.select(col(idCol), dig.as("__dig"))
     val digMin = members.groupBy("__dig").agg(min(idCol).as("__dmin"))
     val bandRows = df
-      .select(wordSetKey(col(textCol)).as("__dig"),
-        wordSet(col(textCol)).as("__set"))
+      .select(dig.as("__dig"), wordSet(col(textCol)).as("__set"))
       .dropDuplicates("__dig")
       .withColumn("__sig", minhashSignature(col("__set"), numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), bands, rows))

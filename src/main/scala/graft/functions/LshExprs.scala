@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -23,6 +24,21 @@ case class FirstEqualIndex(left: Expression, right: Expression)
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "first_equal_index"
+
+  // `acceptsType` ignores nullability, so the input-type declaration alone
+  // cannot reject nullable-element arrays — and a NULL slot would read as
+  // 0 through getLong, silently corrupting the result. Hard analysis error
+  // instead (the SQL builder compacts where nulls-ignored semantics fit).
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (Seq(left, right).exists(
+      _.dataType.asInstanceOf[ArrayType].containsNull))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires arrays with non-null elements " +
+          "(apply array_compact first)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -71,9 +87,10 @@ object FirstEqualIndex {
   *    wrapper allocation, no byte-wise comparisons (the string-merge
   *    variant measured ~10x slower; `array_intersect`'s per-pair hash
   *    set build slower still);
-  *  - one expression, one eval: numerator and denominator share the
-  *    single merge walk (a composed `intersect/(na+nb-intersect)`
-  *    column evaluates the intersection twice inside a join condition);
+  *  - one expression, one eval per evaluation site: numerator and
+  *    denominator share the single merge walk (a composed
+  *    `intersect/(na+nb-intersect)` column evaluates the intersection
+  *    twice at EVERY site it appears in, e.g. inside a join condition);
   *  - whole-stage codegen via `nullSafeCodeGen`.
   *
   * Precondition (internal operator use): arrays sorted ascending with
@@ -88,6 +105,21 @@ case class SortedJaccard(left: Expression, right: Expression)
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_jaccard"
+
+  // `acceptsType` ignores nullability, so the input-type declaration alone
+  // cannot reject nullable-element arrays — and a NULL slot would read as
+  // 0 through getLong, silently corrupting the result. Hard analysis error
+  // instead (the SQL builder compacts where nulls-ignored semantics fit).
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (Seq(left, right).exists(
+      _.dataType.asInstanceOf[ArrayType].containsNull))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires arrays with non-null elements " +
+          "(apply array_compact first)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -21,6 +21,21 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got("t3") === None) // no quote at or before t=50
   }
 
+  test("payload fields all come from the SAME matched row, nulls included") {
+    // regression: per-column last(ignoreNulls) carry would backfill a null
+    // field of the latest right row from an OLDER row, mixing two rows —
+    // ASOF semantics return the single latest row including its nulls
+    val l = Seq((1L, 200L)).toDF("key", "t")
+    val r = Seq(
+      (1L, 50L, Some(9.0), Some(7.0)), // older row: both fields set
+      (1L, 100L, Some(1.0), None) // latest row: b is NULL and must stay NULL
+    ).toDF("key", "qt", "a", "b")
+    val got = AsOfJoin(l, r, Seq("key"), "t", "qt", Seq("a", "b")).head()
+    assert(got.getAs[Double]("a") === 1.0)
+    assert(got.isNullAt(got.fieldIndex("b")),
+      "null field of the matched row must not be backfilled from older rows")
+  }
+
   test("right-side ties resolve to the greatest tiebreak") {
     val l = Seq((1L, 100L)).toDF("key", "t")
     val r = Seq((1L, 100L, 1L, 10.0), (1L, 100L, 2L, 99.0))

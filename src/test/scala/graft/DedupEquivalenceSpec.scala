@@ -52,6 +52,19 @@ class DedupEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("representatives keep null-text documents (sentinel digest)") {
+    import spark.implicits._
+    // regression: equi-joins on a NULL digest silently dropped null-text
+    // docs from the keep/drop decision; doc-level banding grouped them
+    val docs = Seq((1L, Some("a b c")), (5L, None), (9L, None))
+      .toDF("doc_id", "text")
+    val fused = Dedup.minhashRepresentatives(docs, "doc_id", "text", 64, 8)
+    val naive = naiveRepresentatives(docs, "doc_id", "text", 64, 8)
+    assert(fused.count() === 3L, "every document must get a keep/drop row")
+    assert(fused.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(fused).count() === 0L)
+  }
+
   test("fused minhashNearDups is row-identical to the naive form") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     Seq((0.9, 8), (0.8, 16), (0.5, 4)).foreach { case (t, bands) =>

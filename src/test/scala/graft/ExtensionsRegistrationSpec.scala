@@ -49,6 +49,22 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(r2.getLong(1) === expectedSh)
       assert(r2.getDouble(2) === 0.5)
       assert(r2.getInt(3) === 1)
+      // hardening: sorted_jaccard ignores null elements (array_compact in
+      // the builder) instead of misreading them as zeros; first_equal_index
+      // rejects nullable-element arrays at analysis (positional semantics,
+      // compaction would shift indices); oversized k rejected un-truncated
+      val jNull = spark.sql(
+        "SELECT sorted_jaccard(array(CAST(NULL AS LONG)), array(0L)) AS j")
+        .head().getDouble(0)
+      assert(jNull === 0.0) // {} vs {0}
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          "SELECT first_equal_index(array(CAST(NULL AS LONG)), array(0L))")
+          .head()
+      }
+      intercept[IllegalArgumentException] {
+        spark.sql("SELECT minhash_signature(array('a'), 4294967312)").head()
+      }
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)
