@@ -72,4 +72,10 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       if (prevDefault.isEmpty) SparkSession.clearDefaultSession()
     }
   }
+
+  // Note: the `spark.sql.extensions` CONFIG-string route cannot be
+  // exercised under the shared test context — getOrCreate resolves that
+  // static conf from the SparkContext created by the first suite, not
+  // from the builder options. The withExtensions test above drives the
+  // same applyExtensions path the config route uses.
 }
