@@ -121,6 +121,29 @@ class PipelineSpec extends SparkTestBase {
     assert(f201.getAs[Double]("Precio de lista") === 500000.0) // kept existing
   }
 
+  test("E1: Ultimo dedup rule keeps the last-loaded sperant row (keep='last')") {
+    import spark.implicits._
+    // two sperant rows for capadocia/a101 where date order and load order
+    // DISAGREE: max_fecha keeps _row=1 (newer fecha: 111, vendido) while
+    // the Ultimo rule (ref `:141` keep="last") must keep _row=2
+    // (222, disponible) regardless of the newer fecha on the other row
+    val sp = Seq(
+      ("Capadocia", "A101", 111.0, "vendido", "2024-02-01 00:00:00", 1L),
+      ("Capadocia", "A101", 222.0, "disponible", "2024-01-01 00:00:00", 2L)
+    ).toDF("nombre_proyecto", "nombre", "precio_lista", "estado_comercial",
+      "fecha_actualizacion", "_row")
+    def a101(r: PriceUpdate.Result) =
+      r.updated.filter(col("Proyecto") === "Capadocia"
+        && col("Numero de inmueble") === "A101").head()
+    val ultimo = a101(PriceUpdate.run(sheets, sp,
+      PriceUpdate.Config(dedupRule = PriceUpdate.Ultimo)))
+    assert(ultimo.getAs[Double]("_precio_num_despues") === 222.0)
+    assert(ultimo.getAs[String]("Estado de inmueble") === "disponible")
+    val maxFecha = a101(PriceUpdate.run(sheets, sp))
+    assert(maxFecha.getAs[Double]("_precio_num_despues") === 111.0)
+    assert(maxFecha.getAs[String]("Estado de inmueble") === "vendido")
+  }
+
   test("E1: _rowid is the dense concatenated index across sheets (ref parity)") {
     // pandas concat + reset_index gives 0..n-1 across sheets in order;
     // the shuffle-free offset compose must reproduce exactly that, not
