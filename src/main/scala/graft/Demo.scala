@@ -80,6 +80,20 @@ object Demo {
     Writers.recordsJson(kpiInput.select($"Proyecto", $"Numero de inmueble",
       $"Precio de lista_num", $"Estado de inmueble"), s"$outDir/records")
 
+    // North-star drive — training-data curation over the documents table:
+    // exact dedup -> LSH keep -> lang/quality filter -> stats, written
+    // partitioned by language (the sharded-corpus layout)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val cur = graft.pipeline.Curation.run(docs, "doc_id", "text",
+      graft.pipeline.Curation.Config(languages = Seq("en", "es", "und"),
+        minQuality = 0.3))
+    cur.curated.select("doc_id", "lang", "quality", "n_tokens", "text")
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$outDir/curated_corpus")
+    println(s"[demo] curation stats (${docs.count()} docs in):")
+    cur.stats.show(truncate = false)
+
     println(s"[demo] resumen:")
     r.resumen.show(truncate = false)
     println(s"[demo] kpis: $json")
