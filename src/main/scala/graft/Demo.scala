@@ -81,18 +81,26 @@ object Demo {
       $"Precio de lista_num", $"Estado de inmueble"), s"$outDir/records")
 
     // North-star drive — training-data curation over the documents table:
-    // exact dedup -> LSH keep -> lang/quality filter -> stats, written
-    // partitioned by language (the sharded-corpus layout)
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "text")
-    val cur = graft.pipeline.Curation.run(docs, "doc_id", "text",
-      graft.pipeline.Curation.Config(languages = Seq("en", "es", "und"),
-        minQuality = 0.3))
-    cur.curated.select("doc_id", "lang", "quality", "n_tokens", "text")
-      .write.mode("overwrite").partitionBy("lang")
-      .parquet(s"$outDir/curated_corpus")
-    println(s"[demo] curation stats (${docs.count()} docs in):")
-    cur.stats.show(truncate = false)
+    // LSH-representative dedup -> lang/quality filter -> stats, written
+    // partitioned by language (the sharded-corpus layout). The corpus dir
+    // is the optional second argument; skipped cleanly when absent so the
+    // demo stays self-contained on machines without the testdata.
+    val docsPath = args.lift(1)
+      .getOrElse("/root/testdata/sf0.001") + "/documents.parquet"
+    if (new java.io.File(docsPath).exists()) {
+      val docs = spark.read.parquet(docsPath).select("doc_id", "text")
+      val cur = graft.pipeline.Curation.run(docs, "doc_id", "text",
+        graft.pipeline.Curation.Config(languages = Seq("en", "es", "und"),
+          minQuality = 0.3))
+      val curated = cur.curated.persist() // written AND aggregated below
+      try {
+        curated.select("doc_id", "lang", "quality", "n_tokens", "text")
+          .write.mode("overwrite").partitionBy("lang")
+          .parquet(s"$outDir/curated_corpus")
+        println(s"[demo] curation stats (${docs.count()} docs in):")
+        cur.stats.show(truncate = false)
+      } finally curated.unpersist()
+    } else println(s"[demo] no corpus at $docsPath — curation drive skipped")
 
     println(s"[demo] resumen:")
     r.resumen.show(truncate = false)

@@ -9,8 +9,9 @@ import graft.textanalysis.TextAnalysis
 /** End-to-end training-data curation: the composition a user of this
   * library runs over a raw document corpus —
   *
-  *   exact dedup -> near-dup dedup (LSH representatives) -> language
-  *   filter -> quality filter -> deterministic sample -> stats
+  *   dedup (LSH representatives; exact duplicates subsumed by the digest
+  *   collapse) -> language filter -> quality filter -> deterministic
+  *   sample -> stats
   *
   * Every stage is one of the engine's scale-shaped operators (digest
   * hash-agg, digest-collapsed banded LSH, single-pass column
@@ -33,18 +34,21 @@ object Curation {
   /** @param docs corpus with `idCol` and `textCol` columns */
   def run(docs: DataFrame, idCol: String, textCol: String,
           cfg: Config = Config()): Result = {
-    // 1. exact dedup: keep the first id of every identical word-set
-    val exactKept = Dedup.exactGroups(docs, idCol, textCol)
-      .select(col("first_id").as(idCol))
-    val afterExact = docs.join(exactKept, Seq(idCol), "left_semi")
-
-    // 2. near-dup dedup: LSH representatives (keep/drop without pairs)
-    val reps = Dedup.minhashRepresentatives(afterExact, idCol, textCol,
+    require(cfg.numHashes % cfg.minhashBands == 0,
+      s"numHashes (${cfg.numHashes}) must be divisible by minhashBands " +
+        s"(${cfg.minhashBands}) — otherwise trailing hashes are silently unused")
+    // 1. dedup: LSH representatives decide keep/drop without materializing
+    // pairs. EXACT dedup is subsumed: the representatives operator
+    // collapses identical word-sets to one digest carrying min(id), so
+    // only the first copy of any exact-duplicate group is ever kept — a
+    // separate exactGroups pre-pass would add a corpus-wide aggregation
+    // and change nothing.
+    val reps = Dedup.minhashRepresentatives(docs, idCol, textCol,
       cfg.numHashes, cfg.minhashBands)
-    val afterNear = afterExact.join(
+    val afterNear = docs.join(
       reps.filter(col("is_kept")).select(idCol), Seq(idCol), "left_semi")
 
-    // 3+4. language + quality filters: pure column expressions, one pass
+    // 2+3. language + quality filters: pure column expressions, one pass
     val scored = afterNear
       .withColumn("lang", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
@@ -53,13 +57,13 @@ object Curation {
       .filter(col("lang").isin(cfg.languages: _*)
         && col("quality") >= cfg.minQuality)
 
-    // 5. deterministic sample (hash threshold — stable across reruns
+    // 4. deterministic sample (hash threshold — stable across reruns
     // and partitionings; skipped entirely at fraction 1.0)
     val sampled =
       if (cfg.sampleFraction >= 1.0) filtered
       else HashSample(filtered, cfg.sampleFraction, Seq(idCol))
 
-    // 6. corpus stats per language: one hash aggregation
+    // 5. corpus stats per language: one hash aggregation
     val stats = sampled.groupBy("lang").agg(
       count(lit(1)).as("docs"),
       sum("n_tokens").as("tokens"),

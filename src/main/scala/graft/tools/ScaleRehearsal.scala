@@ -32,8 +32,11 @@ object ScaleRehearsal {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val n = base.count()
+    // offset derived from the actual id range: a fixed stride would
+    // silently collide replicas on corpora with large ids
+    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
     val corpus = (0 until k).map { i =>
-      base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
+      base.select((col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
         col("text"))
     }.reduce(_.unionAll(_))
 
