@@ -26,6 +26,26 @@ object SaltedJoin {
   }
 }
 
+/** The sampling hash key. Two interchangeable families:
+  *
+  *  - [[Xx64]] (default): one codegen'd 64-bit hash per row — the
+  *    production key.
+  *  - [[Md5]]: md5 over a `'|'`-joined string rendering of the seed
+  *    columns. ~4x the per-row cost, but every SQL engine computes the
+  *    identical lowercase-hex digest, so the exact sample is
+  *    re-derivable outside Spark (cross-engine audits, the DuckDB
+  *    correctness oracle). Lowercase-hex strings order the same
+  *    lexically as numerically, so thresholds/bottom-k compare the hex
+  *    directly — no 128-bit arithmetic.
+  *
+  * Seed columns should uniquely identify a row when the downstream use
+  * is order-sensitive (bottom-k): hash ties at the cut are broken
+  * arbitrarily, which is only deterministic if tied rows are identical.
+  */
+sealed trait SampleHash
+case object Xx64 extends SampleHash
+case object Md5 extends SampleHash
+
 /** Deterministic distributed sampling: bottom-k by a stable per-row hash.
   * Unlike `df.sample` (partition-dependent RNG), the same rows are chosen
   * regardless of partitioning or retries — the property a reproducible
@@ -33,11 +53,17 @@ object SaltedJoin {
   * partition keeps its local bottom-k, the driver merges (no full sort).
   */
 object BottomKSample {
-  def apply(df: DataFrame, k: Int, seedCols: Seq[String]): DataFrame =
-    df.withColumn("__h", xxhash64(seedCols.map(col): _*))
+  def apply(df: DataFrame, k: Int, seedCols: Seq[String],
+            hash: SampleHash = Xx64): DataFrame = {
+    val key = hash match {
+      case Xx64 => xxhash64(seedCols.map(col): _*)
+      case Md5  => md5(concat_ws("|", seedCols.map(col(_).cast("string")): _*))
+    }
+    df.withColumn("__h", key)
       .orderBy("__h")
       .limit(k)
       .drop("__h")
+  }
 }
 
 /** Proportional deterministic sampling via a hash threshold: keeps a
@@ -45,9 +71,21 @@ object BottomKSample {
   * corpus size and composes with pushdown).
   */
 object HashSample {
-  def apply(df: DataFrame, fraction: Double, seedCols: Seq[String]): DataFrame = {
+  def apply(df: DataFrame, fraction: Double, seedCols: Seq[String],
+            hash: SampleHash = Xx64): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    val bound = (fraction * (1L << 60).toDouble).toLong
-    df.filter(pmod(xxhash64(seedCols.map(col): _*), lit(1L << 60)) < bound)
+    hash match {
+      case Xx64 =>
+        val bound = (fraction * (1L << 60).toDouble).toLong
+        df.filter(pmod(xxhash64(seedCols.map(col): _*), lit(1L << 60)) < bound)
+      case Md5 =>
+        // keep iff the first 60 bits of the digest fall under the bound;
+        // compared as 15 lowercase-hex chars (lexical == numeric order)
+        val bound = (fraction * (1L << 60).toDouble).toLong
+        val hex15 = f"$bound%015x"
+        df.filter(substring(
+          md5(concat_ws("|", seedCols.map(col(_).cast("string")): _*)),
+          1, 15) < lit(hex15))
+    }
   }
 }

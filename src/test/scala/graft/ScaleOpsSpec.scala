@@ -50,6 +50,28 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(sampled.count() === k.toLong)
   }
 
+  test("md5-keyed samplers: deterministic, engine-portable key, no shuffle") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // unique key: ties at the bottom-k cut would otherwise be arbitrary
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    def bk(df: org.apache.spark.sql.DataFrame) =
+      BottomKSample(df, 100, keys, hash = graft.operators.Md5)
+        .select(keys.map(col): _*)
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(","))
+    assert(bk(li) === bk(li.repartition(13)))
+    val sampled = HashSample(li, 0.25, keys, hash = graft.operators.Md5)
+    val frac = sampled.count().toDouble / li.count().toDouble
+    assert(math.abs(frac - 0.25) < 0.03)
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"))
+    // pin the key rendering ('|'-joined decimal ints -> lowercase-hex md5):
+    // the DuckDB oracle recomputes this digest byte-for-byte
+    val hex = li.limit(0).sparkSession.sql(
+      "SELECT md5(concat_ws('|', '3', '1', '7', '2'))").head().getString(0)
+    assert(hex ===
+      java.security.MessageDigest.getInstance("MD5").digest(
+        "3|1|7|2".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("bucketed tables co-locate: join without a shuffle exchange") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val customer = spark.read.parquet(s"$sf/customer.parquet")
