@@ -98,7 +98,9 @@ object Demo {
           .write.mode("overwrite").partitionBy("lang")
           .parquet(s"$outDir/curated_corpus")
         println(s"[demo] curation stats (${docs.count()} docs in):")
-        cur.stats.show(truncate = false)
+        // stats from the PERSISTED frame: cur.stats was planned before
+        // persist() and would recompute the whole curation pipeline
+        graft.pipeline.Curation.statsOf(curated).show(truncate = false)
       } finally curated.unpersist()
     } else println(s"[demo] no corpus at $docsPath — curation drive skipped")
 

@@ -200,15 +200,82 @@ object Dedup {
       .withColumn("__bands", bandHashes(col("__sig"), bands, rows))
       .select(col("__dig"), posexplode(col("__bands")).as(Seq("band", "bucket")))
       .join(digMin, Seq("__dig"))
-    // per-bucket min via a window, not a groupBy+join-back: signatures are
-    // computed once and the data shuffles once (on the bucket key)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val digRep = bandRows.withColumn("__bucket_min", min("__dmin").over(w))
+    // Per-bucket min via a partial-aggregating groupBy + join-back, NOT
+    // a window: digest collapse bounds occupancy by unique templates,
+    // but a corpus of near-identical DISTINCT templates can still land
+    // thousands of digests in one (band, bucket). A window puts that
+    // whole partition on a single task and sorts it; the groupBy's
+    // map-side combine collapses the hot bucket to one partial row per
+    // map task, and the join-back is AQE-skew-splittable. Both sides
+    // hash-partition on (band, bucket), so the bandRows exchange is
+    // reused — the data still shuffles once.
+    val bucketMin = bandRows.groupBy("band", "bucket")
+      .agg(min("__dmin").as("__bucket_min"))
+    val digRep = bandRows.select("__dig", "band", "bucket")
+      .join(bucketMin, Seq("band", "bucket"))
       .groupBy("__dig")
       .agg(min("__bucket_min").as("rep_id"))
     members.join(digRep, Seq("__dig"))
       .select(col(idCol), col("rep_id"),
         (col(idCol) === col("rep_id")).as("is_kept"))
+  }
+
+  /** Transitive near-dup groups: every document's `component_id` is the
+    * MIN doc id reachable through the pair list (connected components of
+    * the near-dup graph). Closes the chain problem the one-pass
+    * representatives trade away: pairs a~b, b~c put a, b, c in ONE group
+    * even though a~c was never emitted.
+    *
+    * Min-label propagation with pointer doubling: each round a node
+    * takes the min of (its label, its neighbors' labels, its LABEL's
+    * label). The neighbor step alone needs O(diameter) rounds; the
+    * label-of-label shortcut halves remaining path lengths every round
+    * (the classic pointer-doubling/star-contraction idea), so
+    * convergence is O(log diameter) — a 100-round chain closes in ~7.
+    * Each round is a bounded number of hash-join shuffles of (node,
+    * label) + the edge list, and `localCheckpoint` truncates the plan
+    * lineage (an iterative DataFrame loop otherwise re-plans the entire
+    * history each round and the driver, not the cluster, becomes the
+    * bottleneck). The convergence check is one count per round — an
+    * O(iters) driver action sequence, inherent to fixpoint loops.
+    *
+    * @param pairs undirected near-dup pairs (one row per pair, any order)
+    * @param nodes the full node set — isolated documents keep their own
+    *              id as `component_id` (they form singleton groups)
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          nodes: DataFrame, idCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .unionAll(pairs.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .localCheckpoint() // reused every round: scan once, not per round
+    var labels = nodes.select(col(idCol).cast("long").as("u"),
+      col(idCol).cast("long").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      // min over neighbor labels (edge join), absent for isolated nodes
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
+        .groupBy("u").agg(min("vlbl").as("nbr"))
+      // label-of-label (every label IS a node id, so the lookup is total)
+      val withNbr = labels
+        .join(nbrMin, Seq("u"), "left")
+        .join(labels.select(col("u").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+      val next = withNbr.select(col("u"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl")),
+            coalesce(col("lbl2"), col("lbl"))).as("nlbl"))
+        .localCheckpoint()
+      changed = next.filter(col("nlbl") < col("lbl")).count()
+      labels = next.select(col("u"), col("nlbl").as("lbl"))
+      i += 1
+    }
+    require(changed == 0L,
+      s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("u").as(idCol), col("lbl").as("component_id"))
   }
 
   // ---------------- SimHash ----------------

@@ -74,6 +74,24 @@ object GraftFunctions {
       (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1000000007L))
     )
 
+  /** F17 — display currency format (ref `index.html:104-106`:
+    * `Intl.NumberFormat("es-PE", {currency: "PEN", maximumFractionDigits:
+    * 0})`): `"S/ 1,234,567"` — es-PE groups thousands with commas — and
+    * null/NaN renders the dashboard's `"–"` placeholder. Divergence from
+    * the browser: Intl separates "S/" from the digits with a no-break
+    * space (U+00A0); this emits a plain space for terminal/CSV
+    * friendliness. `format_number` alone rounds half-EVEN (1200.5 ->
+    * "1,200"), Intl's default `halfExpand` rounds half-up — so the value
+    * is pre-rounded with `round()` (half-up) and format_number only
+    * groups digits. Presentation-layer only — never feed the output back
+    * into math.
+    */
+  def formatCurrency(c: Column): Column = {
+    val d = c.cast("double")
+    when(d.isNull || isnan(d), lit("–"))
+      .otherwise(concat(lit("S/ "), format_number(round(d, 0), 0)))
+  }
+
   /** Register SQL-callable names for the custom expressions on a session.
     * Idempotent; lets `spark.sql("... locale_num(col) ...")` work. */
   def register(spark: SparkSession): Unit = {

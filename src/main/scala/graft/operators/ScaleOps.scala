@@ -46,6 +46,14 @@ sealed trait SampleHash
 case object Xx64 extends SampleHash
 case object Md5 extends SampleHash
 
+object SampleHash {
+  /** The per-row sort/threshold key for the chosen family. */
+  def keyFor(seedCols: Seq[String], hash: SampleHash): Column = hash match {
+    case Xx64 => xxhash64(seedCols.map(col): _*)
+    case Md5  => md5(concat_ws("|", seedCols.map(col(_).cast("string")): _*))
+  }
+}
+
 /** Deterministic distributed sampling: bottom-k by a stable per-row hash.
   * Unlike `df.sample` (partition-dependent RNG), the same rows are chosen
   * regardless of partitioning or retries — the property a reproducible
@@ -54,15 +62,32 @@ case object Md5 extends SampleHash
   */
 object BottomKSample {
   def apply(df: DataFrame, k: Int, seedCols: Seq[String],
-            hash: SampleHash = Xx64): DataFrame = {
-    val key = hash match {
-      case Xx64 => xxhash64(seedCols.map(col): _*)
-      case Md5  => md5(concat_ws("|", seedCols.map(col(_).cast("string")): _*))
-    }
-    df.withColumn("__h", key)
+            hash: SampleHash = Xx64): DataFrame =
+    df.withColumn("__h", SampleHash.keyFor(seedCols, hash))
       .orderBy("__h")
       .limit(k)
       .drop("__h")
+}
+
+/** Deterministic STRATIFIED sampling: the bottom-k rows per stratum by
+  * the stable hash key — fixed per-language/per-source quotas for a
+  * training-data mix, reproducible across reruns and repartitioning.
+  * One shuffle on the strata key; within a stratum the window keeps a
+  * running top-k sort, and retained output is bounded at k rows per
+  * stratum regardless of stratum skew. (A pathologically hot single
+  * stratum still sorts on one task — for that regime pre-aggregate with
+  * [[HashSample]] to ~k·c rows per stratum first, then cut exactly.)
+  */
+object StratifiedSample {
+  def apply(df: DataFrame, k: Int, strataCols: Seq[String],
+            seedCols: Seq[String], hash: SampleHash = Xx64): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*).orderBy(col("__h"))
+    df.withColumn("__h", SampleHash.keyFor(seedCols, hash))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__h", "__rn")
   }
 }
 
@@ -74,18 +99,15 @@ object HashSample {
   def apply(df: DataFrame, fraction: Double, seedCols: Seq[String],
             hash: SampleHash = Xx64): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val bound = (fraction * (1L << 60).toDouble).toLong
     hash match {
       case Xx64 =>
-        val bound = (fraction * (1L << 60).toDouble).toLong
-        df.filter(pmod(xxhash64(seedCols.map(col): _*), lit(1L << 60)) < bound)
+        df.filter(pmod(SampleHash.keyFor(seedCols, Xx64), lit(1L << 60)) < bound)
       case Md5 =>
         // keep iff the first 60 bits of the digest fall under the bound;
         // compared as 15 lowercase-hex chars (lexical == numeric order)
-        val bound = (fraction * (1L << 60).toDouble).toLong
         val hex15 = f"$bound%015x"
-        df.filter(substring(
-          md5(concat_ws("|", seedCols.map(col(_).cast("string")): _*)),
-          1, 15) < lit(hex15))
+        df.filter(substring(SampleHash.keyFor(seedCols, Md5), 1, 15) < lit(hex15))
     }
   }
 }

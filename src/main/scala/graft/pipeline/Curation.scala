@@ -31,12 +31,30 @@ object Curation {
 
   case class Result(curated: DataFrame, stats: DataFrame)
 
+  /** The columns `run` adds to the corpus. Inputs must not already carry
+    * them: `withColumn` would silently overwrite user data. */
+  val derivedColumns: Seq[String] = Seq("lang", "quality", "n_tokens")
+
+  /** Per-language corpus stats over a curated frame. Public so callers
+    * that persist the curated output can derive stats FROM the persisted
+    * frame (reusing the cache) instead of from the pre-persist plan. */
+  def statsOf(curated: DataFrame): DataFrame =
+    curated.groupBy("lang").agg(
+      count(lit(1)).as("docs"),
+      sum("n_tokens").as("tokens"),
+      round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("lang")
+
   /** @param docs corpus with `idCol` and `textCol` columns */
   def run(docs: DataFrame, idCol: String, textCol: String,
           cfg: Config = Config()): Result = {
     require(cfg.numHashes % cfg.minhashBands == 0,
       s"numHashes (${cfg.numHashes}) must be divisible by minhashBands " +
         s"(${cfg.minhashBands}) — otherwise trailing hashes are silently unused")
+    val clash = derivedColumns.filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"input corpus already has column(s) ${clash.mkString(", ")}, which " +
+        "Curation derives — rename or drop them before curating")
     // 1. dedup: LSH representatives decide keep/drop without materializing
     // pairs. EXACT dedup is subsumed: the representatives operator
     // collapses identical word-sets to one digest carrying min(id), so
@@ -64,12 +82,6 @@ object Curation {
       else HashSample(filtered, cfg.sampleFraction, Seq(idCol))
 
     // 5. corpus stats per language: one hash aggregation
-    val stats = sampled.groupBy("lang").agg(
-      count(lit(1)).as("docs"),
-      sum("n_tokens").as("tokens"),
-      round(avg("quality"), 4).as("avg_quality"))
-      .orderBy("lang")
-
-    Result(sampled, stats)
+    Result(sampled, statsOf(sampled))
   }
 }

@@ -66,17 +66,32 @@ object Kpi {
   /** Assemble the nested KPI document (driver-side; all inputs are tiny
     * grouped results). Deterministic ordering throughout.
     */
+  /** KPI documents assume FEW groups (the reference has 8 projects, ~5
+    * estados): the grouped results are collected to the driver to build
+    * one nested JSON doc. The cap turns a pathological group cardinality
+    * (e.g. a per-unit `Proyecto` value) into an immediate error instead
+    * of a driver OOM. Raise it only if the document is genuinely meant
+    * to carry that many nodes. */
+  val MaxJsonGroups = 10000
+
   def toJson(df: DataFrame, priceNum: String, estadoCol: String,
-             generatedAt: String): String = {
+             generatedAt: String, maxGroups: Int = MaxJsonGroups): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // python-json repr parity: integral doubles print one decimal (558372.0)
     def jnum(d: Double) = if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    def collectCapped(grouped: DataFrame, what: String) = {
+      val rows = grouped.limit(maxGroups + 1).collect()
+      require(rows.length <= maxGroups,
+        s"toJson: more than $maxGroups $what groups — a KPI document " +
+          "this large would OOM the driver; aggregate coarser first")
+      rows
+    }
 
     val c = cards(df, priceNum).head()
-    val byP = byProyecto(df, priceNum).collect()
-    val byE = byEstado(df, estadoCol).collect()
-    val byPE = byEstado(df, estadoCol, perProject = true).collect()
-      .groupBy(_.getString(0))
+    val byP = collectCapped(byProyecto(df, priceNum), "Proyecto")
+    val byE = collectCapped(byEstado(df, estadoCol), "estado")
+    val byPE = collectCapped(byEstado(df, estadoCol, perProject = true),
+      "Proyecto x estado").groupBy(_.getString(0))
 
     val cardsJson =
       s"""{"unidades_totales": ${c.getLong(0)}, "precio_promedio": ${jnum(c.getDouble(1))}, "precio_median": ${jnum(c.getDouble(2))}}"""

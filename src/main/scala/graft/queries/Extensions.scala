@@ -197,6 +197,29 @@ object Extensions {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
+    // deterministic stratified sample: fixed quota per order status
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.StratifiedSample(tbl(s, dir, "orders"), 50,
+        Seq("o_orderstatus"), Seq("o_orderkey"), hash = graft.operators.Md5)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "o_orderkey")),
+
+    // transitive near-dup groups: connected components over the exact
+    // windowed-Jaccard pair list (DuckDB replays it as a recursive CTE)
+    "dedup_components" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsWindowed(docs, "doc_id", "text",
+        window = 25, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b", docs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // corpus n-gram frequency: top-50 bigrams (contamination/boilerplate
+    // statistics for a training corpus)
+    "text_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(tbl(s, dir, "documents"), "text", 2, 50)
+        .orderBy(col("cnt").desc, col("ngram"))),
+
     // range join: events whose value falls in each part's interval,
     // blocked into a hash equi-join (no nested-loop plan)
     "range_join_agg" -> ((s, dir) => {
@@ -287,6 +310,43 @@ object Extensions {
              || '|' || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR),
            1, 15) < '400000000000000'
          ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "sample_stratified" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY md5(o_orderkey::VARCHAR)) AS rn
+           FROM orders)
+         WHERE rn <= 50
+         ORDER BY o_orderstatus, o_orderkey""",
+    "dedup_components" ->
+      """WITH RECURSIVE sets AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sets a JOIN sets b
+             ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(a.s || b.s)) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+         SELECT u AS doc_id, min(r) AS component_id
+         FROM reach GROUP BY u ORDER BY doc_id""",
+    "text_top_ngrams" ->
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         grams AS (
+           SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1])) AS ngram
+           FROM toks)
+         SELECT ngram, count(*) AS cnt FROM grams
+         GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""",
     "scalar_json_extract" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k

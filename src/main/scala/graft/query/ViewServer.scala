@@ -91,6 +91,14 @@ class ViewServer(base: DataFrame, viewName: String = "units") {
                     percent: Boolean = false): DataFrame =
     PivotCounts(df, "Proyecto", "Estado de inmueble", estados, percent)
 
+  /** F17 — the dashboard's money rendering for display/CSV surfaces:
+    * adds a `<col>_fmt` shadow ("S/ 1,234,567", null/NaN -> "–") per
+    * requested numeric column, leaving the numeric originals intact for
+    * sorting and math (ref `index.html:104-106`). */
+  def withMoneyFormatted(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"${c}_fmt", graft.functions.GraftFunctions.formatCurrency(col(c))))
+
   /** A12 — price-vs-area scatter projection over positive pairs. */
   def scatter(df: DataFrame, priceNum: String, areaNum: String): DataFrame =
     df.filter(col(priceNum) > 0 && col(areaNum) > 0)

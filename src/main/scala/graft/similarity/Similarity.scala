@@ -16,6 +16,18 @@ object Similarity {
 
   def toVec(c: Column): Column = c.cast("array<double>")
 
+  /** Every search function takes a SINGLE-vector query: with a multi-row
+    * query frame the global orderBy/limit would mix probe lists and
+    * rankings across queries and return a wrong per-query top-k.
+    * Enforced (the frame is tiny, so the count is cheap) rather than
+    * silently mis-answered; batch queries should loop or union results.
+    */
+  private def requireSingleQueryRow(query: DataFrame, fn: String): Unit = {
+    val n = query.limit(2).count()
+    require(n == 1, s"$fn expects exactly one query row, got " +
+      (if (n > 1) "more than one" else "zero"))
+  }
+
   /** Fused-loop native dot product (codegen) — see [[graft.functions.DotProduct]].
     * Identical result to the sequential fold, without the intermediate
     * array or interpreted lambdas. */
@@ -33,10 +45,12 @@ object Similarity {
   /** Cosine of every row's vector against a single query vector (the query
     * side is a 1-row DataFrame, broadcast — no shuffle of the corpus). */
   def cosineToQuery(corpus: DataFrame, idCol: String, vecCol: String,
-                    query: DataFrame, queryVecCol: String): DataFrame =
+                    query: DataFrame, queryVecCol: String): DataFrame = {
+    requireSingleQueryRow(query, "cosineToQuery")
     corpus.crossJoin(broadcast(query))
       .select(col(idCol),
         cosine(toVec(col(vecCol)), toVec(col(queryVecCol))).as("sim"))
+  }
 
   /** Brute-force top-k by cosine (ties broken by id — deterministic). */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
@@ -61,6 +75,7 @@ object Similarity {
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String, dims: Seq[Int],
               k: Int): DataFrame = {
+    requireSingleQueryRow(query, "annTopK")
     val bucketed = corpus.withColumn("__bucket", lshBucket(toVec(col(vecCol)), dims))
     val q = query.withColumn("__qbucket", lshBucket(toVec(col(queryVecCol)), dims))
     bucketed.crossJoin(broadcast(q))
@@ -82,6 +97,7 @@ object Similarity {
   def annTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
                         query: DataFrame, queryVecCol: String, dims: Seq[Int],
                         k: Int): DataFrame = {
+    requireSingleQueryRow(query, "annTopKMultiProbe")
     val bucketed = corpus.withColumn("__bucket", lshBucket(toVec(col(vecCol)), dims))
     val qb = lshBucket(toVec(col(queryVecCol)), dims)
     // query bucket + each single-bit flip of it
@@ -171,6 +187,7 @@ object Similarity {
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, idCol: String,
               vecCol: String, query: DataFrame, queryVecCol: String,
               nprobe: Int, k: Int): DataFrame = {
+    requireSingleQueryRow(query, "ivfTopK")
     val probed = centroids.crossJoin(broadcast(query))
       .select(col("__cell"),
         cosine(col("__cvec"), toVec(col(queryVecCol))).as("__csim"))

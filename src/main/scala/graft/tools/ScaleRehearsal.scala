@@ -32,9 +32,12 @@ object ScaleRehearsal {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val n = base.count()
-    // offset derived from the actual id range: a fixed stride would
-    // silently collide replicas on corpora with large ids
-    val stride = base.agg(max("doc_id")).head().getLong(0) + 1L
+    // offset derived from the actual id SPAN (max-min+1): a fixed stride
+    // would silently collide replicas on corpora with large (or
+    // negative-min) ids, and max of an empty corpus is null
+    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+    require(!bounds.isNullAt(1), s"empty corpus at $dir/documents.parquet")
+    val stride = bounds.getLong(1) - bounds.getLong(0) + 1L
     val corpus = (0 until k).map { i =>
       base.select((col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
         col("text"))
@@ -55,6 +58,24 @@ object ScaleRehearsal {
     }
     time("minhash pairs (gate: t=.9, b=8)") {
       Dedup.minhashNearDups(corpus, "doc_id", "text", 0.9, 64, 8).count()
+    }
+
+    // Hot-bucket rehearsal: the same row count, but every doc is a
+    // DISTINCT single-word mutation of one 30-word template — digest
+    // collapse cannot collapse them, and the shared template words
+    // concentrate the (band, bucket) key space. The representatives
+    // path must stay in the same time band as the replicated corpus
+    // above: its per-bucket min is a partial-aggregating groupBy (hot
+    // buckets collapse map-side) + an AQE-skew-splittable join-back,
+    // where a window form would sort each hot bucket on a single task.
+    val tmpl = array((0 until 30).map(i => lit(s"w$i")): _*)
+    val skew = spark.range(n * k).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(29)),
+        i => when(i === pmod(col("doc_id"), lit(30)),
+          concat(lit("m"), col("doc_id"))).otherwise(get(tmpl, i))),
+        " ").as("text"))
+    time("minhash keep (hot-bucket skew)") {
+      Dedup.minhashRepresentatives(skew, "doc_id", "text", 64, 8).count()
     }
     spark.stop()
   }

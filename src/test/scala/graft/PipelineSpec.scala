@@ -223,4 +223,18 @@ class PipelineSpec extends SparkTestBase {
     assert(json.contains("\"__NA__\": 1"))
     assert(json.contains("\"P1\": {\"unidades\": 2"))
   }
+
+  test("E2: KPI document refuses pathological group cardinality") {
+    import spark.implicits._
+    // per-unit Proyecto values: collecting these would scale the driver
+    // doc with the corpus — the cap must fail fast instead
+    val wide = (1 to 20).map(i => (s"P$i", "100,00", "Disponible"))
+      .toDF("Proyecto", "Precio de lista", "Estado de inmueble")
+    val shadowed = Kpi.withNumShadows(wide, Seq("Precio de lista"))
+    val e = intercept[IllegalArgumentException] {
+      Kpi.toJson(shadowed, "Precio de lista_num", "Estado de inmueble",
+        "2026-08-12T00:00:00", maxGroups = 10)
+    }
+    assert(e.getMessage.contains("Proyecto"))
+  }
 }

@@ -96,6 +96,34 @@ class PlanSpec extends SparkTestBase {
     assert(row.getInt(1) >= 0 && row.getInt(1) < 8)
   }
 
+  test("ANN probe over a bucket-partitioned store is partition-pruned") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB story: embeddings are WRITTEN partitioned by their LSH
+    // bucket, so a probe reads only the probed buckets' directories —
+    // prove the scan carries a PartitionFilter, not a post-scan filter
+    val dims = Seq(0, 1, 2, 3)
+    val out = java.nio.file.Files.createTempDirectory("ann-store").toString
+    graft.queries.tbl(spark, sf, "embeddings")
+      .withColumn("bucket",
+        graft.similarity.Similarity.lshBucket(
+          graft.similarity.Similarity.toVec(col("embedding")), dims))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    val store = spark.read.parquet(out)
+    val probe = store.filter(col("bucket") === 5)
+    probe.collect()
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(bucket") ||
+      p.contains("PartitionFilters: [(bucket"),
+      s"bucket probe must prune partitions at the scan:\n$p")
+    // and the non-probed inverted lists are never READ: the executed
+    // scan's file count is 1 of 16 (inputFiles would list all files —
+    // it reflects the relation before pruning)
+    val scanExec = probe.queryExecution.executedPlan.collectLeaves().head
+    assert(scanExec.metrics("numFiles").value === 1L,
+      s"probe must read exactly the probed bucket's file, metrics: " +
+        scanExec.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
+  }
+
   test("MinHash signature is the single-pass native expression") {
     val p = plan("dedup_minhash_pairs")
     assert(p.contains("minhash_signature"),

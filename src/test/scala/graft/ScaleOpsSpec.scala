@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.operators.{BottomKSample, HashSample, SaltedJoin}
+import graft.operators.{BottomKSample, HashSample, SaltedJoin, StratifiedSample}
 import graft.streaming.SessionState
 import graft.streaming.SessionState.Event
 
@@ -70,6 +70,25 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(hex ===
       java.security.MessageDigest.getInstance("MD5").digest(
         "3|1|7|2".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("stratified sample: exact per-stratum quota, partitioning-independent") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val k = 10
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StratifiedSample(df, k, Seq("o_orderstatus"), Seq("o_orderkey"),
+        hash = graft.operators.Md5)
+    val s1 = run(orders)
+    // quota: min(k, stratum size) rows per stratum, never more
+    val quotas = s1.groupBy("o_orderstatus").count().collect()
+    assert(quotas.nonEmpty && quotas.forall(_.getLong(1) <= k.toLong))
+    // deterministic under repartitioning: same rows chosen
+    val a = s1.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val b = run(orders.repartition(13)).select("o_orderkey").collect()
+      .map(_.getLong(0)).sorted
+    assert(a === b)
+    // subset of the input, and the sample is a real cut (not everything)
+    assert(s1.count() < orders.count())
   }
 
   test("bucketed tables co-locate: join without a shuffle exchange") {

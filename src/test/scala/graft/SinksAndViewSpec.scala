@@ -95,4 +95,26 @@ class SinksAndViewSpec extends SparkTestBase {
         .count() === 2)
     } finally vs.close()
   }
+
+  test("F17 currency format matches the dashboard's money() rendering") {
+    import graft.functions.GraftFunctions.formatCurrency
+    // the dashboard's card values (golden kpis.json): Intl es-PE, PEN,
+    // maximumFractionDigits 0 -> "S/ 447,489" / "S/ 558,372"; null -> "–"
+    val got = Seq[java.lang.Double](447488.57, 558372.0, 1050.25, null).toDF("v")
+      .select(formatCurrency($"v").as("fmt")).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("S/ 447,489", "S/ 558,372", "S/ 1,050", "–"))
+    // NaN renders the placeholder too (the dashboard's isNaN guard)
+    val nan = Seq(Double.NaN).toDF("v")
+      .select(formatCurrency($"v")).head().getString(0)
+    assert(nan === "–")
+    // ViewServer display path: numeric originals stay, _fmt shadows added
+    val vs = new ViewServer(units, "units_money")
+    try {
+      val shown = vs.withMoneyFormatted(vs.view, Seq("Precio de lista_num"))
+      val m = shown.filter($"`Numero de inmueble`" === "101")
+        .select($"`Precio de lista_num_fmt`").head().getString(0)
+      assert(m === "S/ 1,201") // 1200.50 rounds half-up, like Intl halfExpand
+      assert(shown.columns.contains("Precio de lista_num"))
+    } finally vs.close()
+  }
 }
