@@ -63,11 +63,15 @@ object GraftFunctions {
     * null==null counting as no change (ref `:435-436`). */
   def nullSafeNeq(a: Column, b: Column): Column = !(a <=> b)
 
-  /** Document fingerprint: polynomial rolling hash over characters,
-    * mod 1e9+7 (fits in a long at every step: acc < 1e9+7, *31 + 127 < 2^63).
-    * Single-pass per row via higher-order `aggregate` — no shuffle.
-    */
-  def rollingFingerprint(c: Column): Column =
+  /** Document fingerprint: polynomial rolling hash over code points,
+    * mod 1e9+7 — the codegen'd [[RollingFingerprint]] expression (one
+    * fused byte walk per row, no shuffle). */
+  def rollingFingerprint(c: Column): Column = RollingFingerprint(c)
+
+  /** The composable SQL-lambda form the codegen expression replaced —
+    * kept as the reference semantics `FingerprintSpec` pins the native
+    * kernel against (same contract as `Similarity.dotHof`). */
+  def rollingFingerprintHof(c: Column): Column =
     aggregate(
       split(c, ""),
       lit(0L),

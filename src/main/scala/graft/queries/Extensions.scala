@@ -14,6 +14,22 @@ import graft.textanalysis.TextAnalysis
   */
 object Extensions {
 
+  /** The `dedup_cosine_pairs` gate's banded sign-LSH plan: 4 hash tables
+    * x 6 hyperplanes (dims 0-23). Pinned (not [[Similarity.signBandPlanFor]]
+    * auto-scaled) because the DuckDB oracle is a static SQL string — both
+    * the Spark query and the oracle SQL derive from THIS constant, so the
+    * two sides cannot drift. Production callers size the plan from corpus
+    * count via `signBandPlanFor`. */
+  private[graft] val CosineBandDims: Seq[Seq[Int]] =
+    graft.similarity.Similarity.signBandDims(bands = 4, bitsPerBand = 6, dim = 64)
+
+  /** One band's bucket id as DuckDB SQL (1-based array index, bit weights
+    * 1,2,4,... exactly as [[Similarity.lshBucket]]). */
+  private def signBandSql(dims: Seq[Int]): String =
+    dims.zipWithIndex.map { case (d, i) =>
+      s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   val defs: Map[String, Q] = Map(
     // exact dedup on the canonical word-set digest
     "dedup_exact" -> ((s, dir) =>
@@ -93,19 +109,15 @@ object Extensions {
         .withColumn("sim", col("sim") + lit(0.0))
     }),
 
-    // embedding-cosine near-dup: sign-bucket blocking, exact cosine verify
-    "dedup_cosine_pairs" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.toVec(col("embedding")).as("v"))
-        .withColumn("bucket", Similarity.lshBucket(col("v"), Seq(0, 7, 19, 33)))
-      val a = emb.toDF("id_a", "v_a", "bucket")
-      val b = emb.toDF("id_b", "v_b", "bucket_b")
-      a.join(b, a("bucket") === b("bucket_b") && a("id_a") < b("id_b"))
-        .withColumn("sim", round(Similarity.cosine(col("v_a"), col("v_b")), 4))
-        .filter(col("sim") >= 0.3)
-        .select("id_a", "id_b", "sim")
-        .orderBy("id_a", "id_b")
-    }),
+    // embedding-cosine near-dup: banded multi-table sign-LSH blocking
+    // (4 tables x 6 hyperplanes), exact-cosine verification fused into
+    // the join condition — the minhashNearDups shape on vectors
+    "dedup_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosineNearDups(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, bandDims = CosineBandDims)
+        .select(col("vec_id_a").as("id_a"), col("vec_id_b").as("id_b"),
+          col("sim"))
+        .orderBy("id_a", "id_b")),
 
     // semi-structured column: JSON property extraction from events.props
     "scalar_json_extract" -> ((s, dir) =>
@@ -285,18 +297,24 @@ object Extensions {
          round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS cval
          FROM embeddings, generate_series(1, 64) AS g(i)
          GROUP BY label, i ORDER BY label, dim""",
-    "dedup_cosine_pairs" ->
-      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-           + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
-           + (CASE WHEN embedding[20] > 0 THEN 4 ELSE 0 END)
-           + (CASE WHEN embedding[34] > 0 THEN 8 ELSE 0 END) AS bucket
+    // derived from the SAME CosineBandDims constant as the Spark query;
+    // "shares a bucket in >= 1 of the 4 band tables" is the OR-chain
+    // (DuckDB runs at sf0.01, so the n^2 formulation is fine there)
+    "dedup_cosine_pairs" -> {
+      val bandCols = CosineBandDims.zipWithIndex
+        .map { case (ds, i) => s"${signBandSql(ds)} AS b$i" }
+        .mkString(",\n             ")
+      val anyBand = CosineBandDims.indices
+        .map(i => s"a.b$i = c.b$i").mkString(" OR ")
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             $bandCols
            FROM embeddings)
-         SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, b2.v), 4) AS sim
-         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         WHERE round(list_cosine_similarity(a.v, b2.v), 4) >= 0.3
-         ORDER BY id_a, id_b""",
+         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, c.v), 4) AS sim
+         FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($anyBand)
+         WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.3
+         ORDER BY id_a, id_b"""
+    },
     "sample_bottomk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
            SELECT * FROM lineitem

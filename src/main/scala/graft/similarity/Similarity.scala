@@ -113,6 +113,131 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------- banded multi-table sign-LSH near-dup ----------------
+
+  /** Contiguous axis-aligned hyperplane assignment: table (band) `i` gets
+    * dims `[i*bitsPerBand, (i+1)*bitsPerBand)`. Data-independent, so every
+    * writer/reader derives identical buckets with no coordination, and the
+    * plan is expressible in plain SQL (the DuckDB oracle recomputes it). */
+  def signBandDims(bands: Int, bitsPerBand: Int, dim: Int): Seq[Seq[Int]] = {
+    require(bands > 0 && bitsPerBand > 0, "bands and bitsPerBand must be positive")
+    require(bands * bitsPerBand <= dim,
+      s"bands*bitsPerBand (${bands * bitsPerBand}) exceeds vector dim ($dim)")
+    (0 until bands).map(b => (b * bitsPerBand) until ((b + 1) * bitsPerBand))
+  }
+
+  /** Corpus-scaled band plan: bits-per-band grows with log2(n), so bucket
+    * occupancy stays ~`targetOccupancy` as the corpus grows and the
+    * within-bucket candidate join stays ~LINEAR in n (occupancy^2 per
+    * bucket x n/occupancy buckets), instead of quadratic under a fixed
+    * bucket count. `bands` tables recover the recall the finer buckets
+    * give up (a near pair collides in >= 1 of the `bands` tables).
+    */
+  def signBandPlanFor(n: Long, dim: Int, bands: Int = 4,
+                      targetOccupancy: Int = 64): Seq[Seq[Int]] = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    val bits = math.min(math.max(4, needed), dim / bands)
+    signBandDims(bands, bits, dim)
+  }
+
+  /** Per-table sign buckets as `array<long>` — one bucket id per band.
+    * Element i is [[lshBucket]] over band i's hyperplanes. Non-null
+    * elements by construction (the when/otherwise never yields null), as
+    * [[graft.functions.FirstEqualIndex]] requires. */
+  def signBandBuckets(vec: Column, bandDims: Seq[Seq[Int]]): Column =
+    array(bandDims.map(ds => lshBucket(vec, ds).cast("long")): _*)
+
+  /** Unique-vector representative table for the banded join: corpus
+    * collapsed to one row per distinct vector (digest of the rendered
+    * array), replicated once per band via posexplode. Mirrors
+    * [[graft.dedup.Dedup.minhashNearDups]] lever 1: candidate work scales
+    * with |unique vectors|, not |copies| — a duplicate-heavy crawl (the
+    * realistic regime) adds no candidate pairs, only membership rows. */
+  private def vecReps(corpus: DataFrame, idCol: String, vecCol: String,
+                      bandDims: Seq[Seq[Int]]): (DataFrame, DataFrame) = {
+    // digest = md5 over the string-rendered doubles: deterministic within
+    // Spark (never compared cross-engine), collision odds negligible
+    val dig = md5(array_join(
+      transform(toVec(col(vecCol)), x => x.cast("string")), ","))
+    val members = corpus.select(col(idCol), dig.as("__dig"))
+    val reps = corpus
+      .select(dig.as("__dig"), toVec(col(vecCol)).as("__v"))
+      .dropDuplicates("__dig")
+      .withColumn("__bands", signBandBuckets(col("__v"), bandDims))
+      .select(col("__dig"), col("__v"), col("__bands"),
+        posexplode(col("__bands")).as(Seq("band", "bucket")))
+    (members, reps)
+  }
+
+  /** Embedding near-dup pairs: banded multi-table sign-LSH blocking with
+    * the exact-cosine verification FUSED into the join condition — the
+    * [[graft.dedup.Dedup.minhashNearDups]] shape applied to vectors.
+    *
+    * Each vector gets one bucket per band (`bandDims` hyperplane tables);
+    * candidates are pairs sharing a bucket in >= 1 band, generated by a
+    * hash-partitioned self-join on (band, bucket) — never all-pairs. The
+    * join condition runs cheap-to-expensive so codegen short-circuits do
+    * the pruning: id order, first-colliding-band dedup (exactly-once per
+    * pair, replacing a pair-stream `distinct()` shuffle), then the exact
+    * cosine. Output = every pair with `round(cos, 4) >= threshold` that
+    * collides in at least one band (recall < 1 by construction — the
+    * standard LSH trade; scale `bandDims` via [[signBandPlanFor]]).
+    *
+    * Identical-vector pairs are emitted from the membership table at
+    * sim 1.0 without ever entering the join (cos(v,v) rounds to 1.0).
+    */
+  def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double,
+                     bandDims: Seq[Seq[Int]]): DataFrame = {
+    val aCol = s"${idCol}_a"
+    val bCol = s"${idCol}_b"
+    val (members, reps) = vecReps(corpus, idCol, vecCol, bandDims)
+    val a = reps.toDF("__dig_a", "__v_a", "__bands_a", "band", "bucket")
+    val b = reps.toDF("__dig_b", "__v_b", "__bands_b", "band_b", "bucket_b")
+    // rounded BEFORE the threshold so the gate's DuckDB oracle
+    // (`WHERE round(cos, 4) >= t`) sees the identical boundary set
+    val sim = round(cosine(col("__v_a"), col("__v_b")), 4)
+    val verified = a.join(b,
+        a("band") === b("band_b") && a("bucket") === b("bucket_b")
+          && col("__dig_a") < col("__dig_b")
+          && graft.functions.FirstEqualIndex(col("__bands_a"), col("__bands_b"))
+            === col("band")
+          && sim >= threshold)
+      // sim re-evaluates for SURVIVORS only (an expression cannot be
+      // shared across a join condition and a projection)
+      .select(col("__dig_a"), col("__dig_b"), sim.as("sim"))
+    val cross = verified
+      .join(members.toDF("__x", "__dig_a"), Seq("__dig_a"))
+      .join(members.toDF("__y", "__dig_b"), Seq("__dig_b"))
+      .select(least(col("__x"), col("__y")).as(aCol),
+        greatest(col("__x"), col("__y")).as(bCol), col("sim"))
+    // exact-duplicate vectors: every within-digest pair at cosine 1.0
+    val m1 = members.toDF(aCol, "__dig")
+    val m2 = members.toDF(bCol, "__dig2")
+    val within = m1.join(m2, col("__dig") === col("__dig2")
+        && col(aCol) < col(bCol))
+      .select(col(aCol), col(bCol), lit(1.0).as("sim"))
+    if (threshold <= 1.0) cross.unionByName(within) else cross
+  }
+
+  /** Candidate pairs at the UNIQUE-VECTOR level (post band-collision +
+    * first-band dedup, pre cosine verify) — the scale diagnostic:
+    * candidate count should grow ~linearly in corpus size under a
+    * [[signBandPlanFor]]-scaled plan, and stay INVARIANT under exact
+    * replication (digest collapse). Measured by `tools.ScaleRehearsal`. */
+  def cosineCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                       bandDims: Seq[Seq[Int]]): DataFrame = {
+    val (_, reps) = vecReps(corpus, idCol, vecCol, bandDims)
+    val a = reps.toDF("__dig_a", "__v_a", "__bands_a", "band", "bucket")
+    val b = reps.toDF("__dig_b", "__v_b", "__bands_b", "band_b", "bucket_b")
+    a.join(b, a("band") === b("band_b") && a("bucket") === b("bucket_b")
+        && col("__dig_a") < col("__dig_b")
+        && graft.functions.FirstEqualIndex(col("__bands_a"), col("__bands_b"))
+          === col("band"))
+      .select(col("__dig_a"), col("__dig_b"))
+  }
+
   // ---------------- IVF (inverted-file) ANN ----------------
 
   /** Assign every vector its nearest centroid by cosine. The argmax over

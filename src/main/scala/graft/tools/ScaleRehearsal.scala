@@ -77,6 +77,54 @@ object ScaleRehearsal {
     time("minhash keep (hot-bucket skew)") {
       Dedup.minhashRepresentatives(skew, "doc_id", "text", 64, 8).count()
     }
+
+    // ---- cosine near-dup blocking: candidate growth must be ~linear ----
+    // Two regimes, mirroring the minhash rehearsals above:
+    //  1. exact replication (duplicate-heavy crawl): digest collapse makes
+    //     the candidate join INVARIANT in k;
+    //  2. distinct vectors at n and 10n: the signBandPlanFor-scaled plan
+    //     holds bucket occupancy ~constant, so candidates grow ~linearly —
+    //     a FIXED plan (the pre-r5 16-bucket shape) grows ~quadratically.
+    import graft.similarity.Similarity
+    val embPath = s"$dir/embeddings.parquet"
+    if (new java.io.File(embPath).exists()) {
+      val emb = spark.read.parquet(embPath).select("vec_id", "embedding")
+      val en = emb.count()
+      val plan = Similarity.signBandPlanFor(en, 64)
+      val baseCands = Similarity.cosineCandidates(
+        emb, "vec_id", "embedding", plan).count()
+      val hi = emb.agg(max("vec_id")).head().getLong(0) + 1L
+      val repEmb = (0 until k).map(i =>
+        emb.select((col("vec_id") + lit(i.toLong * hi)).as("vec_id"),
+          col("embedding"))).reduce(_.unionAll(_))
+      time(s"cosine candidates (${k}x replicated)") {
+        val c = Similarity.cosineCandidates(
+          repEmb, "vec_id", "embedding", plan).count()
+        println(f"[rehearsal]   base=$baseCands candidates, ${k}x=$c " +
+          f"(ratio ${c.toDouble / baseCands}%.2f — digest collapse: invariant)")
+        c
+      }
+
+      // distinct synthetic vectors, deterministic from id (no rand())
+      def synth(rows: Long) = spark.range(rows).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+            .cast("double") / 1000.0).as("embedding"))
+      val n1 = en
+      val n10 = en * 10
+      val scaled1 = Similarity.cosineCandidates(
+        synth(n1), "vec_id", "embedding",
+        Similarity.signBandPlanFor(n1, 64)).count()
+      val scaled10 = Similarity.cosineCandidates(
+        synth(n10), "vec_id", "embedding",
+        Similarity.signBandPlanFor(n10, 64)).count()
+      val fixed10 = Similarity.cosineCandidates(
+        synth(n10), "vec_id", "embedding",
+        Similarity.signBandPlanFor(n1, 64)).count()
+      println(f"[rehearsal] cosine candidates, distinct vectors: n=$n1 -> $scaled1; " +
+        f"10n scaled-plan -> $scaled10 (${scaled10.toDouble / scaled1}%.1fx, ~linear); " +
+        f"10n FIXED plan -> $fixed10 (${fixed10.toDouble / scaled1}%.1fx, quadratic regime)")
+    }
     spark.stop()
   }
 }
