@@ -242,17 +242,29 @@ object Dedup {
     * @param pairs undirected near-dup pairs (one row per pair, any order)
     * @param nodes the full node set — isolated documents keep their own
     *              id as `component_id` (they form singleton groups)
+    * @param checkpointDir when set, per-round lineage truncation uses
+    *              RELIABLE `checkpoint()` into this directory (HDFS/object
+    *              store on a real cluster) instead of `localCheckpoint()`.
+    *              Local checkpoints live on executor disk: an executor
+    *              loss mid-fixpoint kills the job, because the truncated
+    *              lineage cannot recompute the lost blocks. At 100 TB run
+    *              with a reliable dir; local mode is fine for dev/CI.
+    *              Labels are identical either way (`ComponentsSpec`).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           nodes: DataFrame, idCol: String,
-                          maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("u"),
+                          maxIters: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = truncate(pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .unionAll(pairs.select(col(bCol).cast("long").as("u"),
-        col(aCol).cast("long").as("v")))
-      .localCheckpoint() // reused every round: scan once, not per round
-    var labels = nodes.select(col(idCol).cast("long").as("u"),
-      col(idCol).cast("long").as("lbl")).localCheckpoint()
+        col(aCol).cast("long").as("v")))) // reused every round: scan once
+    var labels = truncate(nodes.select(col(idCol).cast("long").as("u"),
+      col(idCol).cast("long").as("lbl")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -265,10 +277,9 @@ object Dedup {
         .join(nbrMin, Seq("u"), "left")
         .join(labels.select(col("u").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
-      val next = withNbr.select(col("u"), col("lbl"),
+      val next = truncate(withNbr.select(col("u"), col("lbl"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl")),
-            coalesce(col("lbl2"), col("lbl"))).as("nlbl"))
-        .localCheckpoint()
+            coalesce(col("lbl2"), col("lbl"))).as("nlbl")))
       changed = next.filter(col("nlbl") < col("lbl")).count()
       labels = next.select(col("u"), col("nlbl").as("lbl"))
       i += 1

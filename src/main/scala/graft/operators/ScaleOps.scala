@@ -74,20 +74,72 @@ object BottomKSample {
   * training-data mix, reproducible across reruns and repartitioning.
   * One shuffle on the strata key; within a stratum the window keeps a
   * running top-k sort, and retained output is bounded at k rows per
-  * stratum regardless of stratum skew. (A pathologically hot single
-  * stratum still sorts on one task — for that regime pre-aggregate with
-  * [[HashSample]] to ~k·c rows per stratum first, then cut exactly.)
+  * stratum regardless of stratum skew.
+  *
+  * A pathologically hot single stratum (90% of a 100 TB corpus in one
+  * language) still SORTS on one task in the plain form — that regime is
+  * `prefilterMargin`: per-stratum counts (one agg) derive a hash-order
+  * keep-fraction `min(1, c·k/n_s)`, the corpus is pre-filtered to
+  * ~c·k rows per stratum by a threshold on the SAME hash ordering
+  * (downward-closed, so the true bottom-k survives whenever ≥ k rows
+  * do), and only ~c·k rows per stratum reach the window sort. The
+  * result is then VERIFIED exact — every stratum must yield
+  * `min(k, n_s)` rows — and the operator fails fast telling the caller
+  * to raise `c` rather than silently under-sampling (with c=8 the
+  * shortfall probability is e^-150-ish; the check costs one action, and
+  * the outcome is deterministic across retries because the hash is).
   */
 object StratifiedSample {
   def apply(df: DataFrame, k: Int, strataCols: Seq[String],
-            seedCols: Seq[String], hash: SampleHash = Xx64): DataFrame = {
+            seedCols: Seq[String], hash: SampleHash = Xx64,
+            prefilterMargin: Option[Int] = None): DataFrame = {
     require(k > 0, "k must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*).orderBy(col("__h"))
-    df.withColumn("__h", SampleHash.keyFor(seedCols, hash))
+    val keyed = df.withColumn("__h", SampleHash.keyFor(seedCols, hash))
+    val pre = prefilterMargin match {
+      case None => keyed
+      case Some(c) =>
+        require(c >= 2, "prefilterMargin must be >= 2 (safety headroom)")
+        val counts = df.groupBy(strataCols.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+        val ck = lit(c.toDouble * k)
+        // keep-fraction of the hash ORDER; thresholds are monotone in the
+        // sort key, so the kept set is downward-closed: bottom-k ⊆ kept
+        // iff the stratum keeps >= k rows (verified below)
+        val f = ck / col("__n")
+        val keep = hash match {
+          case Xx64 =>
+            // raw signed-long order; compare in double space (monotone,
+            // and immune to ANSI cast overflow at f ~ 1)
+            val t = lit(Long.MinValue.toDouble) + f * lit(math.pow(2, 64))
+            col("__n") <= ck || col("__h").cast("double") < t
+          case Md5 =>
+            // first 60 digest bits as 15 lowercase-hex chars (lexical ==
+            // numeric); least() keeps the ANSI long cast in range
+            val bound = (least(f, lit(1.0)) * lit((1L << 60).toDouble))
+              .cast("long")
+            val hex = lpad(lower(conv(bound.cast("string"), 10, 16)), 15, "0")
+            col("__n") <= ck || substring(col("__h"), 1, 15) < hex
+        }
+        keyed.join(broadcast(counts), strataCols).filter(keep)
+    }
+    val cut = pre
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .drop("__h", "__rn")
+    prefilterMargin.foreach { c =>
+      // exactness proof: each stratum must deliver min(k, n_s) rows. One
+      // extra action (prefilter mode only); deterministic across retries.
+      val short = cut
+        .groupBy(strataCols.map(col): _*).agg(count(lit(1)).as("__got"),
+          first(col("__n")).as("__n1"))
+        .filter(col("__got") < least(lit(k.toLong), col("__n1")))
+        .count()
+      require(short == 0L,
+        s"stratified prefilter with margin c=$c under-filled $short " +
+          "strata — raise prefilterMargin")
+    }
+    cut.drop("__h", "__rn", "__n")
   }
 }
 

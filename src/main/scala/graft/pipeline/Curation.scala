@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
-import graft.operators.HashSample
+import graft.operators.{HashSample, SampleHash, Xx64}
 import graft.textanalysis.TextAnalysis
 
 /** End-to-end training-data curation: the composition a user of this
@@ -22,12 +22,25 @@ import graft.textanalysis.TextAnalysis
   */
 object Curation {
 
+  /** Which dedup stage opens the pipeline. */
+  sealed trait DedupMode
+  /** Digest-collapsed banded MinHash LSH representatives — the near-dup
+    * production path (exact duplicates subsumed). xxhash64-based, so no
+    * external engine can replay it; verified by spec + internal oracle. */
+  case object LshNearDup extends DedupMode
+  /** EXACT word-set-digest dedup only (md5 keep-min-id). Every stage of
+    * the pipeline is then recomputable by any SQL engine — the mode the
+    * oracle-checked `pipeline_curation` gate runs. */
+  case object ExactOnly extends DedupMode
+
   case class Config(
       minhashBands: Int = 8,
       numHashes: Int = 64,
       languages: Seq[String] = Seq("en", "es"),
       minQuality: Double = 0.5,
-      sampleFraction: Double = 1.0)
+      sampleFraction: Double = 1.0,
+      dedupMode: DedupMode = LshNearDup,
+      sampleHash: SampleHash = Xx64)
 
   case class Result(curated: DataFrame, stats: DataFrame)
 
@@ -55,16 +68,22 @@ object Curation {
     require(clash.isEmpty,
       s"input corpus already has column(s) ${clash.mkString(", ")}, which " +
         "Curation derives — rename or drop them before curating")
-    // 1. dedup: LSH representatives decide keep/drop without materializing
-    // pairs. EXACT dedup is subsumed: the representatives operator
-    // collapses identical word-sets to one digest carrying min(id), so
-    // only the first copy of any exact-duplicate group is ever kept — a
-    // separate exactGroups pre-pass would add a corpus-wide aggregation
-    // and change nothing.
-    val reps = Dedup.minhashRepresentatives(docs, idCol, textCol,
-      cfg.numHashes, cfg.minhashBands)
-    val afterNear = docs.join(
-      reps.filter(col("is_kept")).select(idCol), Seq(idCol), "left_semi")
+    // 1. dedup. LshNearDup: LSH representatives decide keep/drop without
+    // materializing pairs; EXACT dedup is subsumed (the digest collapse
+    // carries min(id), so only the first copy of an exact-duplicate
+    // group survives — a separate exactGroups pre-pass would add a
+    // corpus-wide aggregation and change nothing). ExactOnly: keep each
+    // digest's min-id row — one hash aggregation + semi join.
+    val afterNear = cfg.dedupMode match {
+      case LshNearDup =>
+        val reps = Dedup.minhashRepresentatives(docs, idCol, textCol,
+          cfg.numHashes, cfg.minhashBands)
+        docs.join(
+          reps.filter(col("is_kept")).select(idCol), Seq(idCol), "left_semi")
+      case ExactOnly =>
+        docs.join(Dedup.exactGroups(docs, idCol, textCol)
+          .select(col("first_id").as(idCol)), Seq(idCol), "left_semi")
+    }
 
     // 2+3. language + quality filters: pure column expressions, one pass
     val scored = afterNear
@@ -79,7 +98,7 @@ object Curation {
     // and partitionings; skipped entirely at fraction 1.0)
     val sampled =
       if (cfg.sampleFraction >= 1.0) filtered
-      else HashSample(filtered, cfg.sampleFraction, Seq(idCol))
+      else HashSample(filtered, cfg.sampleFraction, Seq(idCol), cfg.sampleHash)
 
     // 5. corpus stats per language: one hash aggregation
     Result(sampled, statsOf(sampled))

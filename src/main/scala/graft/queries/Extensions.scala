@@ -109,6 +109,16 @@ object Extensions {
         .withColumn("sim", col("sim") + lit(0.0))
     }),
 
+    // multi-probe variant: query bucket + every Hamming-1 neighbor bucket
+    "sim_ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.annTopKMultiProbe(emb, "vec_id", "embedding", q, "qvec",
+        dims = Seq(0, 7, 19, 33), k = 10)
+        .withColumn("sim", col("sim") + lit(0.0))
+    }),
+
     // embedding-cosine near-dup: banded multi-table sign-LSH blocking
     // (4 tables x 6 hyperplanes), exact-cosine verification fused into
     // the join condition — the minhashNearDups shape on vectors
@@ -400,6 +410,19 @@ object Extensions {
          SELECT vec_id, round(list_cosine_similarity(v, qv), 4) + 0.0 AS sim,
            bucket
          FROM b, q WHERE bucket = qbucket
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+    "sim_ann_lsh_multiprobe" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[20] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[34] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         SELECT vec_id, round(list_cosine_similarity(v, qv), 4) + 0.0 AS sim,
+           bucket
+         FROM b, q WHERE bucket IN (qbucket, xor(qbucket, 1), xor(qbucket, 2),
+           xor(qbucket, 4), xor(qbucket, 8))
          ORDER BY sim DESC, vec_id LIMIT 10""",
     "text_token_count" ->
       """SELECT doc_id,

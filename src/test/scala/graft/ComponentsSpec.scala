@@ -40,6 +40,26 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("reliable-checkpoint mode matches localCheckpoint labels") {
+    // the 100 TB fault-tolerance path: same fixpoint, lineage truncated
+    // into a (reliable) checkpoint dir instead of executor-local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val nodes = (1L to 8L).toDF("id")
+    val reliable = Dedup.connectedComponents(pairs, "a", "b", nodes, "id",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(pairs, "a", "b", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    assert(reliable === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+      6L -> 5L, 4L -> 4L, 7L -> 7L, 8L -> 8L))
+    // the reliable files actually landed (checkpoint() really engaged)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no checkpoint files written — reliable mode inert")
+  }
+
   test("matches a driver-side union-find on randomized graphs (seeded)") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { trial =>

@@ -87,6 +87,41 @@ class InternalOracleSpec extends SparkTestBase {
     assert(oracle.exceptAll(got).count() === 0L, "pairs simhashNearDups missed")
   }
 
+  test("minhash representatives match a doc-level min-over-shared-bucket oracle") {
+    // The gate's exact configuration (64 hashes, 8 bands). The oracle is
+    // built from scratch at DOC level: slow composable signatures (no
+    // MinHashSignature expression), inline band hashes, and rep(doc) =
+    // min doc_id over every doc sharing >= 1 (band, bucket) — no digest
+    // collapse, no groupBy+join-back optimization. Pins that the
+    // production operator's collapsed form computes the naive answer.
+    val numHashes = 64
+    val bands = 8
+    val rows = numHashes / bands
+    val slowSig = array((0 until numHashes).map { i =>
+      array_min(transform(array_distinct(split(trim(col("text")), "\\s+")),
+        x => xxhash64(x, lit(i))))
+    }: _*)
+    val banded = docs
+      .withColumn("__sig", slowSig)
+      .select(col("doc_id"), posexplode(array((0 until bands).map { b =>
+        xxhash64(array_join(slice(col("__sig"), b * rows + 1, rows), "_"), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.toDF("doc_id", "band", "bucket")
+    val b = banded.toDF("nbr", "band_b", "bucket_b")
+    val oracle = a.join(b, col("band") === col("band_b")
+        && col("bucket") === col("bucket_b"))
+      .groupBy("doc_id").agg(min("nbr").as("rep_id"))
+      .select(col("doc_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("is_kept"))
+    val got = Dedup.minhashRepresentatives(docs, "doc_id", "text",
+      numHashes, bands)
+    assert(got.count() === docs.count(), "one decision row per document")
+    assert(got.exceptAll(oracle).count() === 0L,
+      "rows the doc-level oracle lacks (collapsed rep computation diverged)")
+    assert(oracle.exceptAll(got).count() === 0L,
+      "rows minhashRepresentatives missed")
+  }
+
   test("simhash gate column (doc_id, simhash, block) matches the slow form") {
     val got = Dedup.withSimHash(docs, "text", "simhash")
       .select(col("doc_id"), col("simhash"),

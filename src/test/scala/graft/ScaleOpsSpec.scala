@@ -91,6 +91,42 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(s1.count() < orders.count())
   }
 
+  test("stratified prefilter: identical rows to the plain form, both hashes") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val k = 10
+    for (h <- Seq[graft.operators.SampleHash](graft.operators.Xx64,
+        graft.operators.Md5)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val plain = rows(StratifiedSample(orders, k,
+        Seq("o_orderstatus"), Seq("o_orderkey"), hash = h))
+      val pre = rows(StratifiedSample(orders, k,
+        Seq("o_orderstatus"), Seq("o_orderkey"), hash = h,
+        prefilterMargin = Some(8)))
+      assert(pre === plain, s"prefilter changed the sample under $h")
+    }
+  }
+
+  test("stratified prefilter: 90%-one-stratum corpus, bounded rows reach the sort") {
+    // hot-stratum regime: stratum 0 holds 90% of rows. The prefilter must
+    // cut it to ~c*k before the window, and the cut must stay exact.
+    val n = 50000L
+    val hot = spark.range(n).select(
+      when(pmod(col("id"), lit(10)) < 9, lit(0)).otherwise(lit(1)).as("s"),
+      col("id"))
+    val k = 50
+    val got = StratifiedSample(hot, k, Seq("s"), Seq("id"),
+      prefilterMargin = Some(8))
+    val plain = StratifiedSample(hot, k, Seq("s"), Seq("id"))
+    assert(got.select("id").collect().map(_.getLong(0)).sorted ===
+      plain.select("id").collect().map(_.getLong(0)).sorted)
+    // the pre-window stream really is bounded: count rows surviving the
+    // prefilter via the same threshold math (c*k per stratum, not 45k)
+    val quotas = got.groupBy("s").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(quotas === Map(0 -> k.toLong, 1 -> k.toLong))
+  }
+
   test("bucketed tables co-locate: join without a shuffle exchange") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val customer = spark.read.parquet(s"$sf/customer.parquet")
