@@ -124,6 +124,74 @@ class PlanSpec extends SparkTestBase {
         scanExec.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(", "))
   }
 
+  test("cosine near-dup: banded equi-join with fused verify, no cartesian") {
+    val p = plan("dedup_cosine_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sign-LSH blocking must stay a (band, bucket) equi-join:\n$p")
+    assert(p.contains("first_equal_index"),
+      s"pair dedup must be the in-join first-collision filter:\n$p")
+    // verification is in the JOIN CONDITION: the cosine threshold must
+    // not survive as a post-join Filter node
+    val joinCond = p.linesIterator.find(_.contains("first_equal_index"))
+    assert(joinCond.exists(_.contains("0.3")),
+      s"cosine threshold must be fused into the join condition:\n$p")
+  }
+
+  test("connected components: truncated lineage, hash joins every round") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // capture EVERY plan the fixpoint executes — each round's neighbor-min
+    // and label-of-label joins must stay hash equi-joins (a cartesian in
+    // round 3 of a 100 TB run is invisible to a final-plan-only check)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+      graft.dedup.Dedup.connectedComponents(
+        pairs, "a", "b", (0L until 60L).toDF("id"), "id").collect()
+      // listener delivery is async; poll until the bus drains
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (plans.synchronized(plans.isEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(200) // let the remaining round plans land
+      val all = plans.synchronized(plans.mkString("\n===\n"))
+      assert(plans.nonEmpty, "listener captured no fixpoint plans")
+      assert(!all.contains("CartesianProduct")
+          && !all.contains("BroadcastNestedLoopJoin"),
+        s"a fixpoint round degraded to a non-equi join:\n$all")
+    } finally spark.listenerManager.unregister(listener)
+    // the gate query's final frame reads from the checkpointed RDD — the
+    // per-round lineage is truncated, not re-planned from round 0
+    val p = plan("dedup_components")
+    assert(p.contains("ExistingRDD"),
+      s"components output must scan the checkpoint, not replay lineage:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-ngrams: map-side partial agg + TakeOrderedAndProject (no global sort)") {
+    val p = plan("text_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must merge per-partition heads, not globally sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram counting must partial-aggregate map-side:\n$p")
+  }
+
+  test("stratified sample: one strata shuffle feeding the window cut") {
+    val p = plan("sample_stratified")
+    assert(p.contains("Window"), s"per-stratum cut must be a window:\n$p")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"exactly one hash shuffle (the strata key), got $hashExchanges:\n$p")
+  }
+
   test("MinHash signature is the single-pass native expression") {
     val p = plan("dedup_minhash_pairs")
     assert(p.contains("minhash_signature"),
