@@ -242,6 +242,38 @@ object Extensions {
       TextAnalysis.topNgrams(tbl(s, dir, "documents"), "text", 2, 50)
         .orderBy(col("cnt").desc, col("ngram"))),
 
+    // benchmark decontamination: distinct 3-gram overlap between each
+    // corpus doc and a held-out "benchmark" slice (doc_id % 97 == 0),
+    // matched through a broadcast semi-join of the benchmark gram set
+    "decon_ngram_hits" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.textanalysis.Decontaminate.contaminationHits(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals: repeated-word share + share of
+    // all bigrams taken by the most frequent one
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text",
+        n = 2)
+        .orderBy("doc_id")),
+
+    // context-window chunking: 32-token windows, stride 24 (final chunk
+    // may be short; short docs yield one chunk)
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.tokenChunks(tbl(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // top-3 TF-IDF terms per document (log-free IDF for cross-engine
+    // bit-parity; see TextAnalysis.tfidfTopTerms)
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 3)
+        .orderBy("doc_id", "word")),
+
     // range join: events whose value falls in each part's interval,
     // blocked into a hash equi-join (no nested-loop plan)
     "range_join_agg" -> ((s, dir) => {
@@ -375,6 +407,74 @@ object Extensions {
            FROM toks)
          SELECT ngram, count(*) AS cnt FROM grams
          GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""",
+    "decon_ngram_hits" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           FROM toks),
+         bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+         SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+         FROM grams g JOIN bench b ON g.gram = b.gram
+         WHERE g.doc_id % 97 <> 0
+         GROUP BY g.doc_id ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         base AS (
+           SELECT doc_id,
+             floor((1.0 - len(list_distinct(t))::DOUBLE / len(t)) * 10000 + 0.5)
+               / 10000 AS dup_word_frac, t
+           FROM toks WHERE len(t) >= 2),
+         grams AS (
+           SELECT doc_id, dup_word_frac,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) AS gram
+           FROM base),
+         cnt AS (
+           SELECT doc_id, dup_word_frac, gram, count(*) AS c
+           FROM grams GROUP BY ALL)
+         SELECT doc_id, dup_word_frac,
+           floor(max(c)::DOUBLE / sum(c) * 10000 + 0.5) / 10000 AS top_ngram_frac
+         FROM cnt GROUP BY doc_id, dup_word_frac ORDER BY doc_id""",
+    "text_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         starts AS (
+           SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
+           FROM toks)
+         SELECT doc_id, (s - 1) // 24 AS chunk_idx,
+           array_to_string(t[s:s+31], ' ') AS chunk_text,
+           len(t[s:s+31]) AS n_tokens
+         FROM starts ORDER BY doc_id, chunk_idx""",
+    "text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         words AS (SELECT doc_id, unnest(t) AS word FROM toks),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY ALL),
+         dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         n AS (SELECT count(*) AS n FROM toks),
+         scored AS (
+           SELECT doc_id, word,
+             floor(tf * ((n + 1.0) / (df + 1.0)) * 10000 + 0.5) / 10000 AS score
+           FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, word, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word)
+               AS rk
+           FROM scored)
+         SELECT doc_id, word, score FROM ranked WHERE rk <= 3
+         ORDER BY doc_id, word""",
     "scalar_json_extract" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k

@@ -107,6 +107,118 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Arithmetic 4-decimal rounding stable across engines (same rationale
+    * as the 3-decimal variant in [[qualityScore]]). */
+  private[textanalysis] def round4(c: Column): Column =
+    floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** Non-null, non-blank text rows — the shared domain every corpus-level
+    * text operator (and its DuckDB oracle) runs over. */
+  private[textanalysis] def nonBlank(df: org.apache.spark.sql.DataFrame,
+                                     textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+
+  /** Fixed-size token chunks with stride — the context-window splitter of
+    * a training pipeline: long documents become overlapping windows of
+    * `chunkSize` tokens whose starts step by `stride`. Start positions are
+    * `1, 1+stride, …` up to `max(len - (chunkSize - stride), 1)`, which
+    * covers every token exactly once past the overlap and never emits a
+    * tail chunk fully contained in its predecessor. One row per chunk:
+    * (id, chunk_idx, chunk_text, n_tokens); the final chunk may be short.
+    *
+    * Pure narrow plan — tokenize, sequence, posexplode, slice — no
+    * shuffle; chunk output scales the scan linearly and stays inside
+    * whole-stage codegen, so the operator is scan-bound at any corpus
+    * size.
+    */
+  def tokenChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkSize: Int,
+                  stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(stride >= 1 && stride <= chunkSize,
+      "stride must be in [1, chunkSize]")
+    nonBlank(df, textCol)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(1),
+          greatest(size(col("__t")) - lit(chunkSize - stride), lit(1)),
+          lit(stride))).as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__t"), col("__start"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("__t"), col("__start"), lit(chunkSize))).as("n_tokens"))
+  }
+
+  /** Share of repeated word occurrences: `1 - |distinct|/|tokens|`
+    * (0 = no word repeats). Gopher-style within-document repetition
+    * signal; pure expression. */
+  def dupWordFraction(text: Column): Column = {
+    val t = tokens(text)
+    round4(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Per-document repetition signals (the Gopher repetition filters):
+    * `dup_word_frac` (share of repeated word occurrences) and
+    * `top_ngram_frac` (share of all word n-grams taken by the single most
+    * frequent one — boilerplate/loop detector). Documents shorter than
+    * `n` tokens are out of domain and dropped.
+    *
+    * Shape: explode n-grams → two partial-aggregating groupBys, both
+    * keyed by (id, …) so map-side combine collapses each document's grams
+    * before the shuffle; `dup_word_frac` is computed in the scan and
+    * carried through both aggregations as a constant-per-group `first`
+    * (no join back to the corpus).
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    nonBlank(df, textCol)
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol), dupWordFraction(col(textCol)).as("__dup"),
+        explode(ngrams(col(textCol), n)).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(first("__dup").as("__dup"), count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(first("__dup").as("dup_word_frac"),
+        round4(max("__c").cast("double") / sum("__c")).as("top_ngram_frac"))
+  }
+
+  /** Top-k TF-IDF terms per document, `score = tf * (N+1)/(df+1)`.
+    * The IDF is the LOG-FREE inverse document frequency: `ln` differs by
+    * ulps between libm implementations, which would break cross-engine
+    * hash parity after rounding; plain IEEE division and multiplication
+    * are correctly rounded everywhere, so this variant is bit-identical
+    * in any engine (and rank-equivalent to log-IDF within a fixed df).
+    *
+    * Shape: explode words → tf groupBy (map-side combined) → document
+    * frequency from the tf table (one row per (doc, word), so `count` IS
+    * df) → broadcast the vocabulary-sized df table and the 1-row corpus
+    * count back onto tf — the corpus-scale side never reshuffles. At
+    * web-scale vocabularies swap the broadcast for a shuffle join; the
+    * tf table is already partitioned by (id, word) so only the small
+    * side moves. Top-k via row_number over per-document windows —
+    * partitions are vocabulary-per-document sized, never corpus sized.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val docs = nonBlank(df, textCol)
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round4(col("tf") * ((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("word"), col("score"))
+  }
+
   /** Marker words per language for the n-gram-heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textanalysis.{Decontaminate, TextAnalysis}
+
+/** Hand-computed oracles for the round-6 text-pipeline operators:
+  * chunking, repetition signals, TF-IDF, decontamination. */
+class TextPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("tokenChunks covers every token, stride overlap, short tail") {
+    // 10 tokens, size 4, stride 3 -> starts 1,4,7 (upper = 10-1 = 9 -> 1,4,7)
+    val d = docs(1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+    val out = TextAnalysis.tokenChunks(d, "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    assert(out.map(_.getString(2)).toSeq ===
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(out.map(_.getInt(3)).toSeq === Seq(4, 4, 4))
+    // tokens past the overlap are covered exactly once per window step
+    val covered = out.flatMap(_.getString(2).split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("tokenChunks: doc shorter than one chunk yields a single short chunk") {
+    val out = TextAnalysis.tokenChunks(docs(1L -> "a b c"), "doc_id", "text",
+      chunkSize = 32, stride = 24).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(2) === "a b c" && out.head.getInt(3) === 3)
+    // blank and null docs yield nothing
+    assert(TextAnalysis.tokenChunks(docs(2L -> "   "), "doc_id", "text", 4, 4)
+      .count() === 0)
+    assert(TextAnalysis.tokenChunks(
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 4).count() === 0)
+  }
+
+  test("tokenChunks: exact-boundary doc emits no redundant tail chunk") {
+    // 8 tokens, size 4, stride 4 -> exactly 2 chunks, no empty third
+    val out = TextAnalysis.tokenChunks(docs(1L -> "a b c d e f g h"),
+      "doc_id", "text", 4, 4).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getInt(3)).toSeq === Seq(4, 4))
+  }
+
+  test("repetitionStats matches hand computation") {
+    // "x x y x": 4 tokens, 2 distinct -> dup_word_frac = 0.5
+    // bigrams: "x x", "x y", "y x" -> all count 1 -> top frac 1/3 = 0.3333
+    val out = TextAnalysis.repetitionStats(docs(1L -> "x x y x"),
+      "doc_id", "text", n = 2).collect().head
+    assert(out.getDouble(1) === 0.5)
+    assert(out.getDouble(2) === 0.3333)
+    // "a a a a": dup 0.75, bigram "a a" x3 -> top frac 1.0
+    val rep = TextAnalysis.repetitionStats(docs(2L -> "a a a a"),
+      "doc_id", "text", n = 2).collect().head
+    assert(rep.getDouble(1) === 0.75 && rep.getDouble(2) === 1.0)
+    // single-token doc is out of domain (no bigram exists)
+    assert(TextAnalysis.repetitionStats(docs(3L -> "solo"), "doc_id", "text")
+      .count() === 0)
+  }
+
+  test("tfidfTopTerms scores and ranks by log-free idf") {
+    // d1: "a a b", d2: "b c" ; N = 2
+    // df: a->1, b->2, c->1 ; idf: a,c -> 3/2 = 1.5 ; b -> 1.0
+    // d1: a = 2*1.5 = 3.0, b = 1*1.0 = 1.0 ; d2: c = 1.5, b = 1.0
+    val out = TextAnalysis.tfidfTopTerms(
+      docs(1L -> "a a b", 2L -> "b c"), "doc_id", "text", k = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === Seq((1L, "a", 3.0), (2L, "c", 1.5)))
+    // k=2 keeps both terms of d2, tie-free
+    assert(TextAnalysis.tfidfTopTerms(docs(1L -> "a a b", 2L -> "b c"),
+      "doc_id", "text", k = 2).count() === 4)
+  }
+
+  test("decontamination: hits count distinct benchmark grams; clean drops") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog", // contains bench gram
+      2L -> "completely unrelated training material here",
+      3L -> "quick brown fox again and brown fox jumps too")
+    val bench = docs(100L -> "quick brown fox", 101L -> "brown fox jumps")
+    val hits = Decontaminate.contaminationHits(corpus, "doc_id", "text",
+      bench, "text", n = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 contains both benchmark 3-grams; doc 3 contains both; doc 2 none
+    assert(hits === Map(1L -> 2L, 3L -> 2L))
+    val cleaned = Decontaminate.clean(corpus, "doc_id", "text", bench, "text",
+      n = 3, minHits = 1).select("doc_id").as[Long].collect().toSet
+    assert(cleaned === Set(2L))
+    // minHits above the evidence keeps everything
+    assert(Decontaminate.clean(corpus, "doc_id", "text", bench, "text",
+      n = 3, minHits = 3).count() === 3)
+  }
+
+  test("decontamination plan: benchmark side broadcasts, corpus side has no pre-join shuffle") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val hits = Decontaminate.contaminationHits(
+      d.filter($"doc_id" % 97 =!= 0), "doc_id", "text",
+      d.filter($"doc_id" % 97 === 0), "text", n = 3)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // the corpus (streamed) side must reach the join shuffle-free: in the
+    // plan text that subtree sits between the BroadcastHashJoin line and
+    // its build-side BroadcastExchange, and may contain no hash Exchange
+    // (the remaining exchanges are the tiny benchmark distinct inside the
+    // broadcast build and the post-join hit aggregation)
+    val streamed = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange hashpartitioning"),
+      s"corpus side must not shuffle before the match:\n$streamed")
+  }
+}
