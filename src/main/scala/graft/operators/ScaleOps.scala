@@ -143,6 +143,51 @@ object StratifiedSample {
   }
 }
 
+/** Distributed exclusive prefix sum over a global order — the building
+  * block for sequence packing, global byte offsets, and deterministic
+  * concatenation layouts. The naive form (one unpartitioned window) puts
+  * the whole corpus on a single task; this one never does:
+  *
+  *  1. rows bucket by `orderCol div bucketWidth` — a deterministic range
+  *     bucketing that needs no sampling pass (unlike `repartitionByRange`)
+  *     and IS the window partition, so the per-bucket running sum costs
+  *     exactly one shuffle of the corpus;
+  *  2. per-bucket totals (map-side combined groupBy, one row per bucket)
+  *     get their own exclusive running sum on a bucket-count-sized table —
+  *     the only unpartitioned window, over thousands of rows, not billions;
+  *  3. the bucket offsets broadcast back onto the corpus:
+  *     `global = bucket_offset + within_bucket`.
+  *
+  * Size `bucketWidth` so one bucket's rows fit a task (e.g. 1e6 ids per
+  * bucket at 100 TB). Ids need not be dense — buckets may be uneven or
+  * empty; only the per-bucket row count matters.
+  */
+object BucketedPrefixSum {
+  /** Adds `outCol` = sum of `valueCol` over all rows strictly before this
+    * one in ascending `orderCol` order (exclusive prefix sum; first row
+    * gets 0). `orderCol` must be a non-negative integral id, unique per
+    * row (ties would make "strictly before" ambiguous). */
+  def apply(df: DataFrame, orderCol: String, valueCol: String,
+            outCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("__bkt", expr(s"$orderCol div $bucketWidth"))
+    val within = Window.partitionBy("__bkt").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val acrossBuckets = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__bkt")
+      .agg(sum(valueCol).as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(acrossBuckets), lit(0L)))
+      .select("__bkt", "__off")
+    bucketed
+      .withColumn("__within", coalesce(sum(valueCol).over(within), lit(0L)))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(outCol, col("__off") + col("__within"))
+      .drop("__bkt", "__within", "__off")
+  }
+}
+
 /** Proportional deterministic sampling via a hash threshold: keeps a
   * fraction of rows with no shuffle at all (pure filter — scales to any
   * corpus size and composes with pushdown).

@@ -267,6 +267,14 @@ object Extensions {
         chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
 
+    // concat-and-split sequence packing: global token offsets from the
+    // bucketed distributed prefix sum (no single-task window), 256-token
+    // training sequences
+    "text_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(tbl(s, dir, "documents"), "doc_id", "text",
+        budget = 256, bucketWidth = 100)
+        .orderBy("doc_id")),
+
     // top-3 TF-IDF terms per document (log-free IDF for cross-engine
     // bit-parity; see TextAnalysis.tfidfTopTerms)
     "text_tfidf" -> ((s, dir) =>
@@ -455,6 +463,19 @@ object Extensions {
            array_to_string(t[s:s+31], ' ') AS chunk_text,
            len(t[s:s+31]) AS n_tokens
          FROM starts ORDER BY doc_id, chunk_idx""",
+    "text_pack" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         cum AS (
+           SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+           FROM toks)
+         SELECT doc_id, n_tokens, s // 256 AS seq_id, s % 256 AS seq_offset
+         FROM cum ORDER BY doc_id""",
     "text_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -219,6 +219,30 @@ object TextAnalysis {
       .select(col(idCol), col("word"), col("score"))
   }
 
+  /** Sequence-packing offset map (concat-and-split): documents are laid
+    * end-to-end in ascending id order and cut into training sequences of
+    * exactly `budget` tokens; each document reports the sequence it
+    * starts in and its token offset there (a document may span a cut —
+    * that IS concat-and-split packing, zero padding waste).
+    *
+    * The global token layout comes from [[graft.operators.BucketedPrefixSum]],
+    * so no single task ever sees the whole corpus: one shuffle on the id
+    * bucket, a bucket-count-sized offset table broadcast back. Output is
+    * one row per document: (id, n_tokens, seq_id, seq_offset).
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, budget: Int,
+                    bucketWidth: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val counted = nonBlank(df, textCol)
+      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    graft.operators.BucketedPrefixSum(counted, idCol, "n_tokens", "__start",
+      bucketWidth)
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__start div $budget").as("seq_id"),
+        pmod(col("__start"), lit(budget.toLong)).as("seq_offset"))
+  }
+
   /** Marker words per language for the n-gram-heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),

@@ -94,6 +94,41 @@ class TextPipelineSpec extends SparkTestBase {
       n = 3, minHits = 3).count() === 3)
   }
 
+  test("bucketed prefix sum equals the single-window form, any bucket width") {
+    import graft.operators.BucketedPrefixSum
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = d.withColumn("s", coalesce(sum("n_chars").over(w), lit(0L)))
+      .orderBy("doc_id").select("doc_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Seq(1L, 7L, 100L, 1000000L).foreach { width =>
+      val got = BucketedPrefixSum(d, "doc_id", "n_chars", "s", width)
+        .orderBy("doc_id").select("doc_id", "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === expected, s"bucketWidth=$width")
+    }
+  }
+
+  test("packSequences: exclusive offsets, boundary-spanning docs, exact cuts") {
+    val d = docs(
+      1L -> (1 to 6).map(_ => "w").mkString(" "),  // 6 tokens, start 0
+      2L -> (1 to 3).map(_ => "w").mkString(" "),  // start 6 -> spans the cut
+      3L -> "w",                                   // start 9
+      4L -> (1 to 7).map(_ => "w").mkString(" "))  // start 10
+    val out = TextAnalysis.packSequences(d, "doc_id", "text", budget = 8,
+      bucketWidth = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 0L, 0L),   // seq 0, offset 0
+      (2L, 3L, 0L, 6L),   // starts in seq 0 at offset 6, spans into seq 1
+      (3L, 1L, 1L, 1L),   // seq 1 (tokens 9..9)
+      (4L, 7L, 1L, 2L)))  // seq 1 offset 2
+    // total token count is conserved: last start + last n = sum of tokens
+    assert(out.last._3 * 8 + out.last._4 + out.last._2 === 17L)
+  }
+
   test("decontamination plan: benchmark side broadcasts, corpus side has no pre-join shuffle") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val hits = Decontaminate.contaminationHits(
