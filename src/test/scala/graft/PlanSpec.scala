@@ -198,4 +198,37 @@ class PlanSpec extends SparkTestBase {
       "signature must be the fused MinHashSignature expression, " +
         "not 64 interpreted transform passes")
   }
+
+  test("chunking is a pure narrow plan (no shuffle before the sort)") {
+    val p = plan("text_chunks")
+    // everything below the gate's presentation orderBy must be
+    // scan -> generate -> project: no hash exchange, no join, no agg
+    val body = p.substring(p.indexOf("Exchange rangepartitioning") + 1)
+    assert(!body.contains("Exchange hashpartitioning") && !body.contains("Join"),
+      s"chunk expansion must not shuffle the corpus:\n$p")
+  }
+
+  test("tf-idf: vocabulary and corpus count broadcast back onto tf") {
+    val p = plan("text_tfidf")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"df table and corpus count must both broadcast (got $broadcasts):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-scale tf table must never re-shuffle for the idf join:\n$p")
+  }
+
+  test("sequence packing: one corpus shuffle, offsets window is bucket-sized") {
+    val p = plan("text_pack")
+    // the corpus-side window partitions by the id bucket (one hash
+    // exchange); the only unpartitioned window runs on the per-bucket
+    // totals inside the broadcast build, after a partial-aggregating
+    // groupBy — never on the corpus
+    val buildSide = p.substring(p.indexOf("BroadcastExchange"))
+    assert(buildSide.contains("Exchange SinglePartition")
+        && buildSide.contains("partial_sum"),
+      s"global offset window must run on aggregated bucket totals:\n$p")
+    val streamSide = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert(!streamSide.contains("Exchange SinglePartition"),
+      s"the corpus must never collapse to a single partition:\n$p")
+  }
 }
