@@ -86,4 +86,81 @@ class IvfStreamingDedupSpec extends SparkTestBase {
       assert(keys === Seq("a", "a", "b", "c")) // a re-emitted after eviction
     } finally q.stop()
   }
+
+  test("streaming near-dup keep: first doc wins its buckets, near-dups dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts: Long => java.sql.Timestamp =
+      m => new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    val distinct = (1 to 40).map(i => s"other$i").mkString(" ")
+    val kept = graft.streaming.StreamingDedup.nearDupKeep(
+      input.toDF().toDF("doc_id", "text", "t"), "t", "10 minutes",
+      "5 minutes", "doc_id", "text")
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName("stream_neardup").start()
+    try {
+      // batch 1: original + an unrelated doc, same window
+      input.addData((1L, base, ts(0)), (2L, distinct, ts(1)))
+      // batch 2: a near-duplicate of doc 1 inside the horizon, later window
+      input.addData((3L, nearDup, ts(6)))
+      // advance the watermark far enough to close all windows
+      input.addData((9L, "closer doc far in the future", ts(60)))
+      q.processAllAvailable()
+      val ids = spark.table("stream_neardup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      // doc 3 shares >= 1 band bucket with doc 1 (39/41 Jaccard ~ 0.95)
+      // and must lose that claim; docs 1 and 2 keep all claims
+      assert(ids === Seq(1L, 2L))
+      // sanity: the near-dup pair really collides in >= 1 of the 8 bands
+      import graft.dedup.Dedup
+      val pairs = Dedup.minhashCandidates(
+        Seq((1L, base), (3L, nearDup)).toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 64, bands = 8)
+      assert(pairs.count() >= 1)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup keep == batch first-wins twin on real documents") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.expressions.Window
+    // arrival order = doc_id (one doc per minute, all within the horizon)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      .withColumn("t", expr("timestamp_millis(1704067200000 + doc_id * 60000)"))
+    // batch twin: bucket claimant = min doc_id (== min ts); a doc is kept
+    // iff it claims ALL of its band buckets
+    val banded = docs
+      .withColumn("__sig", Dedup.minhashSignature(Dedup.wordSet($"text"), 64))
+      .withColumn("__bands", Dedup.bandHashes($"__sig", 8, 8))
+      .select($"doc_id", posexplode($"__bands").as(Seq("band", "bucket")))
+    val claimant = Window.partitionBy("band", "bucket")
+    val expected = banded
+      .withColumn("__min", min("doc_id").over(claimant))
+      .groupBy("doc_id")
+      .agg(sum(when($"doc_id" === $"__min", 1).otherwise(0)).as("__won"))
+      .filter($"__won" === 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val kept = graft.streaming.StreamingDedup.nearDupKeep(
+      input.toDF().toDF("doc_id", "text", "t"), "t", "2 hours",
+      "1 minute", "doc_id", "text")
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName("stream_neardup_eq").start()
+    try {
+      val rows = docs.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      rows.foreach { r => input.addData(r) } // one micro-batch per doc: strict arrival order
+      q.processAllAvailable()
+      // close every window
+      input.addData((999999L, "window closer", new java.sql.Timestamp(
+        rows.last._3.getTime + 10L * 3600 * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("stream_neardup_eq").select("doc_id").as[Long]
+        .collect().filter(_ != 999999L).sorted.toSeq
+      assert(got === expected)
+    } finally q.stop()
+  }
 }
