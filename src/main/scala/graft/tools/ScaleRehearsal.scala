@@ -125,6 +125,25 @@ object ScaleRehearsal {
         f"10n scaled-plan -> $scaled10 (${scaled10.toDouble / scaled1}%.1fx, ~linear); " +
         f"10n FIXED plan -> $fixed10 (${fixed10.toDouble / scaled1}%.1fx, quadratic regime)")
     }
+
+    // ---- round-6 text-pipeline operators on the replicated corpus ----
+    // decontamination: the benchmark gram set is FIXED (it comes from the
+    // base corpus slice), so the broadcast build is invariant in k and
+    // the cost is the corpus scan + the matched-hit stream — time must
+    // grow ~linearly in k, never with the benchmark x corpus product
+    import graft.textanalysis.{Decontaminate, TextAnalysis}
+    val bench = base.filter(col("doc_id") % 97 === 0)
+    time(s"decontamination hits (${k}x corpus)") {
+      Decontaminate.contaminationHits(corpus, "doc_id", "text",
+        bench, "text", n = 3).count()
+    }
+    // sequence packing: the bucketed prefix sum must scale with one
+    // corpus shuffle; the offsets window sees only (idSpan/bucketWidth)
+    // rows regardless of k
+    time(s"sequence packing (${k}x corpus)") {
+      TextAnalysis.packSequences(corpus, "doc_id", "text",
+        budget = 2048, bucketWidth = 10000).count()
+    }
     spark.stop()
   }
 }
