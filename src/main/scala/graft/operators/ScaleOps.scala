@@ -143,6 +143,40 @@ object StratifiedSample {
   }
 }
 
+/** Deterministic weighted (importance) sampling: each row keeps with
+  * probability equal to its own `weight` column in [0,1] — e.g. a
+  * quality score, so high-quality documents survive curation more often
+  * — but the decision is a pure hash comparison, not RNG: the same row
+  * keeps or drops identically across retries, partitionings, and
+  * engines. Zero shuffle (a filter, like [[HashSample]]); expected kept
+  * count = sum(weights).
+  *
+  * Weights are clamped to [0, 1]. As with the samplers, [[Md5]] makes
+  * the exact kept-set re-derivable by any SQL engine: the row keeps iff
+  * the first 15 hex chars of its digest are lexically below the
+  * weight's 60-bit threshold rendered in hex (lowercase-hex lexical
+  * order == numeric order). A weight of exactly 1.0 excludes only the
+  * all-`f` digest prefix (probability 16^-15) — the price of a closed
+  * upper bound in hex space.
+  */
+object WeightedHashSample {
+  private val Scale = 1L << 60
+
+  def apply(df: DataFrame, weight: Column, seedCols: Seq[String],
+            hash: SampleHash = Xx64): DataFrame = {
+    val bound = least(greatest(floor(weight * Scale.toDouble), lit(0.0)),
+      lit((Scale - 1).toDouble)).cast("long")
+    hash match {
+      case Xx64 =>
+        df.filter(pmod(SampleHash.keyFor(seedCols, Xx64), lit(Scale)) < bound)
+      case Md5 =>
+        val hex15 = lpad(lower(hex(bound)), 15, "0")
+        df.filter(
+          substring(SampleHash.keyFor(seedCols, Md5), 1, 15) < hex15)
+    }
+  }
+}
+
 /** Distributed exclusive prefix sum over a global order — the building
   * block for sequence packing, global byte offsets, and deterministic
   * concatenation layouts. The naive form (one unpartitioned window) puts

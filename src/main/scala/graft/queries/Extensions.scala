@@ -275,6 +275,27 @@ object Extensions {
         budget = 256, bucketWidth = 100)
         .orderBy("doc_id")),
 
+    // PII-style redaction: digit runs in the JSON props masked, with a
+    // per-row hit audit (RE2-safe pattern, so DuckDB replays it exactly)
+    "text_redact" -> ((s, dir) =>
+      tbl(s, dir, "events").select(col("event_id"),
+        graft.textanalysis.Redact.hitCount(col("props"),
+          graft.textanalysis.Redact.DigitRun).as("n_hits"),
+        graft.textanalysis.Redact.redact(col("props"),
+          graft.textanalysis.Redact.DigitRun, "<NUM>").as("redacted"))
+        .orderBy("event_id")),
+
+    // quality-weighted deterministic sampling: each doc keeps with
+    // probability = its quality score, decided by md5 so the exact
+    // kept-set is re-derivable cross-engine
+    "sample_weighted" -> ((s, dir) =>
+      graft.operators.WeightedHashSample(
+        tbl(s, dir, "documents")
+          .withColumn("quality", TextAnalysis.qualityScore(col("text"))),
+        col("quality"), Seq("doc_id"), hash = graft.operators.Md5)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")),
+
     // top-3 TF-IDF terms per document (log-free IDF for cross-engine
     // bit-parity; see TextAnalysis.tfidfTopTerms)
     "text_tfidf" -> ((s, dir) =>
@@ -463,6 +484,34 @@ object Extensions {
            array_to_string(t[s:s+31], ' ') AS chunk_text,
            len(t[s:s+31]) AS n_tokens
          FROM starts ORDER BY doc_id, chunk_idx""",
+    "text_redact" ->
+      """SELECT event_id,
+         len(regexp_extract_all(props, '[0-9]+')) AS n_hits,
+         regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+         FROM events ORDER BY event_id""",
+    // quality CTE = the text_quality oracle; the keep rule is the same
+    // 60-bit hex threshold WeightedHashSample computes
+    "sample_weighted" ->
+      """WITH t AS (SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n,
+           length(text)::DOUBLE AS len,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> list_contains(['the','a','and','of','to','in'], x)))::DOUBLE AS stop,
+           (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE AS punct,
+           length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS nospace
+           FROM documents),
+         q AS (SELECT doc_id,
+           floor((least(n / 50.0, 1.0) * 0.3 + (stop / n) * 0.3
+             + (1.0 - punct / len) * 0.2
+             + least((nospace / n) / 8.0, 1.0) * 0.2) * 1000.0 + 0.5) / 1000.0
+             AS quality
+           FROM t)
+         SELECT doc_id, quality FROM q
+         WHERE substr(md5(doc_id::VARCHAR), 1, 15) <
+           lpad(lower(hex(CAST(least(greatest(
+             floor(quality * 1152921504606846976.0), 0.0),
+             1152921504606846975.0) AS BIGINT))), 15, '0')
+         ORDER BY doc_id""",
     "text_pack" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -129,6 +129,62 @@ class TextPipelineSpec extends SparkTestBase {
     assert(out.last._3 * 8 + out.last._4 + out.last._2 === 17L)
   }
 
+  test("weighted hash sample: deterministic, weight-proportional, clamped") {
+    import graft.operators.{Md5, WeightedHashSample, Xx64}
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = li.count().toDouble
+    // constant weight w behaves like HashSample(w)
+    Seq(0.25, 0.75).foreach { w =>
+      val k = WeightedHashSample(li, lit(w), Seq("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey")).count().toDouble
+      assert(math.abs(k / n - w) < 0.05, s"w=$w kept ${k / n}")
+    }
+    // weight 0 keeps nothing; weight 1 keeps (essentially) everything;
+    // out-of-range weights clamp rather than misbehave
+    assert(WeightedHashSample(li, lit(0.0), Seq("l_orderkey")).count() === 0)
+    assert(WeightedHashSample(li, lit(1.0), Seq("l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey")).count() === n.toLong)
+    assert(WeightedHashSample(li, lit(-3.0), Seq("l_orderkey")).count() === 0)
+    assert(WeightedHashSample(li, lit(7.0), Seq("l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey")).count() === n.toLong)
+    // per-row weights: re-evaluation and repartitioning keep the same set
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("w", graft.textanalysis.TextAnalysis.qualityScore($"text"))
+    def kept(df: org.apache.spark.sql.DataFrame, h: graft.operators.SampleHash) =
+      WeightedHashSample(df, col("w"), Seq("doc_id"), h)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    Seq(Xx64, Md5).foreach { h =>
+      val s1 = kept(d, h)
+      assert(s1.nonEmpty && s1.length < d.count())
+      assert(kept(d.repartition(13), h) === s1, s"hash=$h")
+    }
+    // zero shuffle: a pure filter over the scan
+    val p = WeightedHashSample(d, col("w"), Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"weighted sample must not shuffle:\n$p")
+  }
+
+  test("redaction: ordered rules, hit counts, idempotence") {
+    import graft.textanalysis.Redact
+    val d = Seq((1L, "mail bob.jones+x@corp.example.com port 8080 ip 10.0.0.1"),
+      (2L, "no sensitive spans here"))
+      .toDF("id", "text")
+    val out = d.select($"id",
+      Redact.hitCount($"text", Redact.Email).as("emails"),
+      Redact.hitCount($"text", Redact.Ipv4).as("ips"),
+      Redact.redactAll($"text", Seq(
+        Redact.Email -> "<EMAIL>", Redact.Ipv4 -> "<IP>",
+        Redact.DigitRun -> "<NUM>")).as("red"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) === 1 && out(0).getInt(2) === 1)
+    assert(out(0).getString(3) === "mail <EMAIL> port <NUM> ip <IP>")
+    assert(out(1).getString(3) === "no sensitive spans here")
+    // idempotent: redacting already-redacted text changes nothing
+    val once = Redact.redactAll($"text", Seq(Redact.Email -> "<EMAIL>"))
+    val twice = Redact.redactAll(once, Seq(Redact.Email -> "<EMAIL>"))
+    assert(d.select((once === twice).as("eq")).collect().forall(_.getBoolean(0)))
+  }
+
   test("decontamination plan: benchmark side broadcasts, corpus side has no pre-join shuffle") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val hits = Decontaminate.contaminationHits(
