@@ -493,7 +493,9 @@ object Extensions {
     // 60-bit hex threshold WeightedHashSample computes
     "sample_weighted" ->
       """WITH t AS (SELECT doc_id, text,
-           len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n,
+           CASE WHEN length(trim(text)) = 0 THEN 0.0
+             ELSE len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+             END AS n,
            length(text)::DOUBLE AS len,
            len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              x -> list_contains(['the','a','and','of','to','in'], x)))::DOUBLE AS stop,
@@ -501,9 +503,11 @@ object Extensions {
            length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS nospace
            FROM documents),
          q AS (SELECT doc_id,
-           floor((least(n / 50.0, 1.0) * 0.3 + (stop / n) * 0.3
-             + (1.0 - punct / len) * 0.2
-             + least((nospace / n) / 8.0, 1.0) * 0.2) * 1000.0 + 0.5) / 1000.0
+           floor((least(n / 50.0, 1.0) * 0.3
+             + (CASE WHEN n = 0 THEN 0.0 ELSE stop / n END) * 0.3
+             + (1.0 - CASE WHEN len = 0 THEN 0.0 ELSE punct / len END) * 0.2
+             + least((CASE WHEN n = 0 THEN 0.0 ELSE nospace / n END) / 8.0,
+                 1.0) * 0.2) * 1000.0 + 0.5) / 1000.0
              AS quality
            FROM t)
          SELECT doc_id, quality FROM q
@@ -521,7 +525,8 @@ object Extensions {
          cum AS (
            SELECT doc_id, n_tokens,
              COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS s
            FROM toks)
          SELECT doc_id, n_tokens, s // 256 AS seq_id, s % 256 AS seq_offset
          FROM cum ORDER BY doc_id""",
@@ -604,7 +609,9 @@ object Extensions {
          FROM documents ORDER BY doc_id""",
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
-           len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n,
+           CASE WHEN length(trim(text)) = 0 THEN 0.0
+             ELSE len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE
+             END AS n,
            length(text)::DOUBLE AS len,
            len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              x -> list_contains(['the','a','and','of','to','in'], x)))::DOUBLE AS stop,
@@ -612,9 +619,11 @@ object Extensions {
            length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS nospace
            FROM documents)
          SELECT doc_id,
-           floor((least(n / 50.0, 1.0) * 0.3 + (stop / n) * 0.3
-             + (1.0 - punct / len) * 0.2
-             + least((nospace / n) / 8.0, 1.0) * 0.2) * 1000.0 + 0.5) / 1000.0
+           floor((least(n / 50.0, 1.0) * 0.3
+             + (CASE WHEN n = 0 THEN 0.0 ELSE stop / n END) * 0.3
+             + (1.0 - CASE WHEN len = 0 THEN 0.0 ELSE punct / len END) * 0.2
+             + least((CASE WHEN n = 0 THEN 0.0 ELSE nospace / n END) / 8.0,
+                 1.0) * 0.2) * 1000.0 + 0.5) / 1000.0
              AS quality
          FROM t ORDER BY doc_id""",
     "text_lang_id" ->

@@ -192,25 +192,32 @@ object TextAnalysis {
     *
     * Shape: explode words → tf groupBy (map-side combined) → document
     * frequency from the tf table (one row per (doc, word), so `count` IS
-    * df) → broadcast the vocabulary-sized df table and the 1-row corpus
-    * count back onto tf — the corpus-scale side never reshuffles. At
-    * web-scale vocabularies swap the broadcast for a shuffle join; the
-    * tf table is already partitioned by (id, word) so only the small
-    * side moves. Top-k via row_number over per-document windows —
-    * partitions are vocabulary-per-document sized, never corpus sized.
+    * df) → join the df table and the 1-row corpus count back onto tf.
+    * With `broadcastVocab = true` (the default, right for bounded
+    * vocabularies) the vocabulary-sized df table is broadcast so the
+    * corpus-scale side never reshuffles. A web-scale vocabulary
+    * (open-domain text at 100 TB) does not fit the broadcast limit or
+    * driver memory — pass `broadcastVocab = false` to leave the join
+    * strategy to the planner: a shuffle join on `word` when stats say
+    * big, and AQE still demotes it to broadcast at runtime when the
+    * built side turns out small. Top-k via row_number over per-document
+    * windows — partitions are vocabulary-per-document sized, never
+    * corpus sized.
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
-                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+                    textCol: String, k: Int,
+                    broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be >= 1")
     val docs = nonBlank(df, textCol)
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dfreq0 = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreq0) else dfreq0
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("word"))
-    tf.join(broadcast(dfreq), Seq("word"))
+    tf.join(dfreq, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round4(col("tf") * ((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))))

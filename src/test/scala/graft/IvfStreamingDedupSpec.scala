@@ -122,6 +122,31 @@ class IvfStreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup keep: same-batch near-dups resolve to the earliest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts: Long => java.sql.Timestamp =
+      m => new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokX"
+    val kept = graft.streaming.StreamingDedup.nearDupKeep(
+      input.toDF().toDF("doc_id", "text", "t"), "t", "10 minutes",
+      "5 minutes", "doc_id", "text")
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName("stream_neardup_batch").start()
+    try {
+      // BOTH near-dups in ONE micro-batch: an arbitrary within-batch
+      // winner could split the shared buckets and drop both; the
+      // deterministic claim store must keep exactly the earlier doc
+      input.addData((1L, base, ts(0)), (3L, nearDup, ts(1)))
+      input.addData((9L, "closer doc far in the future", ts(60)))
+      q.processAllAvailable()
+      val ids = spark.table("stream_neardup_batch").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup keep == batch first-wins twin on real documents") {
     implicit val sqlCtx = spark.sqlContext
     import graft.dedup.Dedup

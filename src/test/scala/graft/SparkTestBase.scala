@@ -20,6 +20,10 @@ object SparkTestBase {
       // everywhere so suites pass in isolation, not just in full-suite
       // order (queries.tbl also sets this per-session)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // transformWithState (StreamingDedup.nearDupKeep) requires the
+      // RocksDB provider; every other stateful op runs on it fine
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")

@@ -76,6 +76,21 @@ class TextPipelineSpec extends SparkTestBase {
       "doc_id", "text", k = 2).count() === 4)
   }
 
+  test("tfidfTopTerms: web-vocab mode drops the forced broadcast, same result") {
+    val in = docs(1L -> "a a b", 2L -> "b c")
+    val forced = TextAnalysis.tfidfTopTerms(in, "doc_id", "text", k = 2)
+    val planned = TextAnalysis.tfidfTopTerms(in, "doc_id", "text", k = 2,
+      broadcastVocab = false)
+    assert(planned.orderBy("doc_id", "word").collect().toSeq
+      === forced.orderBy("doc_id", "word").collect().toSeq)
+    // only the 1-row corpus count keeps a broadcast HINT; the
+    // vocabulary join strategy is left to the planner (shuffle join at
+    // web-scale stats, AQE may still demote to broadcast when small)
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints(forced) >= 2 && hints(planned) === hints(forced) - 1)
+  }
+
   test("decontamination: hits count distinct benchmark grams; clean drops") {
     val corpus = docs(
       1L -> "the quick brown fox jumps over the lazy dog", // contains bench gram
