@@ -242,3 +242,101 @@ object HashSample {
     }
   }
 }
+
+/** Deterministic global training-order shuffle with MATERIALIZED
+  * positions: every row gets `posCol` = its rank in ascending order of a
+  * per-row hash key, i.e. a reproducible pseudo-random permutation of
+  * the corpus (vary `epoch` for a fresh permutation per training epoch,
+  * same rows, same hardware-independent order on every rerun).
+  *
+  * The naive form — `row_number()` over an unpartitioned ORDER BY —
+  * sorts the whole corpus on ONE task. This one never does, using the
+  * same two-level shape as [[BucketedPrefixSum]], with the twist that
+  * the hash key itself supplies balanced range buckets for free (its
+  * top bits are uniform, so each of the `buckets` ranges holds ~n/B
+  * rows — no sampling pass, unlike `repartitionByRange`):
+  *
+  *  1. bucket = the key's top log2(B) bits, order-aligned with the full
+  *     key (bucket boundaries are range cuts of the permutation);
+  *  2. within-bucket rank: one shuffle on bucket, a window sort of
+  *     ~n/B rows per task;
+  *  3. bucket row-counts (map-side combined groupBy) take an exclusive
+  *     prefix sum on a B-row table — the only unpartitioned window —
+  *     and broadcast back: `pos = bucket_offset + within_rank - 1`.
+  *
+  * [[Md5]] keys make the exact permutation re-derivable by any SQL
+  * engine (`row_number() OVER (ORDER BY md5(...), id)`); [[Xx64]] is
+  * the cheaper production family. Ties (astronomically unlikely with
+  * either digest) break deterministically on `seedCols`.
+  */
+object GlobalShuffleRank {
+  def apply(df: DataFrame, seedCols: Seq[String], posCol: String = "pos",
+            epoch: Long = 0L, hash: SampleHash = Xx64,
+            buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    import org.apache.spark.sql.expressions.Window
+    val seeded = lit(epoch).cast("string") +: seedCols.map(col(_).cast("string"))
+    val (key, bucket) = hash match {
+      case Xx64 =>
+        val b = java.lang.Integer.numberOfTrailingZeros(buckets)
+        val k = xxhash64(seeded: _*)
+        // top b bits, sign bit flipped so bucket order == signed key order
+        (k, shiftrightunsigned(k, 64 - b).bitwiseXOR(lit(1L << (b - 1))))
+      case Md5 =>
+        require(buckets == 256, "Md5 family buckets fixed at 256 (1 hex byte)")
+        val k = md5(concat_ws("|", seeded: _*))
+        (k, conv(substring(k, 1, 2), 16, 10).cast("int"))
+    }
+    val keyed = df.withColumn("__key", key).withColumn("__bkt", bucket)
+    val within = Window.partitionBy("__bkt")
+      .orderBy(col("__key") +: seedCols.map(col): _*)
+    val acrossBuckets = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__bkt").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(acrossBuckets), lit(0L)))
+      .select("__bkt", "__off")
+    keyed
+      .withColumn("__rn", row_number().over(within))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(posCol, col("__off") + col("__rn") - 1)
+      .drop("__key", "__bkt", "__rn", "__off")
+  }
+}
+
+/** Deterministic domain-mixture sampling: compose a training mix with
+  * TARGET proportions per source (language, domain, crawl) from a corpus
+  * whose natural mix is different — e.g. {en -> 0.5, zh -> 0.2,
+  * de -> 0.3} over a web crawl that is 80% English. Each source `s`
+  * contributes its bottom-`round(total * targets(s))` rows by the
+  * stable hash order (sources absent from `targets` contribute none; a
+  * source smaller than its quota contributes everything it has — the
+  * caller sees the shortfall in the output mix). Per-source bottom-k
+  * instead of rate-filtering makes the quota EXACT, not binomial.
+  *
+  * One shuffle on the source column. The same hot-stratum caveat as
+  * [[StratifiedSample]] applies (a 90%-of-corpus source sorts on one
+  * task); for that regime pre-filter each source to ~c·k rows with
+  * [[HashSample]] on the same key family first — thresholds on the hash
+  * order are downward-closed, so the true bottom-k survives.
+  */
+object MixtureSample {
+  def apply(df: DataFrame, sourceCol: String, targets: Map[String, Double],
+            total: Long, seedCols: Seq[String],
+            hash: SampleHash = Xx64): DataFrame = {
+    require(total > 0, "total must be positive")
+    require(targets.values.forall(v => v >= 0 && v <= 1),
+      "target fractions must be in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val quota = targets.foldLeft(lit(0L)) { case (acc, (src, frac)) =>
+      when(col(sourceCol) === src,
+        lit(math.floor(total * frac + 0.5).toLong)).otherwise(acc)
+    }
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col("__h") +: seedCols.map(col): _*)
+    df.withColumn("__h", SampleHash.keyFor(seedCols, hash))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__h", "__rn")
+  }
+}

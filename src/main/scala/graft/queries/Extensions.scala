@@ -226,6 +226,24 @@ object Extensions {
         .select("o_orderstatus", "o_orderkey", "o_totalprice")
         .orderBy("o_orderstatus", "o_orderkey")),
 
+    // deterministic global training-order shuffle: distributed rank over
+    // an epoch-seeded md5 permutation — two-level bucketed rank, never a
+    // single-task corpus sort
+    "shuffle_rank" -> ((s, dir) =>
+      graft.operators.GlobalShuffleRank(
+        tbl(s, dir, "documents").select("doc_id"), Seq("doc_id"),
+        epoch = 7L, hash = graft.operators.Md5)
+        .orderBy("doc_id")),
+
+    // deterministic domain-mixture sample: exact per-language quotas
+    // toward a target training mix (en 50% / zh 20% / de 30% of 120)
+    "sample_mixture" -> ((s, dir) =>
+      graft.operators.MixtureSample(tbl(s, dir, "documents"),
+        "lang", Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.3), total = 120,
+        Seq("doc_id"), hash = graft.operators.Md5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
     // transitive near-dup groups: connected components over the exact
     // windowed-Jaccard pair list (DuckDB replays it as a recursive CTE)
     "dedup_components" -> ((s, dir) => {
@@ -407,6 +425,20 @@ object Extensions {
            FROM orders)
          WHERE rn <= 50
          ORDER BY o_orderstatus, o_orderkey""",
+    "shuffle_rank" ->
+      """SELECT doc_id,
+         row_number() OVER (ORDER BY md5('7|' || doc_id::VARCHAR), doc_id)
+           - 1 AS pos
+         FROM documents ORDER BY doc_id""",
+    "sample_mixture" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 24
+           WHEN 'de' THEN 36 ELSE 0 END
+         ORDER BY lang, doc_id""",
     "dedup_components" ->
       """WITH RECURSIVE sets AS (SELECT doc_id,
              list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s

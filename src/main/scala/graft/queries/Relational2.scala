@@ -143,6 +143,50 @@ object Relational2 {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // O-window — lag/lead neighbor access (inter-order gaps per customer)
+    "window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // hour-granular integer deltas: unix_millis subtraction is exact
+      // long math both engines compute identically (no date/interval
+      // semantics to disagree on); gaps are non-negative by the window
+      // order, so truncating cast == DuckDB's floor division
+      tbl(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        ((unix_millis(col("o_orderdate").cast("timestamp"))
+          - unix_millis(lag("o_orderdate", 1).over(w).cast("timestamp")))
+          / 3600000).cast("long").as("hours_since_prev"),
+        ((unix_millis(lead("o_orderdate", 1).over(w).cast("timestamp"))
+          - unix_millis(col("o_orderdate").cast("timestamp")))
+          / 3600000).cast("long").as("hours_until_next"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // A-rollup — hierarchical subtotals in one pass (detail -> per-flag
+    // -> grand total), disambiguated by grouping_id; Spark plans a
+    // single Expand + hash aggregate, no repeated scans
+    "agg_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          col("l_quantity"))
+        .rollup("rf", "ls")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .select("rf", "ls", "gid", "n", "sum_qty")
+        .orderBy("gid", "rf", "ls")),
+
+    // A-percentiles — exact grouped quantiles (linear interpolation,
+    // the same definition DuckDB's quantile_cont computes)
+    "agg_percentiles" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+        .orderBy("rf")),
+
     // O6 — top-N by measure
     "sort_topn" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -287,6 +331,28 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+         (epoch_ms(o_orderdate) - epoch_ms(lag(o_orderdate) OVER w))
+           // 3600000 AS hours_since_prev,
+         (epoch_ms(lead(o_orderdate) OVER w) - epoch_ms(o_orderdate))
+           // 3600000 AS hours_until_next
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "agg_rollup" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+         (grouping(l_returnflag)*2 + grouping(l_linestatus))::BIGINT AS gid,
+         count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
+    "agg_percentiles" ->
+      """SELECT l_returnflag AS rf,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+         round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "agg_ratio" ->
       """SELECT l_returnflag, count(*) AS n,
          round(count(*) / (SELECT count(*)::DOUBLE FROM lineitem), 4) AS pct

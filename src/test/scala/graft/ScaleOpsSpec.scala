@@ -148,6 +148,71 @@ class ScaleOpsSpec extends SparkTestBase {
         s"bucketed join must not shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("global shuffle rank: a permutation, epoch-sensitive, bucketed plan") {
+    import graft.operators.{GlobalShuffleRank, Md5, Xx64}
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val n = docs.count()
+    val ranked = GlobalShuffleRank(docs, Seq("doc_id"), epoch = 7L)
+    // output schema = input + posCol, no internal columns leaked
+    assert(ranked.columns.toSeq === Seq("doc_id", "pos"))
+    // positions are exactly 0..n-1 (a permutation, no gaps or dups)
+    val pos = ranked.select("pos").as[Long].collect().sorted
+    assert(pos.toSeq === (0L until n).toSeq)
+    // matches the single-window reference computation for both families
+    Seq(Xx64: graft.operators.SampleHash, Md5).foreach { fam =>
+      val got = GlobalShuffleRank(docs, Seq("doc_id"), epoch = 7L, hash = fam)
+        .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val key = fam match {
+        case Xx64 => xxhash64(lit("7"), col("doc_id").cast("string"))
+        case Md5  => md5(concat_ws("|", lit("7"), col("doc_id").cast("string")))
+      }
+      val w = org.apache.spark.sql.expressions.Window.orderBy(key, col("doc_id"))
+      val ref = docs.select(col("doc_id"), (row_number().over(w) - 1).cast("long").as("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === ref, s"family $fam")
+    }
+    // a different epoch yields a different permutation
+    val other = GlobalShuffleRank(docs, Seq("doc_id"), epoch = 8L)
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = ranked.select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(other !== base)
+    // partitioning-independent (the determinism contract)
+    val reparted = GlobalShuffleRank(docs.repartition(13), Seq("doc_id"), epoch = 7L)
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reparted === base)
+    // the ONLY unpartitioned window runs over the bucket-count table, so
+    // every Sort of the corpus side is preceded by a hash exchange on the
+    // bucket — no single-task global sort of the data
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(__bkt"),
+      s"corpus rank must shuffle on the hash bucket:\n$plan")
+  }
+
+  test("mixture sample: exact per-source quotas, shortfall on small sources") {
+    import graft.operators.{MixtureSample, Md5}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val natural = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.3)
+    val total = 40L
+    val out = MixtureSample(docs, "lang", targets, total, Seq("doc_id"),
+      hash = Md5)
+    val mix = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source hits min(quota, available); absent sources contribute 0
+    targets.foreach { case (srcLang, frac) =>
+      val quota = math.floor(total * frac + 0.5).toLong
+      assert(mix.getOrElse(srcLang, 0L)
+        === math.min(quota, natural.getOrElse(srcLang, 0L)), s"lang $srcLang")
+    }
+    assert(mix.keySet.subsetOf(targets.keySet))
+    // deterministic across partitionings
+    val again = MixtureSample(docs.repartition(11), "lang", targets, total,
+      Seq("doc_id"), hash = Md5).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
 
 class SessionStateSpec extends SparkTestBase {
@@ -305,4 +370,5 @@ class SessionStateSpec extends SparkTestBase {
     }.map(s => (s.user_id, s.session_start_sec, s.n)).toSet
     assert(got === ref)
   }
+
 }

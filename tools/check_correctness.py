@@ -94,6 +94,25 @@ def main():
             print(f"SCHEMA   {name}: spark={s_names} duck={d_names}")
             n_fail += 1
             continue
+        # The driver's gate hash is TYPE-sensitive: a DuckDB HUGEINT /
+        # decimal128 column with values identical to Spark's int64 still
+        # fails it (round-6 text_pack). Flag any physical-type divergence
+        # beyond the benign int<->float widths the value compare tolerates.
+        type_bad = []
+        for n in s_names:
+            st = str(spark_tbl.schema.field(n).type)
+            dt = str(duck.schema.field(n).type)
+            if st != dt:
+                numeric = {"int8", "int16", "int32", "int64",
+                           "float", "double"}
+                both_float = {st, dt} <= {"float", "double"}
+                both_int = {st, dt} <= numeric - {"float", "double"}
+                if not (both_float or both_int):
+                    type_bad.append((n, st, dt))
+        if type_bad:
+            print(f"TYPES    {name}: {type_bad} (driver hash will fail)")
+            n_fail += 1
+            continue
         if len(s_rows) != len(d_rows):
             print(f"ROWS     {name}: spark={len(s_rows)} duck={len(d_rows)}")
             n_fail += 1
