@@ -278,6 +278,16 @@ object Extensions {
         n = 2)
         .orderBy("doc_id")),
 
+    // corpus-level boilerplate removal (CCNet/Gopher line dedup): drop
+    // every occurrence of a unit appearing > 20 times corpus-wide,
+    // reassemble docs from surviving units; 2-token spans stand in for
+    // lines (the synthetic corpus has no newlines)
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.dropBoilerplate(tbl(s, dir, "documents"), "doc_id", "text",
+        maxCount = 20, splitUnits = t => TextAnalysis.tokenSpans(t, 2),
+        sep = " ")
+        .orderBy("doc_id")),
+
     // context-window chunking: 32-token windows, stride 24 (final chunk
     // may be short; short docs yield one chunk)
     "text_chunks" -> ((s, dir) =>
@@ -482,6 +492,26 @@ object Extensions {
          FROM grams g JOIN bench b ON g.gram = b.gram
          WHERE g.doc_id % 97 <> 0
          GROUP BY g.doc_id ORDER BY doc_id""",
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+             FROM documents
+             WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         toks AS (SELECT doc_id, unnest(arr) AS tok,
+             unnest(generate_series(1, len(arr))) AS i FROM d),
+         spans AS (SELECT doc_id, (i - 1) // 2 AS pos,
+             string_agg(tok, ' ' ORDER BY i) AS unit
+             FROM toks GROUP BY doc_id, (i - 1) // 2),
+         freq AS (SELECT unit FROM spans GROUP BY unit HAVING count(*) > 20),
+         flagged AS (SELECT s.doc_id, s.pos, s.unit,
+             f.unit IS NOT NULL AS is_freq
+             FROM spans s LEFT JOIN freq f ON s.unit = f.unit)
+         SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT is_freq THEN unit END,
+             ' ' ORDER BY pos), '') AS clean_text,
+           COALESCE(sum(CASE WHEN is_freq THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_dropped,
+           count(*)::BIGINT AS n_units
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
     "text_repetition" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -107,6 +107,69 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Non-overlapping `w`-token spans as an array<string> (the final span
+    * may be short) — the span unit for [[dropBoilerplate]] on corpora
+    * without line structure. */
+  def tokenSpans(text: Column, w: Int): Column = {
+    require(w >= 1, "span width must be >= 1")
+    val spansOf = (t: Column) =>
+      when(size(t) === 1 && element_at(t, 1) === "",
+        array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), ((size(t) - 1) / w).cast("int")),
+          i => concat_ws(" ", slice(t, i * w + 1, lit(w)))))
+    flatten(transform(array(tokens(text)), spansOf))
+  }
+
+  /** Newline units for [[dropBoilerplate]] on real (line-structured)
+    * corpora: trimmed non-empty lines. */
+  def lineUnits(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Corpus-level boilerplate removal (the CCNet/Gopher line-dedup
+    * filter): drop every occurrence of a unit (line, or token span via
+    * [[tokenSpans]]) that appears more than `maxCount` times across the
+    * WHOLE corpus — nav bars, cookie banners, template footers — and
+    * reassemble each document from its surviving units in order.
+    *
+    * Output: (id, clean_text, n_dropped, n_units); a document whose every
+    * unit is boilerplate stays, with `clean_text = ""`.
+    *
+    * Shape: posexplode units → frequency table grouped on the unit's
+    * xxhash64 digest (map-side combine shrinks the shuffle to unique
+    * digests per task; grouping/joining 8-byte digests instead of full
+    * line strings cuts the shuffle width by the mean line length) →
+    * filter to `count > maxCount` — by construction the DISTINCT mass of
+    * boilerplate is small, so this table broadcasts and the corpus side
+    * takes a broadcast left join with NO shuffle (set
+    * `broadcastFrequent = false` to let the planner choose when the
+    * frequent set is genuinely huge) → one groupBy(id) rebuilds
+    * documents. Two corpus-wide shuffles total (frequency partials +
+    * document regroup) at any scale.
+    */
+  def dropBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, maxCount: Long,
+                      splitUnits: Column => Column = lineUnits,
+                      sep: String = "\n",
+                      broadcastFrequent: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(maxCount >= 1, "maxCount must be >= 1")
+    val units = nonBlank(df, textCol)
+      .select(col(idCol), posexplode(splitUnits(col(textCol))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__unit")
+      .withColumn("__h", xxhash64(col("__unit")))
+    val freq0 = units.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxCount).select(col("__h"), lit(true).as("__freq"))
+    val freq = if (broadcastFrequent) broadcast(freq0) else freq0
+    units.join(freq, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__freq").isNull,
+            struct(col("__pos"), col("__unit"))))),
+          s => s.getField("__unit"))).as("clean_text"),
+        sum(when(col("__freq").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        count(lit(1)).as("n_units"))
+  }
+
   /** Arithmetic 4-decimal rounding stable across engines (same rationale
     * as the 3-decimal variant in [[qualityScore]]). */
   private[textanalysis] def round4(c: Column): Column =
@@ -157,30 +220,52 @@ object TextAnalysis {
     round4(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
   }
 
+  /** Share of all word n-grams taken by the single most frequent one,
+    * computed entirely WITHIN the row: sort the gram array, then the
+    * most frequent gram's count is the longest run of equal adjacent
+    * elements (one `aggregate` pass over the sorted array). The outer
+    * one-element `transform` let-binds the sorted array so the
+    * tokenize+sort runs once, not once per reference.
+    */
+  private def topNgramFraction(text: Column, n: Int): Column =
+    element_at(transform(array(array_sort(ngrams(text, n))), g => {
+      val total = size(g)
+      val best = aggregate(
+        slice(g, lit(2), greatest(total - lit(1), lit(0))),
+        named_struct(lit("run"), lit(1), lit("best"), lit(1),
+          lit("prev"), element_at(g, 1)),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          named_struct(lit("run"), run,
+            lit("best"), greatest(acc.getField("best"), run),
+            lit("prev"), x)
+        },
+        acc => acc.getField("best"))
+      round4(best.cast("double") / total)
+    }), 1)
+
   /** Per-document repetition signals (the Gopher repetition filters):
     * `dup_word_frac` (share of repeated word occurrences) and
     * `top_ngram_frac` (share of all word n-grams taken by the single most
     * frequent one — boilerplate/loop detector). Documents shorter than
     * `n` tokens are out of domain and dropped.
     *
-    * Shape: explode n-grams → two partial-aggregating groupBys, both
-    * keyed by (id, …) so map-side combine collapses each document's grams
-    * before the shuffle; `dup_word_frac` is computed in the scan and
-    * carried through both aggregations as a constant-per-group `first`
-    * (no join back to the corpus).
+    * Shape: a pure narrow scan — both signals are per-row array
+    * computations ([[dupWordFraction]]; [[topNgramFraction]] = longest
+    * equal-adjacent run in the SORTED gram array), so the operator never
+    * shuffles. The previous explode → two-groupBy form shuffled one row
+    * per n-gram — corpus-token-count rows through two exchanges — and
+    * was the slowest query in the bench at 9 s / sf0.1; this form is
+    * scan-bound (~0.3 s) and stays shuffle-free at any corpus size.
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
     nonBlank(df, textCol)
       .filter(size(tokens(col(textCol))) >= n)
-      .select(col(idCol), dupWordFraction(col(textCol)).as("__dup"),
-        explode(ngrams(col(textCol), n)).as("__gram"))
-      .groupBy(col(idCol), col("__gram"))
-      .agg(first("__dup").as("__dup"), count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(first("__dup").as("dup_word_frac"),
-        round4(max("__c").cast("double") / sum("__c")).as("top_ngram_frac"))
+      .select(col(idCol), dupWordFraction(col(textCol)).as("dup_word_frac"),
+        topNgramFraction(col(textCol), n).as("top_ngram_frac"))
   }
 
   /** Top-k TF-IDF terms per document, `score = tf * (N+1)/(df+1)`.

@@ -62,6 +62,53 @@ class TextPipelineSpec extends SparkTestBase {
       .count() === 0)
   }
 
+  test("dropBoilerplate drops frequent units, reassembles in order") {
+    // "nav" appears 3x corpus-wide (> maxCount 2) -> every copy dropped;
+    // "footer" appears 2x (<= 2) -> kept
+    val d = docs(
+      1L -> "nav\nreal one\nfooter",
+      2L -> "nav\nreal two",
+      3L -> "nav\nfooter\nreal three")
+    val out = TextAnalysis.dropBoilerplate(d, "doc_id", "text", maxCount = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq(
+      (1L, "real one\nfooter", 1L, 3L),
+      (2L, "real two", 1L, 2L),
+      (3L, "footer\nreal three", 1L, 3L)))
+    // a doc that is ALL boilerplate stays, with empty clean_text
+    val all = TextAnalysis.dropBoilerplate(docs(1L -> "x\nx", 2L -> "x"),
+      "doc_id", "text", maxCount = 2).orderBy("doc_id").collect()
+    assert(all.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq((1L, "", 2L), (2L, "", 1L)))
+    // span units: same op over 2-token spans for line-free corpora
+    val sp = TextAnalysis.dropBoilerplate(
+      docs(1L -> "a b c d", 2L -> "a b x", 3L -> "a b"),
+      "doc_id", "text", maxCount = 2,
+      splitUnits = t => TextAnalysis.tokenSpans(t, 2), sep = " ")
+      .orderBy("doc_id").collect()
+    // "a b" occurs 3x (> 2) -> dropped everywhere; tails survive
+    assert(sp.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "c d"), (2L, "x"), (3L, "")))
+  }
+
+  test("dropBoilerplate plan: frequent set broadcasts, corpus side unshuffled pre-join") {
+    val plan = TextAnalysis.dropBoilerplate(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      maxCount = 20, splitUnits = t => TextAnalysis.tokenSpans(t, 2),
+      sep = " ").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frequent-unit set must broadcast:\n$plan")
+  }
+
+  test("repetitionStats plans as a shuffle-free narrow scan") {
+    val plan = TextAnalysis.repetitionStats(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition signals must not shuffle:\n$plan")
+  }
+
   test("tfidfTopTerms scores and ranks by log-free idf") {
     // d1: "a a b", d2: "b c" ; N = 2
     // df: a->1, b->2, c->1 ; idf: a,c -> 3/2 = 1.5 ; b -> 1.0
