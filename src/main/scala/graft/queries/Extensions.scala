@@ -84,6 +84,17 @@ object Extensions {
         .withColumn("sim", col("sim") + lit(0.0))
     }),
 
+    // batch top-k similarity join: 20 query vectors against the corpus
+    // in ONE scan; per-query top-5 via the bounded map-side aggregator
+    "sim_topk_join" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.topKJoin(emb, "vec_id", "embedding", q, "query_id", "qvec",
+        k = 5)
+        .orderBy("query_id", "vec_id")
+    }),
+
     // IVF ANN: coarse k-means quantizer + inverted-list probe. With
     // nprobe = nlist the probe covers every list, so the result is
     // EXACTLY brute-force top-k — which is what the DuckDB oracle
@@ -629,6 +640,17 @@ object Extensions {
            round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0 AS sim
          FROM embeddings, q
          ORDER BY sim DESC, vec_id LIMIT 20""",
+    "sim_topk_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 20),
+         s AS (SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+                   + 0.0 AS sim
+               FROM embeddings e, q),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS rn FROM s)
+         SELECT query_id, vec_id, sim FROM r WHERE rn <= 5
+         ORDER BY query_id, vec_id""",
     "sim_ann_ivf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                     WHERE vec_id = 0)

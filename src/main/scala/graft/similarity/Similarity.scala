@@ -113,6 +113,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH top-k similarity join: the k nearest corpus vectors (cosine,
+    * ties by id) for EVERY query in a query frame — the retrieval shape
+    * of embedding-based dedup-against-index and RAG-style lookup, where
+    * the single-query [[topK]] loop would rescan the corpus per query.
+    *
+    * One corpus scan: the query batch broadcasts, every (corpus, query)
+    * pair is scored in the scan, and the per-query top-k is a
+    * [[TopKByScore]] typed aggregate whose state is BOUNDED at k — so it
+    * partial-aggregates map-side and the shuffle carries only
+    * (queries x partitions x k) ranked entries, never the full score
+    * table (a per-query `row_number` window would shuffle all
+    * |corpus| x |queries| scored rows onto |queries| reducers).
+    * Scores are rounded to 4 decimals BEFORE ranking (same contract as
+    * [[topK]]), so ranks are engine-replayable.
+    */
+  def topKJoin(corpus: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qidCol).cast("long"),
+        round(cosine(toVec(col(vecCol)), toVec(col(qvecCol))), 4).as("sim"),
+        col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+    scored.groupByKey(_._1)
+      .agg(new TopKByScore(k).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.id, h.score)) }
+      .toDF(qidCol, idCol, "sim")
+      .withColumn("sim", col("sim") + lit(0.0))
+  }
+
   // ---------------- banded multi-table sign-LSH near-dup ----------------
 
   /** Contiguous axis-aligned hyperplane assignment: table (band) `i` gets

@@ -77,6 +77,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(top.head.getAs[Double]("sim") - 1.0) < 1e-9)
     assert(top.map(_.getAs[Int]("bucket")).distinct.length === 1)
   }
+
+  test("batch topKJoin equals the per-query single topK loop") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val batch = Similarity.topKJoin(emb, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 4)
+    assert(batch.columns.toSeq === Seq("query_id", "vec_id", "sim"))
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: the proven single-query operator, looped
+    val ref = (0L until 5L).flatMap { qid =>
+      val q = emb.filter($"vec_id" === qid).select($"embedding".as("qvec"))
+      Similarity.topK(emb, "vec_id", "embedding", q, "qvec", k = 4)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(got === ref)
+    // each query's own vector ranks first with sim 1.0
+    assert((0L until 5L).forall(qid => got.contains((qid, qid, 1.0))))
+    // bounded-state aggregate: the plan uses ObjectHashAggregate (typed
+    // partial agg), not a per-query row_number window over all pairs
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      s"topKJoin must plan as a bounded typed aggregate:\n$plan")
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
