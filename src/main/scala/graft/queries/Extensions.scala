@@ -84,6 +84,17 @@ object Extensions {
         .withColumn("sim", col("sim") + lit(0.0))
     }),
 
+    // symmetric int8 embedding quantization (4x storage/shuffle shrink),
+    // exploded per dimension so every quantized byte is value-pinned
+    "sim_quantize" -> ((s, dir) => {
+      val q = graft.similarity.Quantize.int8(tbl(s, dir, "embeddings"),
+        "embedding")
+      q.select(col("vec_id"), col("qscale"), posexplode(col("qvec")))
+        .select(col("vec_id"), col("pos").as("dim"),
+          col("col").cast("int").as("qval"), col("qscale"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // batch top-k similarity join: 20 query vectors against the corpus
     // in ONE scan; per-query top-5 via the bounded map-side aggregator
     "sim_topk_join" -> ((s, dir) => {
@@ -640,6 +651,18 @@ object Extensions {
            round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0 AS sim
          FROM embeddings, q
          ORDER BY sim DESC, vec_id LIMIT 20""",
+    "sim_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / 127.0 AS qscale
+           FROM embeddings)
+         SELECT vec_id, i - 1 AS dim,
+           CASE WHEN qscale = 0 THEN 0 ELSE
+             greatest(-127.0, least(127.0, floor(v[i] / qscale + 0.5)))
+           END::INTEGER AS qval,
+           qscale
+         FROM s, generate_series(1, 64) AS g(i)
+         ORDER BY vec_id, dim""",
     "sim_topk_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 20),

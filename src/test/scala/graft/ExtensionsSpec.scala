@@ -78,6 +78,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.map(_.getAs[Int]("bucket")).distinct.length === 1)
   }
 
+  test("int8 quantization: error bound, fidelity, zero-vector, narrow plan") {
+    import graft.similarity.Quantize
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = Quantize.int8(emb, "embedding")
+    // per-dimension reconstruction error <= scale/2 (+ fp slack), and
+    // cosine(original, dequantized) stays ~1 on every real embedding
+    val checked = q.select(
+      Similarity.cosine(Similarity.toVec(col("embedding")),
+        Quantize.dequantize(col("qvec"), col("qscale"))).as("fid"),
+      array_max(zip_with(Similarity.toVec(col("embedding")),
+        Quantize.dequantize(col("qvec"), col("qscale")),
+        (a, b) => abs(a - b))).as("maxerr"),
+      col("qscale")).collect()
+    checked.foreach { r =>
+      assert(r.getDouble(0) > 0.999, s"cosine fidelity ${r.getDouble(0)}")
+      assert(r.getDouble(1) <= r.getDouble(2) / 2 + 1e-9,
+        s"err ${r.getDouble(1)} vs scale/2 ${r.getDouble(2) / 2}")
+    }
+    // quantized values are int8-ranged; the max-|v| dim hits +/-127
+    val bounds = q.select(array_min(col("qvec")).cast("int"),
+      array_max(col("qvec")).cast("int")).collect()
+    assert(bounds.forall(r => r.getInt(0) >= -127 && r.getInt(1) <= 127))
+    assert(bounds.forall(r => r.getInt(0) == -127 || r.getInt(1) == 127))
+    // zero vector: scale 0, all-zero bytes (no division blowup)
+    import spark.implicits._
+    val z = Quantize.int8(Seq((0L, Array.fill(4)(0.0f)))
+      .toDF("vec_id", "embedding"), "embedding").collect().head
+    assert(z.getAs[Double]("qscale") === 0.0)
+    assert(z.getAs[Seq[Byte]]("qvec").forall(_ == 0))
+    // narrow plan: no exchange, no UDF
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+  }
+
   test("batch topKJoin equals the per-query single topK loop") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
