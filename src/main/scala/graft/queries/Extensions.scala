@@ -266,6 +266,22 @@ object Extensions {
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")),
 
+    // CDC MERGE: events replayed as a changelog over a customer snapshot
+    // (error = delete, else upsert of the balance; latest (ts, event_id)
+    // wins). Base drops custkey%7==0 so some changes exercise the insert
+    // path; single changelog shuffle via max_by, no windows
+    "cdc_merge" -> ((s, dir) => {
+      val base = tbl(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0)
+      val changes = tbl(s, dir, "events").select(
+        col("user_id").as("c_custkey"),
+        when(col("event_type") === "error", "D").otherwise("U").as("__op"),
+        col("ts"), col("event_id"),
+        col("value").as("c_acctbal"))
+      graft.operators.CdcMerge(base, changes, "c_custkey", "__op",
+        seqCols = Seq("ts", "event_id"), setCols = Seq("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     // transitive near-dup groups: connected components over the exact
     // windowed-Jaccard pair list (DuckDB replays it as a recursive CTE)
     "dedup_components" -> ((s, dir) => {
@@ -292,6 +308,24 @@ object Extensions {
         docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
         .orderBy("doc_id")
     }),
+
+    // same decontamination answer through the scale path: Bloom-filter
+    // prefilter keeps the corpus gram stream map-local, exact verify
+    // join drops the false positives — results identical by construction
+    "decon_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.textanalysis.Decontaminate.contaminationHitsBloom(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // corpus-trained bigram-LM quality score (perplexity-filter family):
+    // avg add-0.1-smoothed transition probability per doc, log-free for
+    // cross-engine bit parity
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // Gopher-style repetition signals: repeated-word share + share of
     // all bigrams taken by the most frequent one
@@ -471,6 +505,24 @@ object Extensions {
          WHERE rn <= CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 24
            WHEN 'de' THEN 36 ELSE 0 END
          ORDER BY lang, doc_id""",
+    "cdc_merge" ->
+      """WITH ch AS (
+           SELECT user_id AS k,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events),
+         latest AS (SELECT k, op, value FROM ch WHERE rn = 1),
+         base AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0)
+         SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+           b.c_name, b.c_nationkey,
+           CASE WHEN l.k IS NOT NULL THEN l.value
+                ELSE b.c_acctbal END AS c_acctbal,
+           b.c_mktsegment
+         FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+         WHERE COALESCE(l.op, '') <> 'D'
+         ORDER BY c_custkey""",
     "dedup_components" ->
       """WITH RECURSIVE sets AS (SELECT doc_id,
              list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
@@ -514,6 +566,44 @@ object Extensions {
          FROM grams g JOIN bench b ON g.gram = b.gram
          WHERE g.doc_id % 97 <> 0
          GROUP BY g.doc_id ORDER BY doc_id""",
+    // exact by construction (verify join drops bloom false positives),
+    // so the oracle is the same exact-overlap SQL as decon_ngram_hits
+    "decon_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           FROM toks),
+         bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+         SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+         FROM grams g JOIN bench b ON g.gram = b.gram
+         WHERE g.doc_id % 97 <> 0
+         GROUP BY g.doc_id ORDER BY doc_id""",
+    "text_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         pairs AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS g
+           FROM toks WHERE len(t) >= 2),
+         uni AS (SELECT w1 AS w, count(*) AS cu
+                 FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+         big AS (SELECT g, count(*) AS cb FROM pairs GROUP BY g),
+         v AS (SELECT count(*) AS nv FROM uni)
+         SELECT p.doc_id,
+           floor(avg((big.cb + 0.1) / (uni.cu + 0.1 * v.nv)) * 10000 + 0.5)
+             / 10000 AS lm_score
+         FROM pairs p JOIN big ON p.g = big.g JOIN uni ON p.w1 = uni.w
+           CROSS JOIN v
+         GROUP BY p.doc_id ORDER BY doc_id""",
     "text_boilerplate" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
              FROM documents

@@ -268,6 +268,59 @@ object TextAnalysis {
         topNgramFraction(col(textCol), n).as("top_ngram_frac"))
   }
 
+  /** Corpus-trained bigram language-model score per document — the
+    * CCNet/Gopher-style "perplexity filter" of a training-data pipeline,
+    * with the LM trained on the corpus itself (or any `df` passed as the
+    * training slice). Each document scores the average add-α-smoothed
+    * transition probability of its adjacent word pairs:
+    * `p(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V)`, counts corpus-wide, V
+    * = corpus vocabulary size. Boilerplate and in-domain text score
+    * high; lorem-ipsum noise, wrong-language and mangled docs score low.
+    *
+    * `logSpace = false` (default) scores `avg(p)` — division and
+    * addition only, so the number is reproducible bit-for-bit across
+    * engines (same rationale as [[tfidfTopTerms]]'s log-free IDF: `ln`
+    * differs by ulps between libm implementations and would break
+    * cross-engine hash parity after rounding). `logSpace = true` gives
+    * the standard `avg(ln p)` log-likelihood — the form to use for real
+    * perplexity thresholds, rank-very-close to the arithmetic form.
+    *
+    * Shape: the two count tables build with map-side partial aggregation
+    * (shuffle = unique grams, not corpus tokens); the vocabulary size is
+    * a 1-row aggregate cross-joined back (broadcast, no collect). The
+    * per-document pair stream then hash-joins the bigram table on the
+    * gram and the unigram table on the leading word — two
+    * vocabulary-partitioned shuffle joins, NO broadcast hint: at 100 TB
+    * both tables are web-vocabulary sized, and AQE demotes to broadcast
+    * when a bounded-domain corpus keeps them small. The token array is
+    * let-bound once per doc (see [[ngrams]]); pairs emit as one
+    * explode of (w1, gram) structs, so the text splits once.
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, alpha: Double = 0.1,
+              logSpace: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, "smoothing alpha must be > 0")
+    val toksed = nonBlank(df, textCol)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    val pairs = toksed.filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("__w1"),
+          concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1)).as("__g")))).as("__p"))
+      .select(col(idCol), col("__p.__w1").as("__w1"), col("__p.__g").as("__g"))
+    val uni = toksed.select(explode(col("__t")).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val big = pairs.groupBy("__g").agg(count(lit(1)).as("__cb"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val p = (col("__cb") + alpha) / (col("__cu") + lit(alpha) * col("__v"))
+    pairs
+      .join(big, Seq("__g"))
+      .join(uni, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(round4(avg(if (logSpace) log(p) else p)).as("lm_score"))
+  }
+
   /** Top-k TF-IDF terms per document, `score = tf * (N+1)/(df+1)`.
     * The IDF is the LOG-FREE inverse document frequency: `ln` differs by
     * ulps between libm implementations, which would break cross-engine

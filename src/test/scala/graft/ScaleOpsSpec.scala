@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.operators.{BottomKSample, HashSample, SaltedJoin, StratifiedSample}
+import graft.operators.{BottomKSample, CdcMerge, HashSample, SaltedJoin, StratifiedSample}
 import graft.streaming.SessionState
 import graft.streaming.SessionState.Event
 
@@ -212,6 +212,36 @@ class ScaleOpsSpec extends SparkTestBase {
     val again = MixtureSample(docs.repartition(11), "lang", targets, total,
       Seq("doc_id"), hash = Md5).select("doc_id").as[Long].collect().sorted.toSeq
     assert(again === out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("cdc merge: upsert, delete, insert, out-of-order seq, untouched rows") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      // k=1: two upserts out of order — seq (5,_) wins over (3,_)
+      (1L, "U", 3L, 100L, 11.0),
+      (1L, "U", 5L, 101L, 12.0),
+      // k=2: upsert then delete — delete is latest, row vanishes
+      (2L, "U", 1L, 102L, 21.0),
+      (2L, "D", 2L, 103L, 0.0),
+      // k=4: insert (not in base); same seq, higher id wins the tie
+      (4L, "U", 7L, 104L, 40.0),
+      (4L, "U", 7L, 105L, 41.0),
+      // k=5: delete of a key the base never had — stays absent
+      (5L, "D", 9L, 106L, 0.0)
+    ).toDF("k", "op", "seq", "id", "bal")
+    val out = CdcMerge(base, changes, "k", "op", Seq("seq", "id"), Seq("bal"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2))).toSeq
+    assert(out === Seq(
+      (1L, Some("a"), 12.0),   // latest upsert applied, name kept
+      (3L, Some("c"), 30.0),   // untouched
+      (4L, None, 41.0)))       // inserted; non-set base cols null
+    // plan shape: the changelog collapses via aggregate, not a window
+    val plan = CdcMerge(base, changes, "k", "op", Seq("seq", "id"), Seq("bal"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("max_by"))
   }
 }
 

@@ -156,6 +156,60 @@ class TextPipelineSpec extends SparkTestBase {
       n = 3, minHits = 3).count() === 3)
   }
 
+  test("bigram LM score: hand-computed smoothed probabilities") {
+    // corpus: unigrams a:3 b:3 c:1 (V=3); bigrams "a b":3, "b a":1
+    // α=0.1 → p(a b)=3.1/3.3, p(b a)=1.1/3.3; blank doc out of domain,
+    // single-token doc trains unigrams but scores nothing
+    val corpus = docs(1L -> "a b a b", 2L -> "a b", 3L -> "c", 4L -> "  ")
+    val got = TextAnalysis.lmScore(corpus, "doc_id", "text", alpha = 0.1)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val pAB = 3.1 / 3.3; val pBA = 1.1 / 3.3
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got.toSeq === Seq(
+      1L -> r4((pAB + pBA + pAB) / 3.0), // 0.7374
+      2L -> r4(pAB)))                    // 0.9394
+    // log-space variant: avg ln p
+    val lg = TextAnalysis.lmScore(corpus, "doc_id", "text", alpha = 0.1,
+      logSpace = true).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(lg.toSeq === Seq(
+      1L -> r4((2 * math.log(pAB) + math.log(pBA)) / 3.0),
+      2L -> r4(math.log(pAB))))
+    // in-domain text scores above noise on the real corpus
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = TextAnalysis.lmScore(d, "doc_id", "text")
+    assert(scored.agg(min("lm_score"), max("lm_score")).head().getDouble(1) <= 1.0)
+    assert(scored.count() > 0)
+  }
+
+  test("bloom-prefiltered decontamination is exact: equals the semi-join path") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely unrelated training material here",
+      3L -> "quick brown fox again and brown fox jumps too")
+    val bench = docs(100L -> "quick brown fox", 101L -> "brown fox jumps")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Decontaminate.contaminationHits(
+      corpus, "doc_id", "text", bench, "text", n = 3))
+    // a sloppy filter (high fpp) must still give the exact answer — the
+    // verify join, not the bloom filter, decides membership
+    Seq(0.5, 0.01).foreach { fpp =>
+      val got = asMap(Decontaminate.contaminationHitsBloom(
+        corpus, "doc_id", "text", bench, "text", n = 3, fpp = fpp))
+      assert(got === exact, s"fpp=$fpp")
+    }
+    // sf-corpus scale: both paths agree end-to-end
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val big = asMap(Decontaminate.contaminationHits(
+      d.filter($"doc_id" % 97 =!= 0), "doc_id", "text",
+      d.filter($"doc_id" % 97 === 0), "text", n = 3))
+    val bigBloom = asMap(Decontaminate.contaminationHitsBloom(
+      d.filter($"doc_id" % 97 =!= 0), "doc_id", "text",
+      d.filter($"doc_id" % 97 === 0), "text", n = 3))
+    assert(bigBloom === big)
+  }
+
   test("bucketed prefix sum equals the single-window form, any bucket width") {
     import graft.operators.BucketedPrefixSum
     val d = spark.read.parquet(s"$sf/documents.parquet")
