@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BucketedJoin, Profile}
+import graft.similarity.Similarity
+import graft.textanalysis.TextAnalysis
+
+/** Round-7 operator gates: bucketed co-located joins, SemDeDup-style
+  * semantic dedup, BM25 retrieval scoring, the stream-stream interval
+  * join's batch twin, GROUPING SETS, and one-pass table profiling.
+  */
+object Round7 {
+
+  /** BM25 query bag for the `text_bm25` gate — terms that occur in the
+    * synthetic corpus. BOTH the Spark query and the DuckDB oracle derive
+    * from this constant. */
+  private[graft] val Bm25Terms: Seq[String] = Seq("hash", "join", "vector")
+
+  /** The `dedup_semantic` gate's cluster count; SQL-replayable md5 cell
+    * seeding (the production default is xxhash64 — not in DuckDB). */
+  private[graft] val SemNlist = 8
+  private[graft] def semSeed(nlist: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(nlist)).cast("int")
+
+  /** Bucketed tables live outside the repo in the system temp dir; the
+    * path is deterministic so bench reruns overwrite instead of leak. */
+  private def bucketWorkDir: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+
+  /** One hour in nanoseconds (events.ts is BIGINT ns under nanosAsLong). */
+  private val HourNs = 3600L * 1000000000L
+
+  val defs: Map[String, Q] = Map(
+    // big⨯big join with ZERO Exchange: both sides bucketed on the join
+    // key at write time, SMJ + per-customer agg reuse the bucket
+    // distribution (PlanSpec asserts no Exchange anywhere in the plan)
+    "join_bucketed" -> ((s, dir) =>
+      BucketedJoin.customerOrderTotals(s, dir, bucketWorkDir)
+        .withColumn("c_custkey", col("c_custkey").cast("long"))
+        .orderBy("c_custkey")),
+
+    // SemDeDup: IVF-clustered embedding space, drop lower-id near-dups
+    // within each cluster; md5 seeding so DuckDB replays the clustering
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedupKeep(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, nlist = SemNlist, threshold = 0.3,
+          iters = 1, seedCell = Some(semSeed(SemNlist)))
+        .withColumn("cell", col("cell").cast("long"))
+        .orderBy("vec_id")),
+
+    // BM25 relevance of every document to a fixed query bag — one scan,
+    // one 1-row stats aggregate broadcast back, no explode
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(tbl(s, dir, "documents"), "doc_id", "text",
+          Bm25Terms)
+        .orderBy("doc_id")),
+
+    // batch twin of EventWindows.streamingIntervalJoin: clicks within
+    // the hour before each purchase, per purchase event
+    "stream_interval_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("__pt"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("__cu"), col("ts").as("__ct"))
+      pur.join(clk, col("user_id") === col("__cu")
+          && col("__ct") >= col("__pt") - HourNs
+          && col("__ct") <= col("__pt"))
+        .groupBy("event_id", "user_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
+    // GROUPING SETS with grouping() marker columns (beyond the existing
+    // rollup gate: an explicit, non-hierarchical set list)
+    "agg_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+    }),
+
+    // one-pass per-column profiling (row/null/distinct counts) of orders
+    "profile_table" -> ((s, dir) =>
+      Profile(tbl(s, dir, "orders"), OrdersCols)
+        .orderBy("col_name"))
+  )
+
+  private[graft] val OrdersCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** DuckDB BM25 oracle generated from [[Bm25Terms]] so the two sides
+    * cannot drift. k1 = 1.2, b = 0.75 (the bm25() defaults). */
+  private def bm25OracleSql(terms: Seq[String]): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"""CASE WHEN trim(text) = '' THEN 0.0
+         ELSE len(list_filter(list_transform(
+           string_split_regex(trim(text), '\\s+'), x -> lower(x)),
+           x -> x = '${t.toLowerCase}'))::DOUBLE END AS tf$i"""
+    }.mkString(",\n         ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i")
+      .mkString(", ")
+    val score = terms.indices.map(i =>
+      s"""ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2)
+         / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))""").mkString(" + ")
+    s"""WITH f AS (
+         SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0.0
+             ELSE len(string_split_regex(trim(text), '\\s+'))::DOUBLE END AS dl,
+           $tfCols
+         FROM documents),
+       s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfCols FROM f)
+       SELECT doc_id, round($score, 4) + 0.0 AS bm25
+       FROM f, s ORDER BY doc_id"""
+  }
+
+  /** DuckDB per-column profile oracle generated from [[OrdersCols]]. */
+  private def profileOracleSql(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         count(DISTINCT $c)::BIGINT AS n_distinct,
+         round(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) / count(*), 4)
+           AS null_frac
+         FROM orders"""
+    }.mkString(" UNION ALL ") + " ORDER BY col_name"
+
+  val oracles: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_mktsegment
+         ORDER BY c_custkey""",
+
+    // replays the full SemDeDup chain: md5 cell seed -> per-cell centroid
+    // -> round4-cosine argmax reassignment (tie to the smaller cell,
+    // exactly as Similarity.assign) -> within-cell lower-id near-dup
+    "dedup_semantic" ->
+      s"""WITH v AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 8)) AS BIGINT)
+               % $SemNlist AS scell
+           FROM embeddings),
+         cent AS (
+           SELECT scell, list(a ORDER BY i) AS c FROM (
+             SELECT scell, i, avg(v[i]) AS a
+             FROM v, generate_series(1, 64) AS g(i) GROUP BY scell, i)
+           GROUP BY scell),
+         scored AS (
+           SELECT vec_id, v.v AS v, cent.scell AS cell,
+             round(list_cosine_similarity(v.v, cent.c), 4) AS sim
+           FROM v, cent),
+         asg AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, cell) AS rk FROM scored)
+           WHERE rk = 1),
+         dup AS (
+           SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+           ON a.cell = b.cell AND b.vec_id < a.vec_id
+           AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3)
+         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+         FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+         ORDER BY a.vec_id""",
+
+    "text_bm25" -> bm25OracleSql(Bm25Terms),
+
+    "stream_interval_join" ->
+      """SELECT p.event_id, p.user_id, count(*) AS n_clicks
+         FROM events p JOIN events c ON c.user_id = p.user_id
+           AND p.event_type = 'purchase' AND c.event_type = 'click'
+           AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 3600000000000
+           AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+         GROUP BY p.event_id, p.user_id
+         ORDER BY p.event_id""",
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+           (o_orderstatus, o_orderpriority), ())
+         ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""",
+
+    "profile_table" -> profileOracleSql(OrdersCols)
+  )
+}

@@ -291,7 +291,10 @@ object Similarity {
     val scored = cents.map { r =>
       val cell = r.getInt(0)
       val cvec = typedLit(r.getSeq[Double](1))
-      struct(cosine(toVec(col(vecCol)), cvec).as("s"), lit(-cell).as("nc"))
+      // round BEFORE the argmax: pins the assignment against last-ulp
+      // engine divergence, so a SQL oracle replays identical cells
+      struct(round(cosine(toVec(col(vecCol)), cvec), 4).as("s"),
+        lit(-cell).as("nc"))
     }
     val best =
       if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
@@ -310,7 +313,8 @@ object Similarity {
     * partition-prune to `nprobe` inverted lists instead of scanning.
     */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-               nlist: Int, iters: Int = 1): (DataFrame, DataFrame) = {
+               nlist: Int, iters: Int = 1,
+               seedCell: Option[Column] = None): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def centroidsOf(assigned: DataFrame): DataFrame =
@@ -320,9 +324,11 @@ object Similarity {
         .agg(new VectorCentroid(dim).toColumn.name("__cvec"))
         .toDF("__cell", "__cvec")
 
-    var assigned = corpus.select(col(idCol),
-      pmod(xxhash64(col(idCol)), lit(nlist)).cast("int").as("__cell"),
-      col(vecCol))
+    // xx64 is the fast production seed; gates pass an md5-derived seed so
+    // a SQL oracle can replay the identical seeding cross-engine
+    val seed = seedCell.getOrElse(
+      pmod(xxhash64(col(idCol)), lit(nlist)).cast("int"))
+    var assigned = corpus.select(col(idCol), seed.as("__cell"), col(vecCol))
     var cents = centroidsOf(assigned)
     var i = 0
     while (i < iters) {
@@ -357,5 +363,40 @@ object Similarity {
         round(cosine(toVec(col(vecCol)), toVec(col(queryVecCol))), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** SemDeDup-style semantic dedup decision (Abbas et al. 2023): cluster
+    * the embedding space with the IVF coarse quantizer, then within each
+    * cluster drop every vector that has a LOWER-id near-duplicate at
+    * `round(cos, 4) >= threshold`. Cross-cluster near-dups are missed by
+    * construction — that is the SemDeDup trade: candidate generation is
+    * O(occupancy²) per cell instead of O(n²), and occupancy is held
+    * constant by scaling `nlist` with the corpus (~n/occupancy cells; the
+    * LAION-scale runs use 10⁵ clusters for 10⁸ embeddings).
+    *
+    * Shape: assignment is a pure map (centroids inlined — see [[assign]]),
+    * the within-cell self-join hash-partitions on `__cell`, and the
+    * dup-id set collapses map-side before the keep flag joins back.
+    * Returns one row per vector: (id, cell, keep).
+    */
+  def semanticDedupKeep(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nlist: Int, threshold: Double,
+                        iters: Int = 1,
+                        seedCell: Option[Column] = None): DataFrame = {
+    val (assigned, _) =
+      ivfIndex(corpus, idCol, vecCol, dim, nlist, iters, seedCell)
+    val a = assigned.select(col(idCol).as("__id_a"), col("__cell"),
+      toVec(col(vecCol)).as("__v_a"))
+    val b = assigned.select(col(idCol).as("__id_b"),
+      col("__cell").as("__cell_b"), toVec(col(vecCol)).as("__v_b"))
+    val dupIds = a.join(b,
+        col("__cell") === col("__cell_b") && col("__id_b") < col("__id_a")
+          && round(cosine(col("__v_a"), col("__v_b")), 4) >= threshold)
+      .select(col("__id_a")).dropDuplicates("__id_a")
+      .withColumn("__dup", lit(true))
+    assigned.select(col(idCol), col("__cell"))
+      .join(dupIds.withColumnRenamed("__id_a", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("__cell").as("cell"),
+        col("__dup").isNull.as("keep"))
   }
 }

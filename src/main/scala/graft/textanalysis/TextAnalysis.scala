@@ -364,6 +364,53 @@ object TextAnalysis {
       .select(col(idCol), col("word"), col("score"))
   }
 
+  /** BM25 relevance of every document to a fixed bag of query terms —
+    * the classic retrieval score (Robertson/Sparck-Jones; the +1 idf
+    * form Lucene uses, which never goes negative):
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·|d|/avgdl))
+    *   idf(t)   = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+    *
+    * Shape: per-document tf for each query term is a size(filter(...))
+    * expression over the token array — the query is a handful of terms,
+    * so NO explode and no per-word shuffle. The corpus stats the formula
+    * needs (N, avgdl, df per term) reduce to ONE 1-row aggregate,
+    * broadcast back onto the scan; the whole scoring pass is
+    * scan → tiny-agg → broadcast → map, linear at any corpus size.
+    * Matching is exact on lowercased whitespace tokens ([[tokens]]).
+    */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val terms = queryTerms.map(_.toLowerCase)
+    val toks = transform(tokens(col(textCol)), t => lower(t))
+    def tfOf(t: String): Column =
+      when(length(trim(col(textCol))) === 0, lit(0))
+        .otherwise(size(filter(toks, x => x === lit(t))))
+    val dl = tokenCount(col(textCol)).cast("double")
+
+    val perDoc = df.select(
+      (col(idCol) +: dl.as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfOf(t).cast("double").as(s"__tf$i") }): _*)
+    // N, avgdl, and df(t) for every query term in ONE pass / one row
+    val statAggs: Seq[Column] =
+      count(lit(1)).cast("double").as("__n") +: avg("__dl").as("__avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    scored.select(col(idCol), (round4(score) + lit(0.0)).as("bm25"))
+  }
+
   /** Sequence-packing offset map (concat-and-split): documents are laid
     * end-to-end in ascending id order and cut into training sequences of
     * exactly `budget` tokens; each document reports the sequence it

@@ -231,4 +231,41 @@ class PlanSpec extends SparkTestBase {
     assert(!streamSide.contains("Exchange SinglePartition"),
       s"the corpus must never collapse to a single partition:\n$p")
   }
+
+  test("bucketed join: scan→SMJ→agg with ZERO Exchange") {
+    val work = java.nio.file.Files.createTempDirectory("graft-bjplan").toString
+    val df = graft.operators.BucketedJoin
+      .customerOrderTotals(spark, sf, work, buckets = 4)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed big⨯big join must sort-merge:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed scan satisfies both the join and the agg distribution — " +
+        s"any Exchange means the write-time shuffle was wasted:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"both scans must read bucketed:\n$p")
+  }
+
+  test("bm25: one scan, no explode, stats broadcast back") {
+    val df = graft.textanalysis.TextAnalysis.bm25(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      "doc_id", "text", Seq("hash", "join", "vector"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"),
+      s"per-term tf must be expressions over the token array, not explode:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row stats frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the stats join:\n$p")
+  }
+
+  test("semantic dedup: within-cell equi-join, assignment is a pure map") {
+    val df = graft.similarity.Similarity.semanticDedupKeep(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
+      dim = 64, nlist = 4, threshold = 0.3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell blocking must make the candidate join an equi-join:\n$p")
+  }
 }
