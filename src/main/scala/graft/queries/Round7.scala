@@ -89,7 +89,32 @@ object Round7 {
     // one-pass per-column profiling (row/null/distinct counts) of orders
     "profile_table" -> ((s, dir) =>
       Profile(tbl(s, dir, "orders"), OrdersCols)
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    // corpus-level keep-first exact unit dedup (RefinedWeb-style exact
+    // substring pass at 2-token-span granularity), reassembled documents
+    "dedup_units_global" -> ((s, dir) =>
+      TextAnalysis.dedupUnitsGlobal(tbl(s, dir, "documents"), "doc_id",
+          "text", splitUnits = t => TextAnalysis.tokenSpans(t, 2), sep = " ")
+        .orderBy("doc_id")),
+
+    // hourly resample with forward fill: gaps carry the last observed
+    // (pre-rounded) hourly average, n_events = 0
+    "window_fill_forward" -> ((s, dir) =>
+      graft.streaming.EventWindows.resampleHourlyFfill(tbl(s, dir, "events"))
+        .orderBy("event_type", "hour_start")),
+
+    // two-stage retrieval: int8 coarse scan -> exact rescore of 50
+    // candidates; with that headroom the result IS brute-force top-10,
+    // which is what the oracle checks
+    "sim_ann_rescore" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.int8RescoreTopK(emb, "vec_id", "embedding", q, "qvec",
+        candidates = 50, k = 10)
+        .withColumn("sim", col("sim") + lit(0.0))
+    })
   )
 
   private[graft] val OrdersCols = Seq("o_orderkey", "o_custkey",
@@ -192,6 +217,58 @@ object Round7 {
            (o_orderstatus, o_orderpriority), ())
          ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""",
 
-    "profile_table" -> profileOracleSql(OrdersCols)
+    "profile_table" -> profileOracleSql(OrdersCols),
+
+    // same span CTE as the text_boilerplate oracle; keep = first
+    // occurrence of the span corpus-wide by (doc_id, pos)
+    "dedup_units_global" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+             FROM documents
+             WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         toks AS (SELECT doc_id, unnest(arr) AS tok,
+             unnest(generate_series(1, len(arr))) AS i FROM d),
+         spans AS (SELECT doc_id, (i - 1) // 2 AS pos,
+             string_agg(tok, ' ' ORDER BY i) AS unit
+             FROM toks GROUP BY doc_id, (i - 1) // 2),
+         flagged AS (SELECT doc_id, pos, unit,
+             row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) = 1
+               AS keep
+             FROM spans)
+         SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN unit END,
+             ' ' ORDER BY pos), '') AS dedup_text,
+           COALESCE(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_dropped,
+           count(*)::BIGINT AS n_units
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    "window_fill_forward" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             floor(avg(value) * 100 + 0.5) / 100 AS a, count(*) AS n
+           FROM events GROUP BY event_type, h),
+         span AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+           FROM hourly GROUP BY event_type),
+         grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS h
+           FROM span)
+         SELECT g.event_type, g.h * 3600 AS hour_start,
+           last_value(hr.a IGNORE NULLS) OVER (PARTITION BY g.event_type
+             ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS avg_filled,
+           COALESCE(hr.n, 0)::BIGINT AS n_events
+         FROM grid g LEFT JOIN hourly hr
+           ON g.event_type = hr.event_type AND g.h = hr.h
+         ORDER BY g.event_type, hour_start""",
+
+    // the rescore pool (50) dwarfs k (10), so the two-stage result is
+    // exact brute-force top-k — the identity this oracle checks
+    "sim_ann_rescore" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0
+             AS sim
+         FROM embeddings, q
+         ORDER BY sim DESC, vec_id LIMIT 10"""
   )
 }

@@ -365,6 +365,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage retrieval: int8-quantized coarse scan → exact rescore.
+    * The standard ANN production shape ([[graft.similarity.Quantize]]
+    * supplies the 4×-smaller byte vectors): stage 1 ranks the WHOLE
+    * corpus by the cosine of the quantized vectors (scales cancel —
+    * positive per-vector scaling leaves cosine unchanged) and keeps
+    * `candidates` ids via TakeOrderedAndProject; stage 2 re-reads full
+    * precision for only those candidates (broadcast semi-join — at scale
+    * this is the only touch of the float32 store) and returns the exact
+    * top-k. Recall < 1 only when quantization error reorders a true
+    * top-k member below rank `candidates` — a few× k of headroom makes
+    * that vanishingly rare (int8 per-dim relative error ≤ 1/254).
+    */
+  def int8RescoreTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                      query: DataFrame, queryVecCol: String,
+                      candidates: Int, k: Int): DataFrame = {
+    requireSingleQueryRow(query, "int8RescoreTopK")
+    require(candidates >= k, "candidate pool must cover k")
+    // private quantized-column names: the caller's frames own "qvec"
+    val qz = Quantize.int8(corpus, vecCol, "__qz", "__qzs")
+    val qq = Quantize.int8(query, queryVecCol, "__qq", "__qqs")
+    val coarse = qz.crossJoin(broadcast(qq))
+      .select(col(idCol),
+        cosine(col("__qz").cast("array<double>"),
+          col("__qq").cast("array<double>")).as("__coarse"))
+      .orderBy(col("__coarse").desc, col(idCol))
+      .limit(candidates)
+      .select(idCol)
+    corpus.join(broadcast(coarse), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(cosine(toVec(col(vecCol)), toVec(col(queryVecCol))), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic dedup decision (Abbas et al. 2023): cluster
     * the embedding space with the IVF coarse quantizer, then within each
     * cluster drop every vector that has a LOWER-id near-duplicate at

@@ -116,6 +116,41 @@ object EventWindows {
       .select(epochSec(col("w.start")).as("window_start"), col("n"),
         col("sum_value"))
 
+  /** Hourly resample with forward fill per event_type: the time-series
+    * gap-filling shape (metrics dashboards, feature backfill). Missing
+    * hours in each type's [min, max] span appear with the LAST observed
+    * hourly average carried forward and `n_events = 0`.
+    *
+    * Scale shape: the corpus collapses in the FIRST aggregation
+    * (map-side partial avg/count per (type, hour) — the shuffle carries
+    * types × hours rows, never events). Everything after — span, grid
+    * explode, left join, the forward-fill window — runs on that bounded
+    * cardinality, so a 100 TB event log costs one aggregating scan. The
+    * hourly average is rounded BEFORE filling so carried values replay
+    * bit-identically in a SQL oracle.
+    */
+  def resampleHourlyFfill(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("__hour")
+      .rowsBetween(Long.MinValue, 0)
+    val hourly = events
+      .withColumn("__hour", nsDiv(col("ts"), 3600L * 1000000000L))
+      .groupBy(col("event_type"), col("__hour"))
+      // arithmetic half-up rounding (floor(x*100+.5)/100): engine-stable
+      // where round() diverges on exact .005 averages (and 10.675 occurs
+      // in the test events), same convention as TextAnalysis.round4
+      .agg((floor(avg("value") * 100 + 0.5) / 100).as("__avg"),
+        count(lit(1)).as("__n"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("__hour").as("__lo"), max("__hour").as("__hi"))
+      .select(col("event_type"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__hour"))
+    grid.join(hourly, Seq("event_type", "__hour"), "left")
+      .select(col("event_type"), (col("__hour") * 3600L).as("hour_start"),
+        last(col("__avg"), ignoreNulls = true).over(w).as("avg_filled"),
+        coalesce(col("__n"), lit(0L)).as("n_events"))
+  }
+
   /** Streaming twin of [[sessions]]: watermarked `session_window` — gaps
     * merge incrementally in the state store; a session emits once the
     * watermark passes its close. Column contract matches the batch form.

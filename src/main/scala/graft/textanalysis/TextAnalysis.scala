@@ -170,6 +170,51 @@ object TextAnalysis {
         count(lit(1)).as("n_units"))
   }
 
+  /** Corpus-level EXACT unit dedup, keep-first (the RefinedWeb-style
+    * exact-substring pass, at unit granularity): every later occurrence
+    * of a unit (line, or token span via [[tokenSpans]]) anywhere in the
+    * corpus is dropped; the single occurrence with the smallest
+    * (id, pos) survives. Complements [[dropBoilerplate]]: that removes
+    * ALL copies of units frequent beyond a threshold, this keeps exactly
+    * one copy of EVERY repeated unit.
+    *
+    * Output: (id, dedup_text, n_dropped, n_units); a document whose
+    * every unit occurred earlier elsewhere stays, with `dedup_text = ""`.
+    *
+    * Shape mirrors [[dropBoilerplate]]: posexplode → first-occurrence
+    * table grouped on the unit's xxhash64 digest (map-side min of the
+    * (id, pos) struct — the shuffle carries one row per UNIQUE unit, 8-byte
+    * keys, and a hot unit with millions of copies collapses map-side
+    * instead of flooding one reducer) → join back on the digest (AQE
+    * skew-splittable) → one groupBy(id) rebuilds documents. Digest
+    * collisions (~n²/2⁶⁴) trade exactness for shuffle width, as in
+    * [[dropBoilerplate]].
+    */
+  def dedupUnitsGlobal(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       splitUnits: Column => Column = lineUnits,
+                       sep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val units = nonBlank(df, textCol)
+      .select(col(idCol), posexplode(splitUnits(col(textCol))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__unit")
+      .withColumn("__h", xxhash64(col("__unit")))
+    val first = units
+      .groupBy("__h")
+      .agg(min(struct(col(idCol).as("__fid"), col("__pos").as("__fpos")))
+        .as("__f"))
+    units.join(first, Seq("__h"))
+      .withColumn("__keep",
+        col(idCol) === col("__f.__fid") && col("__pos") === col("__f.__fpos"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__unit"))))),
+          s => s.getField("__unit"))).as("dedup_text"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        count(lit(1)).as("n_units"))
+  }
+
   /** Arithmetic 4-decimal rounding stable across engines (same rationale
     * as the 3-decimal variant in [[qualityScore]]). */
   private[textanalysis] def round4(c: Column): Column =

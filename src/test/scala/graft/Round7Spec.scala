@@ -117,6 +117,64 @@ class Round7Spec extends SparkTestBase {
     }
   }
 
+  // ---------------- corpus-wide keep-first unit dedup ----------------
+
+  test("dedupUnitsGlobal keeps exactly the first occurrence of each unit") {
+    val d = Seq(
+      (1L, "alpha beta\ngamma delta"),
+      (2L, "alpha beta\nunique line"),
+      (3L, "gamma delta\nalpha beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupUnitsGlobal(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((1L, "alpha beta\ngamma delta", 0L, 2L)))
+    assert(out(1) === ((2L, "unique line", 1L, 2L)))
+    assert(out(2) === ((3L, "", 2L, 2L)))
+  }
+
+  test("dedupUnitsGlobal total kept units equals distinct units") {
+    val out = TextAnalysis.dedupUnitsGlobal(docs, "doc_id", "text",
+      splitUnits = t => TextAnalysis.tokenSpans(t, 2), sep = " ")
+    val kept = out.agg(sum($"n_units" - $"n_dropped")).as[Long].head()
+    val distinctUnits = docs
+      .filter(length(trim($"text")) > 0)
+      .select(explode(TextAnalysis.tokenSpans($"text", 2)).as("u"))
+      .distinct().count()
+    assert(kept === distinctUnits,
+      "one survivor per distinct unit, no more, no fewer")
+  }
+
+  // ---------------- forward-fill resample ----------------
+
+  test("resampleHourlyFfill fills gap hours with the last average") {
+    val h = 3600L * 1000000000L
+    val base = 1704067200L * 1000000000L // 2024-01-01
+    val ev = Seq(
+      (1L, base, "click", 10.0),
+      (2L, base + h / 2, "click", 20.0), // hour 0: avg 15.0
+      (3L, base + 3 * h, "click", 40.0)  // hours 1,2 missing; hour 3: 40.0
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = graft.streaming.EventWindows.resampleHourlyFfill(ev)
+      .orderBy("hour_start")
+      .select($"hour_start", $"avg_filled", $"n_events")
+      .as[(Long, Double, Long)].collect()
+    val h0 = base / 1000000000L
+    assert(out.toSeq === Seq(
+      (h0, 15.0, 2L), (h0 + 3600, 15.0, 0L),
+      (h0 + 7200, 15.0, 0L), (h0 + 10800, 40.0, 1L)))
+  }
+
+  // ---------------- int8 coarse + exact rescore ----------------
+
+  test("int8 rescore top-k equals exact brute-force top-k") {
+    val q = emb.filter($"vec_id" === 3).select($"embedding".as("qvec"))
+    val exact = Similarity.topK(emb, "vec_id", "embedding", q, "qvec", 10)
+      .collect().toSeq
+    val twoStage = Similarity.int8RescoreTopK(emb, "vec_id", "embedding",
+      q, "qvec", candidates = 50, k = 10).collect().toSeq
+    assert(twoStage === exact)
+  }
+
   // ---------------- grouping sets ----------------
 
   test("grouping sets emits every requested set exactly once") {
