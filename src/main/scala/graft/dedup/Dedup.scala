@@ -34,6 +34,37 @@ object Dedup {
       .groupBy("dedup_key")
       .agg(min(idCol).as("first_id"), count(lit(1)).as("n_docs"))
 
+  /** Incremental dedup of a NEW batch against an existing corpus index —
+    * the daily-ingest production shape: the index's digest table is
+    * computed once (in production: persisted, bucketed by digest) and
+    * each incoming batch checks membership against it instead of
+    * re-deduplicating the whole corpus.
+    *
+    * Output, one row per batch document:
+    * (id, dedup_key, dup_of_index, keep) — `dup_of_index` is the
+    * smallest index id with the same canonical word-set digest (null if
+    * unseen), and `keep` is true iff the digest is absent from the index
+    * AND this is the smallest batch id carrying it (batch-internal dups
+    * resolve in the same pass).
+    *
+    * Both sides collapse to (digest, min id) with map-side partials
+    * before any join, so the joins carry unique digests — duplicate-heavy
+    * batches (the realistic regime) add no join work.
+    */
+  def incrementalExact(batch: DataFrame, index: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val bk = batch.select(col(idCol), wordSetKey(col(textCol)).as("dedup_key"))
+    val idx = index
+      .select(wordSetKey(col(textCol)).as("dedup_key"), col(idCol).as("__iid"))
+      .groupBy("dedup_key").agg(min("__iid").as("dup_of_index"))
+    val firstInBatch = bk.groupBy("dedup_key").agg(min(idCol).as("__bfirst"))
+    bk.join(idx, Seq("dedup_key"), "left")
+      .join(firstInBatch, Seq("dedup_key"))
+      .select(col(idCol), col("dedup_key"), col("dup_of_index"),
+        (col("dup_of_index").isNull && col(idCol) === col("__bfirst"))
+          .as("keep"))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** numHashes minhash values; hash family = xxhash64(shingle, seed=i),

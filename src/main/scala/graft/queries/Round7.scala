@@ -104,6 +104,17 @@ object Round7 {
       graft.streaming.EventWindows.resampleHourlyFfill(tbl(s, dir, "events"))
         .orderBy("event_type", "hour_start")),
 
+    // incremental dedup: the doc_id<250 slice plays the standing corpus
+    // index, the rest arrives as the new batch; keep = digest unseen in
+    // the index and first within the batch
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.dedup.Dedup.incrementalExact(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // two-stage retrieval: int8 coarse scan -> exact rescore of 50
     // candidates; with that headroom the result IS brute-force top-10,
     // which is what the oracle checks
@@ -259,6 +270,22 @@ object Round7 {
          FROM grid g LEFT JOIN hourly hr
            ON g.event_type = hr.event_type AND g.h = hr.h
          ORDER BY g.event_type, hour_start""",
+
+    "dedup_incremental" ->
+      """WITH keyed AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\s+'))), ' ')) AS dedup_key
+           FROM documents),
+         idx AS (SELECT dedup_key, min(doc_id) AS dup_of_index
+           FROM keyed WHERE doc_id < 250 GROUP BY dedup_key),
+         batch AS (SELECT * FROM keyed WHERE doc_id >= 250),
+         bfirst AS (SELECT dedup_key, min(doc_id) AS bf
+           FROM batch GROUP BY dedup_key)
+         SELECT b.doc_id, b.dedup_key, i.dup_of_index,
+           (i.dup_of_index IS NULL AND b.doc_id = f.bf) AS keep
+         FROM batch b LEFT JOIN idx i ON b.dedup_key = i.dedup_key
+         JOIN bfirst f ON b.dedup_key = f.dedup_key
+         ORDER BY b.doc_id""",
 
     // the rescore pool (50) dwarfs k (10), so the two-stage result is
     // exact brute-force top-k — the identity this oracle checks

@@ -144,6 +144,44 @@ object ScaleRehearsal {
       TextAnalysis.packSequences(corpus, "doc_id", "text",
         budget = 2048, bucketWidth = 10000).count()
     }
+
+    // ---- round-7 operators ----
+    // keep-first unit dedup: the first-occurrence table is one row per
+    // UNIQUE unit (invariant under replication — only the join-back and
+    // regroup grow), so time must stay ~linear in k
+    time(s"keep-first unit dedup (${k}x corpus)") {
+      TextAnalysis.dedupUnitsGlobal(corpus, "doc_id", "text",
+        splitUnits = t => TextAnalysis.tokenSpans(t, 2), sep = " ").count()
+    }
+    // incremental dedup: the index digest table is FIXED (base-corpus
+    // slice); a k-times-replicated batch collapses to the same unique
+    // digests before the join, so time ~ scan, join work invariant
+    time(s"incremental dedup (${k}x batch vs fixed index)") {
+      Dedup.incrementalExact(corpus, bench, "doc_id", "text").count()
+    }
+    // SemDeDup: nlist scales with n (occupancy ~constant at 64), so the
+    // within-cell self-join stays ~linear where a fixed nlist would be
+    // quadratic in n/nlist
+    if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      import graft.similarity.Similarity
+      def synthEmb(rows: Long) = spark.range(rows).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+            .cast("double") / 1000.0).as("embedding"))
+      val en = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      def semTime(rows: Long): Double = {
+        val t0 = System.nanoTime()
+        Similarity.semanticDedupKeep(synthEmb(rows), "vec_id", "embedding",
+          dim = 64, nlist = math.max(4, (rows / 64).toInt),
+          threshold = 0.3).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = semTime(en)
+      val t10 = semTime(en * 10)
+      println(f"[rehearsal] semantic dedup, scaled nlist: n=$en ${t1}%.2f s; " +
+        f"10n ${t10}%.2f s (${t10 / t1}%.1fx, ~linear target)")
+    }
     spark.stop()
   }
 }

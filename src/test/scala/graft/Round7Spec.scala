@@ -144,6 +144,26 @@ class Round7Spec extends SparkTestBase {
       "one survivor per distinct unit, no more, no fewer")
   }
 
+  // ---------------- incremental batch-vs-index dedup ----------------
+
+  test("incremental dedup flags index hits and batch-internal dups") {
+    val index = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "beta alpha"),   // word-set dup of index doc 1 -> drop
+      (11L, "epsilon zeta"), // unseen, first in batch -> keep
+      (12L, "zeta epsilon"), // batch-internal dup of 11 -> drop
+      (13L, "eta theta")     // unseen, unique -> keep
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.incrementalExact(batch, index, "doc_id", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"dup_of_index", $"keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(out.toSeq === Seq(
+      (10L, Some(1L), false), (11L, None, true),
+      (12L, None, false), (13L, None, true)))
+  }
+
   // ---------------- forward-fill resample ----------------
 
   test("resampleHourlyFfill fills gap hours with the last average") {
