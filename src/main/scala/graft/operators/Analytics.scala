@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / statistical analytics operators, each in the shape that
+  * survives a 1000-executor cluster:
+  *
+  *  - [[saltedStats]] — two-stage salted aggregation for LOW-CARDINALITY
+  *    skewed group keys (e.g. 5 event types over 100 TB: an unsalted
+  *    groupBy funnels 20 TB into one reducer).
+  *  - [[topKPerGroup]] — per-group top-k with an optional salted
+  *    pre-pass so one hot group never sorts on a single task.
+  *  - [[modePerGroup]] — most-frequent value per group with a
+  *    deterministic tie rule; the window runs on the COUNTED table
+  *    (cardinality = distinct (group, value) pairs), never on raw rows.
+  *  - [[funnel]] — ordered multi-step conversion counts as a chain of
+  *    co-partitioned equi-joins on the user key; no per-user event
+  *    collection, so a million-event power user costs joins, not memory.
+  *  - [[cohortRetention]] — weekly cohort × week-offset distinct-user
+  *    retention; distinct runs map-side-partial on (cohort, offset, user).
+  *  - [[quantileCutpoints]] / [[bucketByCutpoints]] — exact global
+  *    percentile boundaries (one 1-row reduce) broadcast back as a map
+  *    -side bucket assignment. The scale-correct replacement for a
+  *    global `ntile()` window, which would move the corpus to ONE task.
+  *  - [[histogram]] — fixed-width binning; bin id is a pure map, one
+  *    partial-agg shuffle.
+  *
+  * All derive from the reference's aggregation/ranking surface
+  * (`Actualizar_Precios_de_Nexo.py` resumen aggregations, the browser
+  * view's count-by-state cards) generalized to corpus-scale analytics.
+  */
+object Analytics {
+
+  /** Deterministic per-row salt in [0, salts): a hash of `saltCols`,
+    * never `rand()` — task retries and AQE re-plans must not move rows
+    * between salt lanes. */
+  private def salt(saltCols: Seq[String], salts: Int): Column =
+    pmod(xxhash64(saltCols.map(col): _*), lit(salts)).cast("int")
+
+  /** Two-stage salted aggregation: `groupBy(keys :+ salt)` computes
+    * mergeable partials (count / sum / min / max), then `groupBy(keys)`
+    * merges them; avg is derived at merge time (sum/n), never averaged
+    * across lanes. Result is row-identical to the direct groupBy, but a
+    * key holding 20% of the corpus now spreads over `salts` reducers.
+    *
+    * Spark's own map-side partial aggregation already mitigates skew
+    * when the key count is small; the explicit salt matters when
+    * upstream cardinality (e.g. a preceding join) defeats partial agg,
+    * and it makes the two-stage shape testable and plan-assertable.
+    */
+  def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
+                  saltCols: Seq[String], salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val partial = df
+      .withColumn("__salt", salt(saltCols, salts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol)).as("__sum"),
+        min(col(valueCol)).as("__min"),
+        max(col(valueCol)).as("__max"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("__n").as("n"),
+        sum("__sum").as("__s"),
+        min("__min").as("v_min"),
+        max("__max").as("v_max"))
+      .withColumn("v_sum", round(col("__s"), 2))
+      .withColumn("v_avg", round(col("__s") / col("n"), 2))
+      .drop("__s")
+  }
+
+  /** Top-k rows per group by `orderCol` descending, ties broken by
+    * `tieCols` ascending (making the result set deterministic).
+    *
+    * `salts = 1`: one window, one shuffle on the group key; a group's
+    * rows sort within one task — fine when groups are balanced.
+    *
+    * `salts > 1`: a pre-pass window partitioned by (group, salt) keeps
+    * each lane's local top-k first, so the final per-group window sees
+    * at most `salts * k` rows per group regardless of group skew. Same
+    * result set (top-k is a semilattice: merging per-lane top-k then
+    * taking top-k equals global top-k), proven row-identical in the
+    * spec.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   k: Int, tieCols: Seq[String], salts: Int = 1): DataFrame = {
+    require(k > 0 && salts > 0, s"k and salts must be positive ($k, $salts)")
+    val ordering = col(orderCol).desc +: tieCols.map(col(_).asc)
+    val pre =
+      if (salts == 1) df
+      else {
+        val lane = Window
+          .partitionBy((groupCols.map(col) :+ salt(tieCols, salts)): _*)
+          .orderBy(ordering: _*)
+        df.withColumn("__lrk", row_number().over(lane))
+          .filter(col("__lrk") <= k)
+          .drop("__lrk")
+      }
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ordering: _*)
+    pre.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Most-frequent `valCol` per group; ties resolve to the SMALLEST
+    * value so the answer is deterministic and cross-engine replayable.
+    * Raw rows reduce to (group, value) counts first (map-side partial),
+    * the rank window then runs over that already-tiny table. */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String],
+                   valCol: String): DataFrame = {
+    val counts = df.groupBy((groupCols :+ valCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("n").desc, col(valCol).asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+      .withColumnRenamed(valCol, "mode_value")
+      .withColumnRenamed("n", "mode_count")
+  }
+
+  /** Ordered funnel: for each step i, the count of users whose FIRST
+    * step-i event strictly follows their counted step-(i-1) event
+    * (greedy earliest-match semantics — the standard product-analytics
+    * funnel). Emits one row per step: (step_idx, step, n_users).
+    *
+    * Shape: step 1 is a groupBy(user).min(ts); each later step is an
+    * equi-join on user + a range predicate + min(ts). Every stage
+    * shuffles on the SAME key, so the exchanges after the first reuse
+    * the partitioning, and no per-user event list is ever materialized.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col(typeCol) === step)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        .join(prev, col("__u") === col(userCol) && col("__ts") > col("__t"))
+        .groupBy(col(userCol)).agg(min(col("__ts")).as("__t"))
+    }
+    reached.zipWithIndex.map { case (stage, i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+          col("n_users"))
+    }.reduce(_.union(_))
+  }
+
+  /** Weekly cohort retention: cohort = epoch-week of a user's first
+    * event, offset = activity week − cohort week; counts distinct users
+    * per (cohort, offset). `weekCol` must already be an integral week
+    * number (the caller owns the ns→week arithmetic, see
+    * `EventWindows.nsDiv` — exact integral division, no double floor).
+    *
+    * Two shuffles on the user key (first-seen agg + join), then the
+    * distinct on (cohort, offset, user) combines map-side before the
+    * final count — at no point does a (user × week) matrix concentrate
+    * on one task. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      weekCol: Column): DataFrame = {
+    val weeks = events.select(col(userCol).as("u"), weekCol.as("w"))
+    val first = weeks.groupBy("u").agg(min("w").as("cohort_week"))
+    weeks.join(first, "u")
+      .select(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"),
+        col("u"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Exact global percentile boundaries as a 1-row, 1-array frame —
+    * `probs` must be ascending. One full-reduce aggregate; the result
+    * is broadcast-sized by construction (|probs| doubles). */
+  def quantileCutpoints(df: DataFrame, valueCol: String,
+                        probs: Seq[Double]): DataFrame = {
+    require(probs == probs.sorted, "probs must be ascending")
+    df.agg(percentile(col(valueCol),
+      array(probs.map(lit): _*)).as("__cuts"))
+  }
+
+  /** Assign each row its quantile bucket: 1 + (count of cutpoints
+    * strictly below the value). With the p10..p90 nine-point grid this
+    * is the scale-correct decile assignment — a broadcast of the 1-row
+    * cutpoint frame plus a pure map — where `ntile(10)` over an
+    * unpartitioned window would move every row to a single task.
+    *
+    * Cutpoints are rounded to 6 dp before comparison so the assignment
+    * is reproducible across engines whose interpolation differs in the
+    * final ulp (Spark computes (1−g)·a + g·b, DuckDB a + (b−a)·g). */
+  def bucketByCutpoints(df: DataFrame, valueCol: String,
+                        cuts: DataFrame): DataFrame =
+    df.join(broadcast(cuts))
+      .withColumn("bucket",
+        aggregate(col("__cuts"), lit(1),
+          (acc, c) => acc + when(col(valueCol) > round(c, 6), 1).otherwise(0)))
+      .drop("__cuts")
+
+  /** Fixed-width histogram of `valueCol`: bin = floor((v − lo) / width),
+    * plus each bin's row count and 2-dp value sum. Bin id is a pure map
+    * over the scan; the groupBy combines map-side. Constant (lo, width)
+    * — never data-dependent bounds, which would cost an extra pass. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double,
+                width: Double): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    df.withColumn("bin",
+        floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("v_sum"))
+  }
+}

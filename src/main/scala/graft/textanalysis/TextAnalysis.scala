@@ -480,6 +480,30 @@ object TextAnalysis {
         pmod(col("__start"), lit(budget.toLong)).as("seq_offset"))
   }
 
+  /** Character-unigram Shannon entropy in nats, the classic gibberish /
+    * boilerplate signal (low entropy = repeated characters or trivial
+    * alphabets; English prose sits near 4.1 bits ≈ 2.8 nats). Uses the
+    * identity H = ln L − (Σ_c n_c·ln n_c) / L over the distinct
+    * characters, so each character's count is one literal `replace`
+    * length-diff — O(|alphabet|·L) per row, entirely WITHIN the row:
+    * zero shuffle, the operator is scan-bound at any corpus size.
+    * 4-dp-rounded for cross-engine parity (same policy as
+    * [[qualityScore]]). Blank/null text scores 0.
+    *
+    * `split(text, "")` under Java regex semantics keeps a trailing empty
+    * element; the non-empty filter drops it (an empty "character" would
+    * make ln(0) = −∞ and poison the sum). */
+  def charEntropy(text: Column): Column = {
+    val len = length(text).cast("double")
+    val chars = filter(array_distinct(split(text, "")), c => c =!= "")
+    val s = aggregate(chars, lit(0.0), (acc, ch) => {
+      val n = (len - length(replace(text, ch, lit("")))).cast("double")
+      acc + n * log(n)
+    })
+    when(text.isNull || len === 0, lit(0.0))
+      .otherwise(round4(log(len) - s / len))
+  }
+
   /** Marker words per language for the n-gram-heuristic language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),

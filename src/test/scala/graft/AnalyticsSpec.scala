@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.textanalysis.TextAnalysis
+
+/** Behavioral + plan-shape specs for the round-7 analytics batch (the
+  * DuckDB gates check cross-engine values; these pin semantics and the
+  * scale-critical plan shapes). */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val events = queries.tbl(spark, sf, "events")
+  private lazy val orders = queries.tbl(spark, sf, "orders")
+
+  // ---------------- salted aggregation ----------------
+
+  test("saltedStats equals the direct groupBy, any salt count") {
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("v_min"), max("value").as("v_max"),
+        round(sum("value"), 2).as("v_sum"),
+        round(sum("value") / count(lit(1)), 2).as("v_avg"))
+      .orderBy("event_type")
+      .select("event_type", "n", "v_min", "v_max", "v_sum", "v_avg")
+    Seq(1, 4, 32).foreach { salts =>
+      val got = Analytics.saltedStats(events, Seq("event_type"), "value",
+          Seq("event_id"), salts)
+        .orderBy("event_type")
+        .select("event_type", "n", "v_min", "v_max", "v_sum", "v_avg")
+      assert(got.collect().toSeq === direct.collect().toSeq,
+        s"salted ($salts lanes) must be row-identical to direct groupBy")
+    }
+  }
+
+  test("saltedStats plans two aggregation stages over a hash salt") {
+    val p = Analytics.saltedStats(events, Seq("event_type"), "value",
+      Seq("event_id"), 16).queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), "salt must be a deterministic hash")
+    // partial lane agg shuffles on (key, salt), merge shuffles on key:
+    // exactly two exchanges, both hash partitionings
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 2, s"expected 2 hash exchanges, plan:\n$p")
+  }
+
+  // ---------------- per-group top-k ----------------
+
+  test("salted top-k per group equals the single-window form") {
+    val plain = Analytics.topKPerGroup(orders, Seq("o_orderstatus"),
+      "o_totalprice", 5, Seq("o_orderkey"))
+      .select("o_orderstatus", "o_orderkey", "rk")
+      .orderBy("o_orderstatus", "rk").collect()
+    Seq(2, 8).foreach { salts =>
+      val salted = Analytics.topKPerGroup(orders, Seq("o_orderstatus"),
+        "o_totalprice", 5, Seq("o_orderkey"), salts)
+        .select("o_orderstatus", "o_orderkey", "rk")
+        .orderBy("o_orderstatus", "rk").collect()
+      assert(salted.toSeq === plain.toSeq)
+    }
+  }
+
+  test("top-k tie-break is deterministic (ascending tie columns)") {
+    val df = Seq(("g", 1L, 10.0), ("g", 3L, 10.0), ("g", 2L, 10.0))
+      .toDF("grp", "id", "v")
+    val got = Analytics.topKPerGroup(df, Seq("grp"), "v", 2, Seq("id"))
+      .select("id", "rk").orderBy("rk").as[(Long, Int)].collect()
+    assert(got.toSeq === Seq((1L, 1), (2L, 2)),
+      "equal values must rank by ascending id")
+  }
+
+  // ---------------- per-group mode ----------------
+
+  test("mode ties resolve to the smallest value") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("grp", "v")
+    val got = Analytics.modePerGroup(df, Seq("grp"), "v")
+      .select("mode_value", "mode_count").as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("a", 2L)))
+  }
+
+  test("mode's rank window runs over the counted table, not raw rows") {
+    val plan = Analytics.modePerGroup(orders, Seq("o_orderstatus"),
+      "o_orderpriority").queryExecution.executedPlan.toString
+    // the aggregate must appear BELOW the window in the plan tree
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"window must consume the aggregated counts:\n$plan")
+  }
+
+  // ---------------- funnel ----------------
+
+  test("funnel counts only in-order step completions (greedy match)") {
+    // u1 completes view->click->purchase in order; u2's click precedes
+    // its view so it stalls at step 1; u3 views and clicks, no purchase
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 10L), (2L, "view", 20L), (2L, "purchase", 30L),
+      (3L, "view", 10L), (3L, "click", 15L))
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .select("step", "n_users").as[(String, Long)].collect()
+    // u2 stalls at view (its click precedes the view); u3's click counts
+    // but it never purchases; u2's purchase can't count without a click
+    assert(got.toSeq === Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
+  }
+
+  test("funnel emits a zero row for unreached steps") {
+    val ev = Seq((1L, "view", 10L)).toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click")).orderBy("step_idx")
+      .select("n_users").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 0L))
+  }
+
+  // ---------------- cohort retention ----------------
+
+  test("cohort retention grid from crafted weeks") {
+    // u1 first week 100, active 100+101; u2 first 100, active 100+102;
+    // u3 first 101, active 101 only
+    val ev = Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 102L),
+      (2L, 100L), (3L, 101L)).toDF("user_id", "w")
+    val got = Analytics.cohortRetention(ev, "user_id", col("w"))
+      .orderBy("cohort_week", "week_offset")
+      .select("cohort_week", "week_offset", "n_users")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((100L, 0L, 2L), (100L, 1L, 1L),
+      (100L, 2L, 1L), (101L, 0L, 1L)))
+  }
+
+  // ---------------- quantile buckets ----------------
+
+  test("decile buckets cover min..max and partition the table") {
+    val cuts = Analytics.quantileCutpoints(orders, "o_totalprice",
+      (1 to 9).map(_ / 10.0))
+    val bucketed = Analytics.bucketByCutpoints(orders, "o_totalprice", cuts)
+      .cache()
+    try {
+      assert(bucketed.count() === orders.count(), "every row gets a bucket")
+      val range = bucketed.agg(min("bucket"), max("bucket"))
+        .as[(Int, Int)].head()
+      assert(range === ((1, 10)))
+      // exact deciles: no bucket holds more than ~2x its fair share
+      val maxShare = bucketed.groupBy("bucket").count()
+        .agg(max("count")).as[Long].head()
+      assert(maxShare <= orders.count() / 5,
+        "buckets should be near-uniform for a continuous value")
+    } finally bucketed.unpersist()
+  }
+
+  test("bucket assignment broadcasts the 1-row cutpoint frame") {
+    val cuts = Analytics.quantileCutpoints(orders, "o_totalprice",
+      Seq(0.5))
+    val p = Analytics.bucketByCutpoints(orders, "o_totalprice", cuts)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cutpoints must broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for a 1-row frame")
+  }
+
+  // ---------------- histogram ----------------
+
+  test("histogram bins reconcile with the direct computation") {
+    val h = Analytics.histogram(orders, "o_totalprice", 0.0, 50000.0)
+    val total = h.agg(sum("n")).as[Long].head()
+    assert(total === orders.count())
+    val direct = orders
+      .withColumn("bin", floor(col("o_totalprice") / 50000.0).cast("long"))
+      .groupBy("bin").count().orderBy("bin")
+      .as[(Long, Long)].collect()
+    val got = h.orderBy("bin").select("bin", "n").as[(Long, Long)].collect()
+    assert(got.toSeq === direct.toSeq)
+  }
+
+  // ---------------- char entropy ----------------
+
+  test("char entropy unit values") {
+    val df = Seq(
+      ("aaaa", 0.0),        // single symbol: zero entropy
+      ("ab", 0.6931),       // ln 2
+      ("abab", 0.6931),     // same distribution, longer text
+      ("", 0.0))            // blank guards to 0
+      .toDF("text", "want")
+    val got = df.select(TextAnalysis.charEntropy(col("text")).as("h"),
+      col("want")).as[(Double, Double)].collect()
+    got.foreach { case (h, want) => assert(h === want) }
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.charEntropy(col("text"))).as[Double].head()
+    assert(nullRow === 0.0)
+  }
+
+  test("char entropy is a zero-shuffle map over the scan") {
+    val docs = queries.tbl(spark, sf, "documents")
+    val p = docs.select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("entropy"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
+  }
+}
