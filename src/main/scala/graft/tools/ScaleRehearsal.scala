@@ -25,6 +25,8 @@ object ScaleRehearsal {
       .master("local[32]")
       .appName("scale-rehearsal")
       .config("spark.sql.shuffle.partitions", "64")
+      // events.parquet carries TIMESTAMP(NANOS): read as BIGINT ns
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -181,6 +183,62 @@ object ScaleRehearsal {
       val t10 = semTime(en * 10)
       println(f"[rehearsal] semantic dedup, scaled nlist: n=$en ${t1}%.2f s; " +
         f"10n ${t10}%.2f s (${t10 / t1}%.1fx, ~linear target)")
+    }
+
+    // ---- round-7 analytics operators under skew ----
+    // 90%-one-group corpus, the regime where a single-window per-group
+    // top-k sorts 90% of the data on ONE task. The salted form's lane
+    // pre-pass bounds every task at its lane's rows; both forms must
+    // return identical rows (asserted in AnalyticsSpec, timed here).
+    import graft.operators.Analytics
+    // synthetic and independent of the corpus: big enough that one hot
+    // group's single-task sort is measurable against the lane-split form
+    val skewRows = 4000000L
+    val hotGroups = spark.range(skewRows).select(
+      when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+        .otherwise(concat(lit("g"), pmod(col("id"), lit(97)))).as("grp"),
+      col("id"),
+      (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0)
+        .as("v"))
+    def topkTime(salts: Int): Double = {
+      val t0 = System.nanoTime()
+      Analytics.topKPerGroup(hotGroups, Seq("grp"), "v", 10, Seq("id"),
+        salts).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tkPlain = topkTime(1)
+    val tkSalted = topkTime(32)
+    println(f"[rehearsal] top-k per group, 90%%-hot corpus ($skewRows rows): " +
+      f"plain window ${tkPlain}%.2f s, salted(32) ${tkSalted}%.2f s")
+    // salted stats on the same skew: two-stage merge, row-identical to
+    // the direct groupBy; time must stay in the direct form's band
+    // (partial agg already combines map-side at low key cardinality)
+    time(s"salted stats (90%-hot, ${k}x)") {
+      Analytics.saltedStats(hotGroups, Seq("grp"), "v", Seq("id"), 32)
+        .count()
+    }
+    // funnel at kx events: a chain of same-key joins — linear in corpus
+    val evPath = s"$dir/events.parquet"
+    if (new java.io.File(evPath).exists()) {
+      val ev = spark.read.parquet(evPath)
+        .select("user_id", "event_type", "ts")
+      val evK = (0 until k).map(i => ev.select(
+        (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        col("event_type"), col("ts"))).reduce(_.unionAll(_))
+      time(s"funnel view->click->purchase (${k}x events)") {
+        Analytics.funnel(evK, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")).count()
+      }
+      time(s"cohort retention (${k}x events)") {
+        Analytics.cohortRetention(evK, "user_id",
+          graft.streaming.EventWindows.nsDiv(col("ts"),
+            604800L * 1000000000L)).count()
+      }
+    }
+    // char entropy is row-local: kx corpus must be ~k x the base scan
+    time(s"char entropy (${k}x corpus)") {
+      corpus.select(TextAnalysis.charEntropy(col("text")).as("h"))
+        .agg(sum("h")).count()
     }
     spark.stop()
   }
