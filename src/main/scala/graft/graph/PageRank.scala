@@ -1,0 +1,56 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the second iterative
+  * graph operator next to `dedup.Dedup.connectedComponents` (influence
+  * scoring for entity graphs: domain link graphs in a crawl, the
+  * customer↔supplier trade graph here).
+  *
+  * Per iteration: each node sends rank/out_degree along its out-edges,
+  * contributions sum per destination (one hash-partitioned aggregation),
+  * and every node resets to `(1-d) + d·Σ contributions` — nodes with no
+  * in-edges take `1-d` via the left join's null sum. Dangling nodes
+  * (no out-edges) keep receiving but distribute nothing, the plain
+  * non-normalized PageRank variant; total mass is therefore not
+  * conserved, which is fine for RANKING and keeps the recurrence exactly
+  * replayable in SQL (the DuckDB oracle unrolls the same three CTE
+  * steps).
+  *
+  * Scale shape: out-degrees are computed once; every iteration is one
+  * equi-join (edges ⨝ ranks on src — both sides hash-partitioned on the
+  * same key) plus one partial-aggregating groupBy on dst. For tens of
+  * iterations at 100 TB, truncate lineage per round exactly as
+  * `connectedComponents` does (reliable `checkpoint(dir)` on a cluster);
+  * at the gate's fixed 3 iterations the unrolled plan is fine as-is.
+  * Ranks are full-precision through the recurrence and rounded once at
+  * the END — rounding inside the loop would compound cross-engine ulp
+  * differences instead of masking them.
+  */
+object PageRank {
+  def apply(edges: DataFrame, srcCol: String, dstCol: String,
+            iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val withDeg = e.join(outDeg, "src") // every edge has a source degree
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("out_deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+}

@@ -198,6 +198,59 @@ object Analytics {
           (acc, c) => acc + when(col(valueCol) > round(c, 6), 1).otherwise(0)))
       .drop("__cuts")
 
+  /** Per-group z-score outliers: rows where |v − mean| / stddev exceeds
+    * `threshold`. Group stats are one map-side-combining aggregation
+    * joined back (broadcast when the group count is small — set
+    * `broadcastStats = false` for high-cardinality groups and the join
+    * shuffles on the group key instead). The z-score is rounded to 4 dp
+    * BEFORE the threshold compare so the kept set is identical across
+    * engines whose mean/stddev summation order differs in the last ulp. */
+  def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     threshold: Double,
+                     broadcastStats: Boolean = true): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("__mean"),
+        stddev_samp(col(valueCol)).as("__sd"))
+    val s = if (broadcastStats) broadcast(stats) else stats
+    df.join(s, groupCols)
+      .withColumn("z",
+        round((col(valueCol) - col("__mean")) / col("__sd"), 4))
+      .filter(abs(col("z")) >= threshold)
+      .drop("__mean", "__sd")
+  }
+
+  /** Per-group robust location/scale: exact median and median absolute
+    * deviation. Two aggregation passes (median, then median of
+    * |v − median|) with the 1-row-per-group median table broadcast back
+    * between them — never a per-group sort of raw rows on one task
+    * beyond what the exact percentile itself requires. */
+  def madStats(df: DataFrame, groupCols: Seq[String],
+               valueCol: String): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    df.join(broadcast(med), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(min("__med"), 4).as("med"),
+        round(percentile(abs(col(valueCol) - col("__med")), lit(0.5)), 4)
+          .as("mad"))
+  }
+
+  /** Trailing time-range aggregation: per partition key, the sum and
+    * count of `valueCol` over rows whose `orderCol` lies within
+    * `rangeBack` of the current row (inclusive both ends) — the
+    * "activity in the last hour per user" primitive. One shuffle on the
+    * partition key; the RANGE frame advances two pointers per partition,
+    * never re-scanning the window. `orderCol` must be integral (epoch
+    * ns/sec), which keeps the frame arithmetic exact. */
+  def trailingRangeAgg(df: DataFrame, partCols: Seq[String],
+                       orderCol: String, rangeBack: Long,
+                       valueCol: String): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(orderCol)).rangeBetween(-rangeBack, 0)
+    df.withColumn("w_sum", round(sum(col(valueCol)).over(w), 2))
+      .withColumn("w_n", count(lit(1)).over(w))
+  }
+
   /** Fixed-width histogram of `valueCol`: bin = floor((v − lo) / width),
     * plus each bin's row count and 2-dp value sum. Bin id is a pure map
     * over the scan; the groupBy combines map-side. Constant (lo, width)

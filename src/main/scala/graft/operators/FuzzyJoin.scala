@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string self-join: pairs of values within a Levenshtein edit
+  * distance, blocked so the corpus never goes all-pairs.
+  *
+  * Shape (the same discipline as the MinHash band join in
+  * `dedup.Dedup`): collapse to DISTINCT strings first (duplicate
+  * occurrences of a template cost nothing), explode each string to its
+  * blocking tokens, equi-join on the token, and fuse the edit-distance
+  * verify INTO the join condition so non-matching candidates die inside
+  * the join instead of materializing. Emits each surviving pair once
+  * (`a < b`) with its distance.
+  *
+  * Token blocking trades recall for scale: a pair sharing NO whitespace
+  * token is never considered (for word-structured names — product
+  * titles, addresses — an edit within `maxDist` of a multi-word string
+  * almost always leaves some token intact; single-token strings fall
+  * back to exact-token candidates only). `maxTokenDf` drops tokens whose
+  * document frequency exceeds the cap — the stop-token guard that keeps
+  * one hot token ("the", a ubiquitous brand word) from re-creating the
+  * quadratic blow-up inside its block. Dropped-token pairs may be
+  * missed; at 100 TB that cap is the difference between a bounded
+  * equi-join and an accidental cross join, and the gate's oracle applies
+  * the IDENTICAL rule so the trade is pinned, not hidden.
+  */
+object FuzzyJoin {
+  def selfPairs(df: DataFrame, keyCol: String, maxDist: Int,
+                maxTokenDf: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val names = df.select(col(keyCol).as("name")).distinct()
+    val toks = names
+      .select(col("name"), explode(split(trim(col("name")), "\\s+")).as("tok"))
+      .distinct() // a token repeated within one name blocks once
+    val blocked = maxTokenDf match {
+      case Some(cap) =>
+        val hot = toks.groupBy("tok").count().filter(col("count") > cap)
+          .select("tok")
+        toks.join(hot, Seq("tok"), "left_anti")
+      case None => toks
+    }
+    // distinct attribute names on each side: a self-join on the shared
+    // `tok` attribute would resolve both sides to the SAME expression id
+    // and silently degrade the block equi-join to a cross join
+    val a = blocked.select(col("tok").as("__atok"), col("name").as("a_name"))
+    val b = blocked.select(col("tok").as("__btok"), col("name").as("b_name"))
+    a.join(b,
+        col("__atok") === col("__btok") && col("a_name") < col("b_name") &&
+          levenshtein(col("a_name"), col("b_name")) <= maxDist)
+      .select(col("a_name"), col("b_name"),
+        levenshtein(col("a_name"), col("b_name")).as("dist"))
+      .distinct() // pairs sharing several tokens collapse to one row
+  }
+}

@@ -177,6 +177,35 @@ object WeightedHashSample {
   }
 }
 
+/** Weighted sampling WITHOUT replacement, exactly k rows
+  * (Efraimidis–Spirakis A-Res): each row draws a deterministic uniform
+  * u ∈ (0, 1] from its hash and keeps key = ln(u) / w; the top-k keys
+  * are the sample, each row's inclusion probability proportional to its
+  * weight. Complements [[WeightedHashSample]] (Bernoulli, random SIZE)
+  * when the budget is a fixed row count.
+  *
+  * Plans as TakeOrderedAndProject: per-partition top-k, driver merge —
+  * no global sort, no shuffle of the corpus. Md5-keyed so the exact
+  * sample replays in any engine ((digest60 + 1) / 2^60 is the same
+  * double everywhere); rows with w <= 0 are excluded (their key would
+  * be −∞/undefined — and zero weight means zero chance anyway).
+  */
+object WeightedTopKSample {
+  private val Scale = (1L << 60).toDouble
+
+  def apply(df: DataFrame, weight: Column, k: Int,
+            seedCols: Seq[String]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(SampleHash.keyFor(seedCols, Md5), 1, 15), 16, 10)
+      .cast("double") + lit(1.0)) / lit(Scale)
+    df.filter(weight > 0.0)
+      .withColumn("__k", log(u) / weight)
+      .orderBy(col("__k").desc, col(seedCols.head))
+      .limit(k)
+      .drop("__k")
+  }
+}
+
 /** Distributed exclusive prefix sum over a global order — the building
   * block for sequence packing, global byte offsets, and deterministic
   * concatenation layouts. The naive form (one unpartitioned window) puts

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Analytics
+import graft.operators.{Analytics, FuzzyJoin, WeightedTopKSample}
+import graft.graph.PageRank
 import graft.streaming.EventWindows
 import graft.textanalysis.TextAnalysis
 
@@ -121,7 +122,53 @@ object Analytics7 {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.charEntropy(col("text")).as("entropy"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // token-blocked Levenshtein self-join over DISTINCT part names —
+    // verify fused into the join condition, never all-pairs
+    "join_fuzzy" -> ((s, dir) =>
+      FuzzyJoin.selfPairs(tbl(s, dir, "part"), "p_name", maxDist = 3)
+        .orderBy("a_name", "b_name")),
+
+    // per-type z-score outliers (|z| >= 2.5, z rounded before the cut
+    // so the kept set is ulp-stable across engines)
+    "filter_outliers" -> ((s, dir) =>
+      Analytics.zscoreOutliers(tbl(s, dir, "events"), Seq("event_type"),
+          "value", threshold = 2.5)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")),
+
+    // robust per-type location/scale: exact median + MAD
+    "agg_mad" -> ((s, dir) =>
+      Analytics.madStats(tbl(s, dir, "events"), Seq("event_type"), "value")
+        .orderBy("event_type")),
+
+    // trailing 1-hour activity per user (RANGE frame on epoch-ns)
+    "window_moving_range" -> ((s, dir) =>
+      Analytics.trailingRangeAgg(tbl(s, dir, "events"), Seq("user_id"),
+          "ts", rangeBack = 3600L * 1000000000L, valueCol = "value")
+        .select("event_id", "user_id", "w_sum", "w_n")
+        .orderBy("event_id")),
+
+    // exactly-k weighted sample without replacement (A-Res), md5-keyed
+    // so DuckDB re-derives the identical 100 documents
+    "sample_ares" -> ((s, dir) =>
+      WeightedTopKSample(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+        weight = col("quality"), k = 100, seedCols = Seq("doc_id"))
+        .orderBy("doc_id")),
+
+    // 3-iteration PageRank on the customer->supplier trade graph
+    "graph_pagerank" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      PageRank(edges, "src", "dst", iterations = 3).orderBy("node")
+    })
   )
 
   /** The text_quality oracle's scoring CTE, reused by filter_quantile so
@@ -163,6 +210,27 @@ object Analytics7 {
          count(*) AS n_users FROM s${i + 1}"""
     }.mkString(" UNION ALL ")
     s"WITH $ctes $selects ORDER BY step_idx"
+  }
+
+  /** DuckDB PageRank oracle: the same recurrence unrolled `iters` times
+    * as chained CTEs — generated so iteration count and damping cannot
+    * drift from the Spark query. */
+  private def pagerankOracleSql(iters: Int, d: Double): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT dst, sum(r.rank / deg.d) AS s
+           FROM e JOIN deg USING (src) JOIN r${i - 1} r ON e.src = r.node
+           GROUP BY dst),
+         r$i AS (SELECT node, ${1.0 - d} + $d * COALESCE(s, 0.0) AS rank
+           FROM nodes LEFT JOIN c$i ON node = dst)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+           's' || l_suppkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+       $steps
+       SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +325,57 @@ object Analytics7 {
                    * ln((length(text) - length(replace(text, c, '')))::DOUBLE)))
                / length(text)::DOUBLE) * 10000 + 0.5) / 10000
            END AS entropy
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "join_fuzzy" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+         toks AS (SELECT DISTINCT name,
+           unnest(regexp_split_to_array(trim(name), '\s+')) AS tok
+           FROM names)
+         SELECT DISTINCT a.name AS a_name, b.name AS b_name,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+         FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+           AND levenshtein(a.name, b.name) <= 3
+         ORDER BY a_name, b_name""",
+
+    "filter_outliers" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m,
+           stddev_samp(value) AS sd FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value,
+           round((value - m) / sd, 4) AS z
+         FROM events e JOIN s ON e.event_type = s.event_type
+         WHERE abs(round((value - m) / sd, 4)) >= 2.5
+         ORDER BY event_id""",
+
+    "agg_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS md
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, round(min(md), 4) AS med,
+           round(quantile_cont(abs(value - md), 0.5), 4) AS mad
+         FROM events e JOIN m ON e.event_type = m.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "window_moving_range" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER w, 2) AS w_sum,
+           count(*) OVER w AS w_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+           RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    // A-Res keys: u = (digest60 + 1)/2^60, key = ln(u)/quality; the
+    // identical doubles both engines, so the top-100 set replays exactly
+    "sample_ares" ->
+      s"""WITH $QualitySql,
+         keyed AS (SELECT doc_id, quality,
+           ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+             ::DOUBLE + 1.0) / 1152921504606846976.0) / quality AS k
+           FROM q WHERE quality > 0)
+         SELECT doc_id, quality FROM
+           (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100) t
+         ORDER BY doc_id""",
+
+    "graph_pagerank" -> pagerankOracleSql(3, 0.85)
   )
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Analytics
+import graft.graph.PageRank
+import graft.operators.{Analytics, FuzzyJoin, WeightedTopKSample}
 import graft.textanalysis.TextAnalysis
 
 /** Behavioral + plan-shape specs for the round-7 analytics batch (the
@@ -197,5 +198,135 @@ class AnalyticsSpec extends SparkTestBase {
         TextAnalysis.charEntropy(col("text")).as("entropy"))
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
+  }
+
+  // ---------------- fuzzy join ----------------
+
+  test("fuzzy join finds token-blocked near-matches with exact distances") {
+    val df = Seq("red widget", "red gadget", "blue widget", "blue gadget",
+      "green thing").toDF("name")
+    val got = FuzzyJoin.selfPairs(df, "name", maxDist = 2)
+      .orderBy("a_name", "b_name")
+      .select("a_name", "b_name", "dist")
+      .as[(String, String, Int)].collect()
+    // within-color pairs share the color token, dist 2 (gadget/widget);
+    // cross-color pairs share widget/gadget but lev("blue","red") = 4;
+    // "green thing" shares no token with anything -> never a candidate
+    assert(got.toSeq === Seq(
+      ("blue gadget", "blue widget", 2), ("red gadget", "red widget", 2)))
+  }
+
+  test("fuzzy join stop-token cap drops hot-block pairs, pinned trade") {
+    // every name shares "acme"; the second tokens are pairwise distinct,
+    // so "acme" is the ONLY block key for the two dist-1 pairs
+    val df = Seq("acme cat", "acme car", "acme dog", "acme dot")
+      .toDF("name")
+    val uncapped = FuzzyJoin.selfPairs(df, "name", maxDist = 1)
+      .select("a_name", "b_name").as[(String, String)].collect().toSet
+    assert(uncapped === Set(("acme car", "acme cat"),
+      ("acme dog", "acme dot")))
+    // capping acme's df removes the hot block entirely — the documented
+    // recall trade for tokens whose block would go quadratic
+    val capped = FuzzyJoin.selfPairs(df, "name", maxDist = 1,
+      maxTokenDf = Some(3))
+    assert(capped.count() === 0)
+  }
+
+  test("fuzzy join blocking really restricts candidates (no cross join)") {
+    val df = Seq("red widget", "blue gadget").toDF("name")
+    val p = FuzzyJoin.selfPairs(df, "name", maxDist = 100)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"block join must stay an equi-join:\n$p")
+    // and no shared token -> no pair, even at a huge distance budget
+    assert(FuzzyJoin.selfPairs(df, "name", maxDist = 100).count() === 0)
+  }
+
+  // ---------------- z-score / MAD ----------------
+
+  test("zscore outliers match the direct computation") {
+    val direct = {
+      val s = events.groupBy("event_type")
+        .agg(avg("value").as("m"), stddev_samp("value").as("sd"))
+      events.join(s, "event_type")
+        .withColumn("z", round((col("value") - col("m")) / col("sd"), 4))
+        .filter(abs(col("z")) >= 2.5)
+        .select("event_id", "z").orderBy("event_id")
+        .as[(Long, Double)].collect()
+    }
+    val got = Analytics.zscoreOutliers(events, Seq("event_type"), "value",
+      2.5).select("event_id", "z").orderBy("event_id")
+      .as[(Long, Double)].collect()
+    assert(got.toSeq === direct.toSeq && got.nonEmpty)
+  }
+
+  test("MAD on crafted values") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+      ("g", 100.0)).toDF("grp", "v")
+    val got = Analytics.madStats(df, Seq("grp"), "v")
+      .select("med", "mad").as[(Double, Double)].head()
+    assert(got === ((3.0, 1.0))) // deviations [2,1,0,1,97] -> median 1
+  }
+
+  // ---------------- trailing range window ----------------
+
+  test("trailing range frame counts peers and respects the horizon") {
+    val df = Seq((1L, 0L, 1.0), (1L, 1000L, 2.0), (1L, 1000L, 3.0),
+      (1L, 5000L, 4.0)).toDF("u", "t", "v")
+    val got = Analytics.trailingRangeAgg(df, Seq("u"), "t", 1000L, "v")
+      .orderBy("t", "v").select("w_sum", "w_n")
+      .as[(Double, Long)].collect()
+    // t=0: itself; t=1000 (both peers): 1+2+3 within [0,1000];
+    // t=5000: outside every earlier row's range
+    assert(got.toSeq === Seq((1.0, 1L), (6.0, 3L), (6.0, 3L), (4.0, 1L)))
+  }
+
+  // ---------------- A-Res weighted sample ----------------
+
+  test("A-Res sample: exact k, deterministic, scale-invariant weights") {
+    val docs = queries.tbl(spark, sf, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text"))
+        .as("quality"))
+    val s1 = WeightedTopKSample(docs, col("quality"), 50, Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.length === 50)
+    val s2 = WeightedTopKSample(docs.repartition(7), col("quality"), 50,
+      Seq("doc_id")).select("doc_id").as[Long].collect().sorted
+    assert(s2.toSeq === s1.toSeq, "sample must not depend on partitioning")
+    // key = ln(u)/w is order-invariant under weight scaling
+    val s3 = WeightedTopKSample(docs, col("quality") * 7.0, 50,
+      Seq("doc_id")).select("doc_id").as[Long].collect().sorted
+    assert(s3.toSeq === s1.toSeq, "sample invariant under weight scaling")
+  }
+
+  test("A-Res sample excludes non-positive weights") {
+    val df = Seq((1L, 0.0), (2L, -1.0), (3L, 0.5), (4L, 0.9))
+      .toDF("id", "w")
+    val got = WeightedTopKSample(df, col("w"), 10, Seq("id"))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(3L, 4L))
+  }
+
+  // ---------------- PageRank ----------------
+
+  test("PageRank matches the hand-computed 2-iteration recurrence") {
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("s", "d")
+    val got = PageRank(e, "s", "d", iterations = 2)
+      .orderBy("node").select("node", "rank")
+      .as[(String, Double)].collect().toMap
+    // iter1: a=.15, b=.15+.85*.5=.575, c=.15+.85*1.5=1.425
+    // iter2: a=.15, b=.15+.85*.075=.21375, c=.15+.85*(.075+.575)=.7025
+    assert(got("a") === 0.15)
+    assert(got("b") === 0.21375)
+    assert(got("c") === 0.7025)
+  }
+
+  test("PageRank: every node floors at 1-d; sinks receive, never send") {
+    val e = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("s", "d")
+    val got = PageRank(e, "s", "d", iterations = 3)
+      .select("node", "rank").as[(String, Double)].collect().toMap
+    assert(got.values.forall(_ >= 0.15 - 1e-9))
+    assert(got("a") > got("c"), "a has in-links, c has none")
   }
 }
