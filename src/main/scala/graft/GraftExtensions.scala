@@ -80,5 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("first_equal_index", 2, args); FirstEqualIndex(args.head, args(1))
       }))
+    // naive `levenshtein(a,b) <= d` predicates (Filter or Join) become
+    // length-pruned + banded-DP form; see the rule's scaladoc
+    e.injectOptimizerRule(_ => graft.plans.FuzzyMatchPruning)
   }
 }

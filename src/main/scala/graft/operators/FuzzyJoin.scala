@@ -46,11 +46,19 @@ object FuzzyJoin {
     // and silently degrade the block equi-join to a cross join
     val a = blocked.select(col("tok").as("__atok"), col("name").as("a_name"))
     val b = blocked.select(col("tok").as("__btok"), col("name").as("b_name"))
+    // the optimized bounded-distance form directly (what the
+    // graft.plans.FuzzyMatchPruning rule would rewrite a naive
+    // `levenshtein(a,b) <= d` into): O(1) length-difference prune, then
+    // the banded O(d·n) DP via the thresholded kernel (−1 past d)
+    val lenOk =
+      abs(length(col("a_name")) - length(col("b_name"))) <= maxDist
+    val levOk =
+      levenshtein(col("a_name"), col("b_name"), maxDist) >= 0
     a.join(b,
         col("__atok") === col("__btok") && col("a_name") < col("b_name") &&
-          levenshtein(col("a_name"), col("b_name")) <= maxDist)
+          lenOk && levOk)
       .select(col("a_name"), col("b_name"),
-        levenshtein(col("a_name"), col("b_name")).as("dist"))
+        levenshtein(col("a_name"), col("b_name"), maxDist).as("dist"))
       .distinct() // pairs sharing several tokens collapse to one row
   }
 }
