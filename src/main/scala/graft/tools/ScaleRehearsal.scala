@@ -240,6 +240,47 @@ object ScaleRehearsal {
       corpus.select(TextAnalysis.charEntropy(col("text")).as("h"))
         .agg(sum("h")).count()
     }
+
+    // ---- PageRank: k disjoint copies of the trade graph ----
+    // each iteration is one equi-join + one partial-agg groupBy; k
+    // copies must cost ~k, never k² (the copies never interact)
+    val liPath = s"$dir/lineitem.parquet"
+    if (new java.io.File(liPath).exists()) {
+      import graft.graph.PageRank
+      val li = spark.read.parquet(liPath).select("l_orderkey", "l_suppkey")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      val edges1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edgesK = (0 until k).map(i => edges1.select(
+        concat(lit(s"r$i"), col("src")).as("src"),
+        concat(lit(s"r$i"), col("dst")).as("dst"))).reduce(_.unionAll(_))
+      def prTime(label: String, e: org.apache.spark.sql.DataFrame): Unit =
+        time(label) { PageRank(e, "src", "dst", iterations = 3).count() }
+      prTime("pagerank 3 iters (1x graph)", edges1)
+      prTime(s"pagerank 3 iters (${k}x graph)", edgesK)
+    }
+
+    // ---- fuzzy join: token-blocked Levenshtein at n and 10n names ----
+    // vocab scales with n so per-token block occupancy stays ~constant
+    // (like signBandPlanFor holds LSH occupancy): candidates, and so
+    // time, must grow ~linearly — a fixed vocab would go quadratic
+    import graft.operators.FuzzyJoin
+    def synthNames(rows: Long) = {
+      val vocab = math.max(rows / 50, 4L)
+      spark.range(rows).select(concat_ws(" ",
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(1)), lit(vocab))),
+        concat(lit("u"), pmod(xxhash64(col("id"), lit(2)), lit(vocab))),
+        concat(lit("v"), col("id"))).as("name"))
+    }
+    val fz1 = 20000L
+    time(s"fuzzy join ($fz1 names, scaled vocab)") {
+      FuzzyJoin.selfPairs(synthNames(fz1), "name", maxDist = 3).count()
+    }
+    time(s"fuzzy join (${fz1 * 10} names, scaled vocab)") {
+      FuzzyJoin.selfPairs(synthNames(fz1 * 10), "name", maxDist = 3).count()
+    }
     spark.stop()
   }
 }
