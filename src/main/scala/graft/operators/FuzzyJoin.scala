@@ -27,6 +27,41 @@ import org.apache.spark.sql.functions._
   * the IDENTICAL rule so the trade is pinned, not hidden.
   */
 object FuzzyJoin {
+
+  /** Entity resolution over a string key: fuzzy-match pairs
+    * ([[selfPairs]]) become edges, transitive closure
+    * (`Dedup.connectedComponents`) merges chains of near-matches into
+    * entities, and each entity takes its minimum-id member as the
+    * canonical representative. One row per DISTINCT key value:
+    * (name, name_id, entity_id, canonical) — `entity_id` is the
+    * cluster's minimum name_id, `canonical` that node's name.
+    *
+    * `idCol` supplies a stable numeric id per row; a key appearing many
+    * times gets min(id) as its name_id, so the output (and the chosen
+    * canonicals) is deterministic and engine-replayable. The component
+    * step inherits connectedComponents' scale contract — O(log diameter)
+    * rounds of hash joins, lineage truncated per round. */
+  def entityClusters(df: DataFrame, keyCol: String, idCol: String,
+                     maxDist: Int,
+                     maxTokenDf: Option[Long] = None): DataFrame = {
+    val names = df.groupBy(col(keyCol).as("name"))
+      .agg(min(col(idCol)).as("name_id"))
+    val pairs = selfPairs(df, keyCol, maxDist, maxTokenDf)
+      .join(names.select(col("name").as("a_name"), col("name_id").as("id_a")),
+        "a_name")
+      .join(names.select(col("name").as("b_name"), col("name_id").as("id_b")),
+        "b_name")
+      .select("id_a", "id_b")
+    val comp = graft.dedup.Dedup.connectedComponents(
+      pairs, "id_a", "id_b", names, "name_id")
+    names
+      .join(comp.select(col("name_id"),
+        col("component_id").as("entity_id")), "name_id")
+      .join(names.select(col("name_id").as("entity_id"),
+        col("name").as("canonical")), "entity_id")
+      .select("name", "name_id", "entity_id", "canonical")
+  }
+
   def selfPairs(df: DataFrame, keyCol: String, maxDist: Int,
                 maxTokenDf: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")

@@ -160,6 +160,30 @@ object Analytics7 {
         weight = col("quality"), k = 100, seedCols = Seq("doc_id"))
         .orderBy("doc_id")),
 
+    // PQ two-stage retrieval: 32x-compressed codes scanned via ADC
+    // lookups, exact rescore of a 200-candidate pool; with this headroom
+    // the result IS brute-force top-10, which is what the oracle checks
+    "sim_ann_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(graft.similarity.Similarity.toVec(col("embedding")))
+        .head().getSeq[Double](0)
+      val model = graft.similarity.ProductQuantizer.fit(
+        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32, iters = 2)
+      val encoded = graft.similarity.ProductQuantizer.encode(
+        emb, "vec_id", "embedding", model)
+      graft.similarity.ProductQuantizer.adcRescoreTopK(encoded, emb,
+        "vec_id", "embedding", model, qv, candidates = 200, k = 10)
+        .withColumn("sim", col("sim") + lit(0.0))
+    }),
+
+    // entity resolution end-to-end: fuzzy pairs -> transitive closure
+    // -> canonical representative per entity (min-id member's name)
+    "pipeline_entity_resolution" -> ((s, dir) =>
+      FuzzyJoin.entityClusters(tbl(s, dir, "part"), "p_name", "p_partkey",
+          maxDist = 3)
+        .orderBy("name")),
+
     // 3-iteration PageRank on the customer->supplier trade graph
     "graph_pagerank" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -376,6 +400,45 @@ object Analytics7 {
            (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100) t
          ORDER BY doc_id""",
 
-    "graph_pagerank" -> pagerankOracleSql(3, 0.85)
+    "graph_pagerank" -> pagerankOracleSql(3, 0.85),
+
+    // the 200-candidate pool dwarfs k=10, so two-stage PQ retrieval is
+    // exact brute-force top-k — the identity this oracle checks
+    "sim_ann_pq" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0
+             AS sim
+         FROM embeddings, q
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    // same fuzzy-pair CTE as join_fuzzy, then transitive closure as a
+    // recursive CTE (the dedup_components oracle pattern) and canonical
+    // lookup of each component's min-id member
+    "pipeline_entity_resolution" ->
+      """WITH RECURSIVE names AS (SELECT p_name AS name,
+           min(p_partkey) AS name_id FROM part GROUP BY p_name),
+         toks AS (SELECT DISTINCT name,
+           unnest(regexp_split_to_array(trim(name), '\s+')) AS tok
+           FROM names),
+         fpairs AS (SELECT DISTINCT a.name AS a_name, b.name AS b_name
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+             AND levenshtein(a.name, b.name) <= 3),
+         pairs AS (SELECT na.name_id AS id_a, nb.name_id AS id_b
+           FROM fpairs JOIN names na ON fpairs.a_name = na.name
+           JOIN names nb ON fpairs.b_name = nb.name),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, r) AS (
+           SELECT name_id, name_id FROM names
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         comp AS (SELECT u AS name_id, min(r) AS entity_id
+           FROM reach GROUP BY u)
+         SELECT n.name, n.name_id, c.entity_id, cn.name AS canonical
+         FROM names n JOIN comp c ON n.name_id = c.name_id
+         JOIN names cn ON cn.name_id = c.entity_id
+         ORDER BY n.name"""
   )
 }

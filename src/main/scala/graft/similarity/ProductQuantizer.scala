@@ -1,0 +1,151 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search"): split each dim-D vector into `m`
+  * subvectors of D/m dims, k-means each subspace into `ksub` codes, and
+  * store every vector as `m` small codes (m bytes at ksub ≤ 256 — a
+  * 32× compression of float32 at the default 8×16 on dim 64).
+  *
+  * Query time is ADC (asymmetric distance computation): the query
+  * builds one (m × ksub) table of partial dot products against the
+  * codebooks, and every corpus vector's approximate score is m table
+  * lookups over its codes — no float vector is read at all. The coarse
+  * candidates then rescore against full precision, the same two-stage
+  * contract as [[Similarity.int8RescoreTopK]].
+  *
+  * Scale shape: training reduces subvector sums per (subspace, cell) —
+  * the shuffle carries m·ksub·(D/m) doubles regardless of corpus size;
+  * encoding is a pure map (codebooks inlined as literals, the
+  * [[Similarity.assign]] pattern); the ADC scan is a pure map +
+  * TakeOrderedAndProject. The only full-precision touch is the
+  * candidate rescore (broadcast semi-join).
+  */
+object ProductQuantizer {
+
+  /** Trained codebooks: `books(sub)(code)` is a D/m-dim centroid. */
+  case class Model(dim: Int, m: Int, ksub: Int,
+                   books: Seq[Seq[Seq[Double]]]) {
+    def subDim: Int = dim / m
+  }
+
+  /** One row per (vector, subspace): (id, sub, subvec). */
+  private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    corpus.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(Similarity.toVec(col(vecCol)), s * subDim + 1,
+            lit(subDim))))
+      .as(Seq("__sub", "__sv")))
+  }
+
+  /** Squared L2 distance between a column vector and a literal one. */
+  private def sqDistToLit(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Lloyd k-means per subspace, `pmod(xxhash64(id, sub), ksub)` seeded
+    * (deterministic, retry-safe). Centroid reduction via
+    * [[VectorCentroid]] on the composite (sub·ksub + cell) key;
+    * reassignment inlines the current codebooks and picks argmin-L2 per
+    * row — a pure map, mirroring [[Similarity.assign]]. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+          m: Int = 8, ksub: Int = 16, iters: Int = 1): Model = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 2 && ksub <= 256, s"ksub in [2,256], got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val sv = subvectors(corpus, idCol, vecCol, dim, m)
+
+    def booksOf(assigned: DataFrame): Seq[Seq[Seq[Double]]] = {
+      val rows = assigned
+        .select((col("__sub") * ksub + col("__cell")).cast("int").as("__key"),
+          col("__sv").as("__v"))
+        .as[(Int, Seq[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new VectorCentroid(subDim).toColumn.name("__c"))
+        .collect().toMap
+      Seq.tabulate(m, ksub)((s, c) =>
+        rows.getOrElse(s * ksub + c, Seq.fill(subDim)(0.0)))
+    }
+
+    var assigned = sv.withColumn("__cell",
+      pmod(xxhash64(col(idCol), col("__sub")), lit(ksub)).cast("int"))
+    var books = booksOf(assigned)
+    var i = 0
+    while (i < iters) {
+      assigned = sv.withColumn("__cell", argminCell(col("__sub"), col("__sv"),
+        books, ksub))
+      books = booksOf(assigned)
+      i += 1
+    }
+    Model(dim, m, ksub, books)
+  }
+
+  /** Argmin-L2 cell for a (sub, subvec) row with the codebooks inlined:
+    * greatest over (−dist, −code) structs, ties to the smaller code. */
+  private def argminCell(sub: Column, sv: Column,
+                         books: Seq[Seq[Seq[Double]]], ksub: Int): Column = {
+    def bestIn(book: Seq[Seq[Double]]): Column = {
+      val scored = book.zipWithIndex.map { case (c, code) =>
+        struct((-sqDistToLit(sv, c)).as("nd"), lit(-code).as("nc"))
+      }
+      (-greatest(scored: _*).getField("nc")).cast("int")
+    }
+    books.zipWithIndex.foldRight(lit(-1)) { case ((book, s), other) =>
+      when(sub === s, bestIn(book)).otherwise(other)
+    }
+  }
+
+  /** Adds `codes` (array<int>, length m): each vector's per-subspace
+    * argmin-L2 code. Pure map — the codebooks ride along as literals. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             model: Model): DataFrame = {
+    val subDim = model.subDim
+    val codeExprs = model.books.zipWithIndex.map { case (book, s) =>
+      val sv = slice(Similarity.toVec(col(vecCol)), s * subDim + 1, subDim)
+      val scored = book.zipWithIndex.map { case (c, code) =>
+        struct((-sqDistToLit(sv, c)).as("nd"), lit(-code).as("nc"))
+      }
+      (-greatest(scored: _*).getField("nc")).cast("int")
+    }
+    corpus.withColumn("codes", array(codeExprs: _*))
+  }
+
+  /** Two-stage PQ retrieval: ADC coarse scan over the codes (the query's
+    * per-subspace dot-product tables inlined as literals — m
+    * `element_at` lookups per row), TakeOrderedAndProject keeps
+    * `candidates` ids, exact cosine rescores only those. With enough
+    * candidate headroom the result IS the exact top-k (the identity the
+    * gate checks); recall degrades gracefully as the pool shrinks. */
+  def adcRescoreTopK(encoded: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, model: Model, queryVec: Seq[Double],
+                     candidates: Int, k: Int): DataFrame = {
+    require(candidates >= k, "candidate pool must cover k")
+    require(queryVec.length == model.dim, "query dim mismatch")
+    val subDim = model.subDim
+    // (m × ksub) partial dot products, computed once on the driver
+    val luts: Seq[Seq[Double]] = model.books.zipWithIndex.map { case (book, s) =>
+      val q = queryVec.slice(s * subDim, (s + 1) * subDim)
+      book.map(c => c.iterator.zip(q.iterator).map { case (a, b) => a * b }.sum)
+    }
+    val approx = luts.zipWithIndex.map { case (lut, s) =>
+      element_at(typedLit(lut), col("codes")(s) + 1)
+    }.reduce(_ + _)
+    val pool = encoded
+      .select(col(idCol), approx.as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(candidates)
+      .select(idCol)
+    corpus.join(broadcast(pool), Seq(idCol))
+      .select(col(idCol),
+        round(Similarity.cosine(Similarity.toVec(col(vecCol)),
+          typedLit(queryVec)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

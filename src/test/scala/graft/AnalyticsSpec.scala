@@ -243,6 +243,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(FuzzyJoin.selfPairs(df, "name", maxDist = 100).count() === 0)
   }
 
+  test("entity resolution merges transitive fuzzy chains") {
+    // chain: "red cat" -1- "red car" -1- "rad car"; "blue dog" isolated
+    val df = Seq((10L, "red cat"), (20L, "red car"), (30L, "rad car"),
+      (40L, "blue dog"), (50L, "red cat")) // duplicate key keeps min id
+      .toDF("id", "name")
+    val got = FuzzyJoin.entityClusters(df, "name", "id", maxDist = 1)
+      .orderBy("name")
+      .select("name", "name_id", "entity_id", "canonical")
+      .as[(String, Long, Long, String)].collect()
+    assert(got.toSeq === Seq(
+      ("blue dog", 40L, 40L, "blue dog"),
+      ("rad car", 30L, 10L, "red cat"),
+      ("red car", 20L, 10L, "red cat"),
+      ("red cat", 10L, 10L, "red cat")))
+  }
+
   // ---------------- z-score / MAD ----------------
 
   test("zscore outliers match the direct computation") {
