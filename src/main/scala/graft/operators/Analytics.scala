@@ -251,6 +251,29 @@ object Analytics {
       .withColumn("w_n", count(lit(1)).over(w))
   }
 
+  /** Order-independent table content checksum: row count, the SUM of a
+    * 40-bit md5 prefix (40 bits so int64 holds the exact sum up to
+    * ~8 × 10⁶ rows per 2⁶³ budget — far past any gate scale; overflow
+    * past that wraps identically nowhere, so the XOR channel is the one
+    * that stays exact at any cardinality), and the BIT_XOR of the
+    * 60-bit prefix (commutative, never overflows; blind only to
+    * even-multiplicity changes, which n_rows + sum catch). All three
+    * are commutative ⇒ partitioning/ordering never changes the result,
+    * and md5 replays in any engine — the cross-system migration
+    * validation primitive ("did every row survive the copy?"). One
+    * pure-map pass + a 1-row reduce; swap md5 for xxhash64 intra-Spark
+    * (4× cheaper, same shape). NULL renders as the empty string
+    * (concat_ws skips nulls), so NULL and '' collide — acceptable for a
+    * checksum, not an equality proof. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val hex = md5(concat_ws("|", cols.map(col(_).cast("string")): _*))
+    val k40 = conv(substring(hex, 1, 10), 16, 10).cast("long")
+    val k60 = conv(substring(hex, 1, 15), 16, 10).cast("long")
+    df.select(k40.as("__k40"), k60.as("__k60"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__k40")).as("content_sum"),
+        expr("bit_xor(__k60)").as("content_xor"))
+  }
+
   /** Fixed-width histogram of `valueCol`: bin = floor((v − lo) / width),
     * plus each bin's row count and 2-dp value sum. Bin id is a pure map
     * over the scan; the groupBy combines map-side. Constant (lo, width)

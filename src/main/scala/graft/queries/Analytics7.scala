@@ -160,8 +160,25 @@ object Analytics7 {
         weight = col("quality"), k = 100, seedCols = Seq("doc_id"))
         .orderBy("doc_id")),
 
+    // CUBE: all 2^k grouping combinations (beyond rollup's hierarchy
+    // and the explicit GROUPING SETS gate)
+    "agg_cube" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")),
+
+    // order-independent md5 content checksum of lineitem — the
+    // migration-validation primitive; one map pass + 1-row reduce
+    "agg_checksum" -> ((s, dir) =>
+      Analytics.tableChecksum(tbl(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))),
+
     // PQ two-stage retrieval: 32x-compressed codes scanned via ADC
-    // lookups, exact rescore of a 200-candidate pool; with this headroom
+    // lookups, exact rescore of a 300-candidate pool; with this headroom
     // the result IS brute-force top-10, which is what the oracle checks
     "sim_ann_pq" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -169,11 +186,11 @@ object Analytics7 {
         .select(graft.similarity.Similarity.toVec(col("embedding")))
         .head().getSeq[Double](0)
       val model = graft.similarity.ProductQuantizer.fit(
-        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32, iters = 2)
+        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32, iters = 1)
       val encoded = graft.similarity.ProductQuantizer.encode(
         emb, "vec_id", "embedding", model)
       graft.similarity.ProductQuantizer.adcRescoreTopK(encoded, emb,
-        "vec_id", "embedding", model, qv, candidates = 200, k = 10)
+        "vec_id", "embedding", model, qv, candidates = 300, k = 10)
         .withColumn("sim", col("sim") + lit(0.0))
     }),
 
@@ -402,7 +419,25 @@ object Analytics7 {
 
     "graph_pagerank" -> pagerankOracleSql(3, 0.85),
 
-    // the 200-candidate pool dwarfs k=10, so two-stage PQ retrieval is
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""",
+
+    "agg_checksum" ->
+      """SELECT count(*) AS n_rows,
+           sum(CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+             l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR || '|' ||
+             l_returnflag), 1, 10)) AS BIGINT))::BIGINT AS content_sum,
+           bit_xor(CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+             l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR || '|' ||
+             l_returnflag), 1, 15)) AS BIGINT)) AS content_xor
+         FROM lineitem""",
+
+    // the 300-candidate pool dwarfs k=10, so two-stage PQ retrieval is
     // exact brute-force top-k — the identity this oracle checks
     "sim_ann_pq" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -200,6 +200,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"entropy must not shuffle:\n$p")
   }
 
+  // ---------------- table checksum ----------------
+
+  test("checksum is partitioning-invariant and change-sensitive") {
+    val li = queries.tbl(spark, sf, "lineitem")
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity")
+    val base = Analytics.tableChecksum(li, cols).head()
+    val shuffled = Analytics.tableChecksum(li.repartition(13), cols).head()
+    assert(base === shuffled, "row order/partitioning must not matter")
+    // flip one value: count identical, both content channels move
+    val victim = li.select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").head()
+    val tampered = li.withColumn("l_quantity",
+      when(col("l_orderkey") === victim.getLong(0) &&
+        col("l_linenumber") === victim.getInt(1),
+        col("l_quantity") + 1).otherwise(col("l_quantity")))
+    val t = Analytics.tableChecksum(tampered, cols).head()
+    assert(t.getLong(0) === base.getLong(0))
+    assert(t.getLong(1) !== base.getLong(1))
+    assert(t.getLong(2) !== base.getLong(2))
+  }
+
   // ---------------- fuzzy join ----------------
 
   test("fuzzy join finds token-blocked near-matches with exact distances") {
