@@ -29,10 +29,21 @@ import org.apache.spark.sql.functions._
   * differences instead of masking them.
   */
 object PageRank {
+  /** `checkpointEvery > 0` truncates the rank frame's lineage every
+    * that-many iterations — REQUIRED for long runs, where the unrolled
+    * plan otherwise grows linearly in iterations and re-plans from the
+    * root. `checkpointDir` selects the reliable `checkpoint(dir)`
+    * (survives executor loss on a cluster, like
+    * `Dedup.connectedComponents`); absent, `localCheckpoint` (dev). */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
-            iterations: Int, damping: Double = 0.85): DataFrame = {
+            iterations: Int, damping: Double = 0.85,
+            checkpointEvery: Int = 0,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val nodes = e.select(col("src").as("node"))
@@ -40,6 +51,7 @@ object PageRank {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val withDeg = e.join(outDeg, "src") // every edge has a source degree
     var ranks = nodes.withColumn("rank", lit(1.0))
+    var it = 0
     for (_ <- 1 to iterations) {
       val contrib = withDeg
         .join(ranks, col("src") === col("node"))
@@ -50,6 +62,9 @@ object PageRank {
         .select(col("node"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      it += 1
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 &&
+        it < iterations) ranks = truncate(ranks)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }

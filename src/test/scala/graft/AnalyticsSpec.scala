@@ -359,6 +359,53 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got("c") === 0.7025)
   }
 
+  test("PageRank checkpointed run equals the unrolled plan") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("s", "d")
+    val plain = PageRank(e, "s", "d", iterations = 6)
+      .orderBy("node").collect()
+    val local = PageRank(e, "s", "d", iterations = 6, checkpointEvery = 2)
+      .orderBy("node").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+    val reliable = PageRank(e, "s", "d", iterations = 6,
+      checkpointEvery = 2, checkpointDir = Some(dir.toString))
+      .orderBy("node").collect()
+    assert(local.toSeq === plain.toSeq)
+    assert(reliable.toSeq === plain.toSeq)
+  }
+
+  test("approx percentile sketch stays within its accuracy contract") {
+    val o = orders.select(col("o_totalprice").as("v"))
+    val (lo, hi) = (0.01, 0.99)
+    val Seq(exactLo, exactHi) = o
+      .agg(percentile(col("v"), lit(lo)), percentile(col("v"), lit(hi)))
+      .head().toSeq.map(_.asInstanceOf[Double]).toSeq
+    // accuracy 100 -> rank error <= n/100; verify via rank displacement
+    val Seq(apLo, apHi) = o
+      .agg(percentile_approx(col("v"), lit(lo), lit(100)),
+        percentile_approx(col("v"), lit(hi), lit(100)))
+      .head().toSeq.map(_.asInstanceOf[Double]).toSeq
+    val n = o.count()
+    def rankOf(x: Double): Long = o.filter(col("v") <= x).count()
+    assert(math.abs(rankOf(apLo) - rankOf(exactLo)) <= n / 50,
+      s"p01 sketch rank drift: approx=$apLo exact=$exactLo")
+    assert(math.abs(rankOf(apHi) - rankOf(exactHi)) <= n / 50,
+      s"p99 sketch rank drift: approx=$apHi exact=$exactHi")
+  }
+
+  test("ORC round-trips with predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === orders.count())
+    val q = back.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"ORC scan must push the predicate:\n$p")
+    assert(q.count() ===
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("PageRank: every node floors at 1-d; sinks receive, never send") {
     val e = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("s", "d")
     val got = PageRank(e, "s", "d", iterations = 3)
