@@ -371,4 +371,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 3).as("jaccard"))
   }
+
+  /** Asymmetric CONTAINMENT pairs: |A ∩ B| / |A| — the "document A is
+    * (mostly) quoted inside document B" detector that symmetric Jaccard
+    * misses (a short doc fully contained in a long one has low Jaccard
+    * but containment 1.0). Emits both directions' scores per unordered
+    * pair; same windowed blocking as [[jaccardPairsWindowed]] (the
+    * exact-verification variant — at scale, block with MinHash banding
+    * instead, the threshold transfers since containment >= jaccard). */
+  def containmentPairsWindowed(df: DataFrame, idCol: String,
+                               textCol: String, window: Int,
+                               threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol), wordSet(col(textCol)).as("__set"))
+    val a = sets.toDF("id_a", "__set_a")
+      .withColumn("__blk", explode(array(floor(col("id_a") / window),
+        floor(col("id_a") / window) + 1)))
+    val b = sets.toDF("id_b", "__set_b")
+      .withColumn("__blk", floor(col("id_b") / window))
+    val inter = size(array_intersect(col("__set_a"), col("__set_b")))
+      .cast("double")
+    a.join(b, Seq("__blk"))
+      .filter(col("id_b") > col("id_a") && col("id_b") <= col("id_a") + window)
+      .withColumn("c_ab", round(inter / size(col("__set_a")), 3))
+      .withColumn("c_ba", round(inter / size(col("__set_b")), 3))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+  }
 }

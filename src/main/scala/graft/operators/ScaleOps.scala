@@ -206,6 +206,33 @@ object WeightedTopKSample {
   }
 }
 
+/** Stratified [[WeightedTopKSample]]: exactly k rows PER STRATUM,
+  * inclusion probability within each stratum proportional to weight —
+  * the training-mix primitive ("20 best-weighted docs per language"),
+  * reproducible because the A-Res keys are md5-derived. One shuffle on
+  * the strata key; within a stratum the rank window keeps a running
+  * top-k. For a pathologically hot stratum apply the same monotone
+  * hash-threshold prefilter as `StratifiedSample` before the window.
+  */
+object StratifiedWeightedTopKSample {
+  private val Scale = (1L << 60).toDouble
+
+  def apply(df: DataFrame, weight: Column, k: Int, strataCols: Seq[String],
+            seedCols: Seq[String]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(SampleHash.keyFor(seedCols, Md5), 1, 15), 16, 10)
+      .cast("double") + lit(1.0)) / lit(Scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__k").desc, col(seedCols.head))
+    df.filter(weight > 0.0)
+      .withColumn("__k", log(u) / weight)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__k", "__rk")
+  }
+}
+
 /** Distributed exclusive prefix sum over a global order — the building
   * block for sequence packing, global byte offsets, and deterministic
   * concatenation layouts. The naive form (one unpartitioned window) puts

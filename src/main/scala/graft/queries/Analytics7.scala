@@ -160,6 +160,26 @@ object Analytics7 {
         weight = col("quality"), k = 100, seedCols = Seq("doc_id"))
         .orderBy("doc_id")),
 
+    // per-language quota of quality-weighted docs (A-Res per stratum),
+    // md5-keyed so the exact per-stratum samples replay in DuckDB
+    "sample_ares_stratified" -> ((s, dir) =>
+      graft.operators.StratifiedWeightedTopKSample(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+        weight = col("quality"), k = 20, strataCols = Seq("lang"),
+        seedCols = Seq("doc_id"))
+        .orderBy("doc_id")),
+
+    // asymmetric containment pairs: short doc quoted inside a long one
+    // (containment 1.0 where Jaccard would be low); windowed oracle
+    // variant like dedup_jaccard_pairs
+    "dedup_containment" -> ((s, dir) =>
+      graft.dedup.Dedup.containmentPairsWindowed(
+        tbl(s, dir, "documents"), "doc_id", "text", window = 25,
+        threshold = 0.9)
+        .orderBy("id_a", "id_b")),
+
     // CUBE: all 2^k grouping combinations (beyond rollup's hierarchy
     // and the explicit GROUPING SETS gate)
     "agg_cube" -> ((s, dir) =>
@@ -418,6 +438,32 @@ object Analytics7 {
          ORDER BY doc_id""",
 
     "graph_pagerank" -> pagerankOracleSql(3, 0.85),
+
+    "sample_ares_stratified" ->
+      s"""WITH $QualitySql,
+         keyed AS (SELECT q.doc_id, d.lang, q.quality,
+           ln((CAST(('0x' || substr(md5(q.doc_id::VARCHAR), 1, 15)) AS BIGINT)
+             ::DOUBLE + 1.0) / 1152921504606846976.0) / q.quality AS k
+           FROM q JOIN documents d ON q.doc_id = d.doc_id
+           WHERE q.quality > 0)
+         SELECT doc_id, lang, quality FROM
+           (SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY k DESC, doc_id) AS rk FROM keyed) t
+         WHERE rk <= 20 ORDER BY doc_id""",
+
+    "dedup_containment" ->
+      """WITH sets AS (SELECT doc_id,
+           list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+           FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE AS i,
+           len(a.s)::DOUBLE AS la, len(b.s)::DOUBLE AS lb
+           FROM sets a JOIN sets b
+           ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+         SELECT id_a, id_b, round(i / la, 3) AS c_ab,
+           round(i / lb, 3) AS c_ba
+         FROM p WHERE greatest(round(i / la, 3), round(i / lb, 3)) >= 0.9
+         ORDER BY id_a, id_b""",
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

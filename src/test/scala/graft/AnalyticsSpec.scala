@@ -337,6 +337,41 @@ class AnalyticsSpec extends SparkTestBase {
     assert(s3.toSeq === s1.toSeq, "sample invariant under weight scaling")
   }
 
+  test("stratified A-Res: exact quota per stratum, deterministic") {
+    val docs = queries.tbl(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    val s1 = graft.operators.StratifiedWeightedTopKSample(docs,
+      col("quality"), 10, Seq("lang"), Seq("doc_id"))
+    val perStratum = s1.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val available = docs.filter(col("quality") > 0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    available.foreach { case (lang, n) =>
+      assert(perStratum(lang) === math.min(10L, n),
+        s"stratum $lang must fill its quota")
+    }
+    val s2 = graft.operators.StratifiedWeightedTopKSample(docs.repartition(9),
+      col("quality"), 10, Seq("lang"), Seq("doc_id"))
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq ===
+      s1.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("containment detects a short doc quoted inside a long one") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated words entirely different content here"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.containmentPairsWindowed(df, "doc_id",
+      "text", window = 25, threshold = 0.9)
+      .select("id_a", "id_b", "c_ab", "c_ba")
+      .as[(Long, Long, Double, Double)].collect()
+    // doc 1's 3 words all appear in doc 2 (10 words): c_ab = 1.0,
+    // c_ba = 0.3; symmetric Jaccard would be 3/10 and miss it
+    assert(got.toSeq === Seq((1L, 2L, 1.0, 0.3)))
+  }
+
   test("A-Res sample excludes non-positive weights") {
     val df = Seq((1L, 0.0), (2L, -1.0), (3L, 0.5), (4L, 0.9))
       .toDF("id", "w")
