@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, FirstEqualIndex, MinHashSignature,
-  ParseLocaleNumber, SimHash64, SortedJaccard}
+import graft.functions.{CharEntropy, DotProduct, FirstEqualIndex,
+  MinHashSignature, ParseLocaleNumber, SimHash64, SortedJaccard}
 
 /** Session extension registering the engine's native expressions for SQL:
   *
@@ -79,6 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "first_equal_index(a, b) - first position where two array<long> agree, or -1"),
       (args: Seq[Expression]) => {
         arity("first_equal_index", 2, args); FirstEqualIndex(args.head, args(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      info("char_entropy",
+        "char_entropy(str) - 4dp Shannon entropy of the code-point distribution (nats)"),
+      (args: Seq[Expression]) => {
+        arity("char_entropy", 1, args); CharEntropy(args.head)
       }))
     // naive `levenshtein(a,b) <= d` predicates (Filter or Join) become
     // length-pruned + banded-DP form; see the rule's scaladoc

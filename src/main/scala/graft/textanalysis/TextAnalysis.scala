@@ -482,18 +482,23 @@ object TextAnalysis {
 
   /** Character-unigram Shannon entropy in nats, the classic gibberish /
     * boilerplate signal (low entropy = repeated characters or trivial
-    * alphabets; English prose sits near 4.1 bits ≈ 2.8 nats). Uses the
-    * identity H = ln L − (Σ_c n_c·ln n_c) / L over the distinct
-    * characters, so each character's count is one literal `replace`
-    * length-diff — O(|alphabet|·L) per row, entirely WITHIN the row:
-    * zero shuffle, the operator is scan-bound at any corpus size.
-    * 4-dp-rounded for cross-engine parity (same policy as
-    * [[qualityScore]]). Blank/null text scores 0.
-    *
-    * `split(text, "")` under Java regex semantics keeps a trailing empty
-    * element; the non-empty filter drops it (an empty "character" would
-    * make ln(0) = −∞ and poison the sum). */
-  def charEntropy(text: Column): Column = {
+    * alphabets; English prose sits near 4.1 bits ≈ 2.8 nats).
+    * H = ln L − (Σ_c n_c·ln n_c) / L over code-point counts, computed by
+    * the fused one-pass codegen kernel [[graft.functions.CharEntropy]]
+    * (O(L) per row, no per-char arrays or lambdas) — entirely WITHIN the
+    * row: zero shuffle, scan-bound at any corpus size. 4-dp-rounded for
+    * cross-engine parity (same policy as [[qualityScore]]). Blank/null
+    * text scores 0. */
+  def charEntropy(text: Column): Column =
+    coalesce(graft.functions.CharEntropy(text), lit(0.0))
+
+  /** The composable SQL-lambda form [[charEntropy]]'s kernel replaced —
+    * kept as the independent oracle the spec pins the codegen kernel
+    * against (O(|alphabet|·L): one `replace` length-diff per DISTINCT
+    * character). `split(text, "")` under Java regex semantics keeps a
+    * trailing empty element; the non-empty filter drops it (an empty
+    * "character" would make ln(0) = −∞ and poison the sum). */
+  private[graft] def charEntropyLambda(text: Column): Column = {
     val len = length(text).cast("double")
     val chars = filter(array_distinct(split(text, "")), c => c =!= "")
     val s = aggregate(chars, lit(0.0), (acc, ch) => {

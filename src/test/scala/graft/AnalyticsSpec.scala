@@ -192,6 +192,20 @@ class AnalyticsSpec extends SparkTestBase {
     assert(nullRow === 0.0)
   }
 
+  test("codegen entropy kernel equals the SQL-lambda form it replaced") {
+    val docs = queries.tbl(spark, sf, "documents")
+    val mismatch = docs.select(
+        TextAnalysis.charEntropy(col("text")).as("a"),
+        TextAnalysis.charEntropyLambda(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch === 0)
+    // and the interpreted eval path agrees with crafted values
+    assert(graft.functions.CharEntropy.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab")) === 0.6931)
+    assert(graft.functions.CharEntropy.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("")) === 0.0)
+  }
+
   test("char entropy is a zero-shuffle map over the scan") {
     val docs = queries.tbl(spark, sf, "documents")
     val p = docs.select(col("doc_id"),
