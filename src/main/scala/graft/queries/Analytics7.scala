@@ -180,6 +180,35 @@ object Analytics7 {
         threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // rank-distribution windows: percent_rank + cume_dist of each
+    // order within its status (complements row_number/ntile coverage)
+    "window_rank_dist" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
+    // day-of-week x hour activity profile via pure epoch arithmetic
+    // (dow: 1970-01-01 was a Thursday = 4; no timezone machinery on
+    // either engine, so the profile is bit-stable cross-engine)
+    "agg_seasonality" -> ((s, dir) => {
+      val sec = nsToEpochSec(col("ts"))
+      tbl(s, dir, "events")
+        .withColumn("dow",
+          pmod(EventWindows.nsDiv(sec, 86400L) + lit(4), lit(7)).cast("int"))
+        .withColumn("hour",
+          EventWindows.nsDiv(pmod(sec, lit(86400L)), 3600L).cast("int"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("v_avg"))
+        .orderBy("dow", "hour")
+    }),
+
     // CUBE: all 2^k grouping combinations (beyond rollup's hierarchy
     // and the explicit GROUPING SETS gate)
     "agg_cube" -> ((s, dir) =>
@@ -464,6 +493,23 @@ object Analytics7 {
            round(i / lb, 3) AS c_ba
          FROM p WHERE greatest(round(i / la, 3), round(i / lb, 3)) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "window_rank_dist" ->
+      """SELECT o_orderstatus, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+         FROM orders WHERE o_orderkey <= 500
+         WINDOW w AS (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, o_orderkey""",
+
+    "agg_seasonality" ->
+      """WITH t AS (SELECT epoch_ns(ts) // 1000000000 AS sec, value
+           FROM events)
+         SELECT CAST((sec // 86400 + 4) % 7 AS INT) AS dow,
+           CAST((sec % 86400) // 3600 AS INT) AS hour,
+           count(*) AS n, round(avg(value), 4) AS v_avg
+         FROM t GROUP BY 1, 2 ORDER BY dow, hour""",
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
