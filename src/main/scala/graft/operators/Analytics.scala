@@ -213,8 +213,12 @@ object Analytics {
         stddev_samp(col(valueCol)).as("__sd"))
     val s = if (broadcastStats) broadcast(stats) else stats
     df.join(s, groupCols)
+      // sd = 0 (constant group) means no outliers, not a division error
+      // — the explicit guard keeps ANSI mode happy and the semantics
+      // identical under either ANSI setting
       .withColumn("z",
-        round((col(valueCol) - col("__mean")) / col("__sd"), 4))
+        when(col("__sd") =!= 0.0,
+          round((col(valueCol) - col("__mean")) / col("__sd"), 4)))
       .filter(abs(col("z")) >= threshold)
       .drop("__mean", "__sd")
   }
