@@ -90,5 +90,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive `levenshtein(a,b) <= d` predicates (Filter or Join) become
     // length-pruned + banded-DP form; see the rule's scaladoc
     e.injectOptimizerRule(_ => graft.plans.FuzzyMatchPruning)
+    // plans graft.plans.TopKPerGroup as partial -> exchange -> final
+    // bounded-buffer execs (never sorts more than k rows per group)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -104,6 +104,26 @@ object Analytics {
     pre.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** [[topKPerGroup]] on the custom physical operator
+    * (`graft.plans.TopKPerGroup` → `TopKPerGroupExec`): one streaming
+    * pass with a bounded k-row buffer per group on each side of a
+    * single hash exchange — no window sort at all. Requires the
+    * session to carry `GraftExtensions` (the planner strategy); same
+    * kept rows as the window form (no rank column), pinned in
+    * `TopKExecSpec`. */
+  def topKPerGroupExec(df: DataFrame, groupCols: Seq[String],
+                       orderCol: String, k: Int,
+                       tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.graft.Shim
+    val groups = groupCols.map(c => Shim.expression(df(c)))
+    val order = SortOrder(Shim.expression(df(orderCol)), Descending) +:
+      tieCols.map(c => SortOrder(Shim.expression(df(c)), Ascending))
+    Shim.ofRows(df.sparkSession,
+      graft.plans.TopKPerGroup(groups, order, k,
+        df.queryExecution.analyzed))
+  }
+
   /** Most-frequent `valCol` per group; ties resolve to the SMALLEST
     * value so the answer is deterministic and cross-engine replayable.
     * Raw rows reduce to (group, value) counts first (map-side partial),

@@ -210,6 +210,33 @@ object ScaleRehearsal {
     val tkSalted = topkTime(32)
     println(f"[rehearsal] top-k per group, 90%%-hot corpus ($skewRows rows): " +
       f"plain window ${tkPlain}%.2f s, salted(32) ${tkSalted}%.2f s")
+    // the custom physical operator needs the planner strategy: a
+    // sibling session with GraftExtensions over the same context
+    locally {
+      val prevA = SparkSession.getActiveSession
+      val prevD = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      try {
+        val ext = SparkSession.builder().master("local[32]")
+          .config("spark.sql.shuffle.partitions", "64")
+          .config("spark.ui.enabled", "false")
+          .withExtensions(new graft.GraftExtensions)
+          .getOrCreate()
+        val hg = ext.range(skewRows).select(
+          when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+            .otherwise(concat(lit("g"), pmod(col("id"), lit(97)))).as("grp"),
+          col("id"),
+          (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0)
+            .as("v"))
+        val t0 = System.nanoTime()
+        Analytics.topKPerGroupExec(hg, Seq("grp"), "v", 10, Seq("id")).count()
+        println(f"[rehearsal] top-k per group, custom exec operator: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s (same corpus)")
+      } finally {
+        prevA.foreach(SparkSession.setActiveSession)
+        prevD.foreach(SparkSession.setDefaultSession)
+      }
+    }
     // salted stats on the same skew: two-stage merge, row-identical to
     // the direct groupBy; time must stay in the direct form's band
     // (partial agg already combines map-side at low key cardinality)
