@@ -180,6 +180,61 @@ object Analytics7 {
         threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // clustering quality: within-cell sum of squared distances to the
+    // centroid (the k-means objective) for the md5-seeded IVF cells —
+    // the metric that tells you whether nlist/iters were enough
+    "agg_cluster_sse" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val seeded = emb.withColumn("cell", Round7.semSeed(8))
+      val cents = seeded.groupBy("cell")
+        .agg(array((0 until 64).map(i =>
+          avg(col("embedding").getItem(i).cast("double"))): _*).as("c"))
+      seeded.join(broadcast(cents), "cell")
+        .withColumn("sq", aggregate(
+          zip_with(col("embedding").cast("array<double>"), col("c"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), round(sum("sq"), 4).as("sse"))
+        .withColumn("cell", col("cell").cast("long"))
+        .orderBy("cell")
+    }),
+
+    // referential-integrity audit: orphan counts per FK relation in one
+    // result — the data-validation sibling of agg_checksum
+    "audit_integrity" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val su = tbl(s, dir, "supplier")
+      def orphans(rel: String, child: org.apache.spark.sql.DataFrame,
+                  ck: String, parent: org.apache.spark.sql.DataFrame,
+                  pk: String) =
+        child.join(parent, child(ck) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_orphans"))
+      orphans("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .union(orphans("lineitem.suppkey->supplier", li, "l_suppkey", su,
+          "s_suppkey"))
+        .union(orphans("orders.custkey->customer", o, "o_custkey", c,
+          "c_custkey"))
+        .orderBy("relation")
+    }),
+
+    // per-group min-max feature scaling to [0,1] (constant groups -> 0)
+    "scalar_minmax_scale" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val r = o.groupBy("o_orderstatus")
+        .agg(min("o_totalprice").as("__lo"), max("o_totalprice").as("__hi"))
+      o.join(broadcast(r), "o_orderstatus")
+        .withColumn("scaled",
+          when(col("__hi") === col("__lo"), lit(0.0))
+            .otherwise(round((col("o_totalprice") - col("__lo")) /
+              (col("__hi") - col("__lo")), 6)))
+        .select("o_orderkey", "o_orderstatus", "scaled")
+        .orderBy("o_orderkey")
+    }),
+
     // rank-distribution windows: percent_rank + cume_dist of each
     // order within its status (complements row_number/ntile coverage)
     "window_rank_dist" -> ((s, dir) => {
@@ -493,6 +548,45 @@ object Analytics7 {
            round(i / lb, 3) AS c_ba
          FROM p WHERE greatest(round(i / la, 3), round(i / lb, 3)) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "agg_cluster_sse" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 8)) AS BIGINT)
+             % 8 AS cell
+           FROM embeddings),
+         cent AS (SELECT cell, list(a ORDER BY i) AS c FROM (
+             SELECT cell, i, avg(v[i]) AS a
+             FROM v, generate_series(1, 64) AS g(i) GROUP BY cell, i)
+           GROUP BY cell)
+         SELECT v.cell, count(*) AS n,
+           round(sum(list_sum(list_transform(generate_series(1, 64),
+             i -> (v.v[i] - cent.c[i]) * (v.v[i] - cent.c[i])))), 4) AS sse
+         FROM v JOIN cent ON v.cell = cent.cell
+         GROUP BY v.cell ORDER BY v.cell""",
+
+    "audit_integrity" ->
+      """SELECT 'lineitem.orderkey->orders' AS relation,
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+           AS n_orphans
+         UNION ALL
+         SELECT 'lineitem.suppkey->supplier',
+           (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+            ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+         UNION ALL
+         SELECT 'orders.custkey->customer',
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+         ORDER BY relation""",
+
+    "scalar_minmax_scale" ->
+      """WITH r AS (SELECT o_orderstatus, min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi FROM orders GROUP BY o_orderstatus)
+         SELECT o_orderkey, o.o_orderstatus,
+           CASE WHEN hi = lo THEN 0.0
+             ELSE round((o_totalprice - lo) / (hi - lo), 6) END AS scaled
+         FROM orders o JOIN r ON o.o_orderstatus = r.o_orderstatus
+         ORDER BY o_orderkey""",
 
     "window_rank_dist" ->
       """SELECT o_orderstatus, o_orderkey,
