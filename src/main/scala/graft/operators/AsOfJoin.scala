@@ -1,29 +1,44 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
-/** As-of join: for each left row, the latest right row with
-  * `right.time <= left.time` within the same key — the temporal lookup
-  * (trade↔quote, event↔state) Spark has no built-in operator for.
+/** As-of join with the three pandas-`merge_asof` directions — the
+  * temporal lookup (trade↔quote, event↔state) Spark has no built-in
+  * operator for:
+  *
+  *  - [[AsOfJoin.Backward]] (default): latest right row with
+  *    `right.time <= left.time` per key;
+  *  - [[AsOfJoin.Forward]]: earliest right row with
+  *    `right.time >= left.time`;
+  *  - [[AsOfJoin.Nearest]]: whichever of the two is closer in absolute
+  *    time; exact ties resolve BACKWARD (documented, deterministic).
   *
   * Implemented as union + window, not a range join: both sides are
   * tagged, unioned, and sorted once per key; a single
-  * `last(struct(payload*), ignoreNulls)` carries the most recent right
-  * ROW forward onto left rows. Carrying one struct (not one window call
+  * `last/first(struct(payload*), ignoreNulls)` carries the adjacent
+  * right ROW onto left rows. Carrying one struct (not one window call
   * per column) keeps the match atomic: every payload field comes from
-  * the same right row, including its nulls — matching ASOF JOIN
-  * semantics (a per-column carry would backfill a null field from an
-  * older row). One hash shuffle on the key, no pair explosion — the
-  * scalable shape for billions of rows per side.
+  * the same right row, including its nulls — a per-column carry would
+  * backfill a null field from an older row. One hash shuffle on the
+  * key, no pair explosion — the scalable shape for billions of rows
+  * per side. Nearest runs the union+window twice (both passes shuffle
+  * on the same key, so the second exchange reuses the partitioning;
+  * the extra cost is one sort).
   *
   * Right-side ties on (key, time) resolve to the greatest `tiebreak`
-  * value; left rows with no prior right row get nulls in all payload
-  * columns.
+  * value in every direction; left rows with no qualifying right row
+  * get nulls in all payload columns. Nearest requires the time columns
+  * to be integral (epoch ns/us) for the distance arithmetic.
   */
 object AsOfJoin {
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+  case object Nearest extends Direction
+
   /** @param left      probe side
     * @param right     build side carrying `payload` columns
     * @param keys      equality keys present on both sides
@@ -32,35 +47,82 @@ object AsOfJoin {
     * @param payload   right-side columns to carry onto left rows
     */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
-            leftTime: String, rightTime: String,
-            payload: Seq[String], tiebreak: Option[String] = None): DataFrame = {
+            leftTime: String, rightTime: String, payload: Seq[String],
+            tiebreak: Option[String] = None,
+            direction: Direction = Backward): DataFrame = {
     if (payload.isEmpty) return left
+    val leftCols = left.columns.toSeq
+    direction match {
+      case Backward | Forward =>
+        carry(left, right, keys, leftTime, rightTime, payload, tiebreak,
+          forward = direction == Forward, out = "__pay")
+          .select((leftCols.map(col) ++
+            payload.map(p => col("__pay").getField(p).as(p))): _*)
+      case Nearest =>
+        val b = carry(left, right, keys, leftTime, rightTime, payload,
+          tiebreak, forward = false, out = "__payb")
+        val bf = carry(b, right, keys, leftTime, rightTime, payload,
+          tiebreak, forward = true, out = "__payf")
+        val t = col(leftTime).cast("long")
+        val bt = col("__payb").getField("__mt").cast("long")
+        val ft = col("__payf").getField("__mt").cast("long")
+        val chosen = when(col("__payb").isNull, col("__payf"))
+          .when(col("__payf").isNull, col("__payb"))
+          .when(t - bt <= ft - t, col("__payb")) // tie -> backward
+          .otherwise(col("__payf"))
+        bf.withColumn("__pick", chosen)
+          .select((leftCols.map(col) ++
+            payload.map(p => col("__pick").getField(p).as(p))): _*)
+    }
+  }
+
+  /** Union + single window carry in one direction; output keeps the
+    * left frame's columns plus `out` = struct(payload*, __mt =
+    * matched right time), null when nothing qualifies. */
+  private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    payload: Seq[String], tiebreak: Option[String],
+                    forward: Boolean, out: String): DataFrame = {
     val t = "__asof_t"
     val leftCols = left.columns.toSeq
-    val payType = StructType(payload.map(p => right.schema(p)))
-    // tag: right rows sort before left rows at equal times ("<=" semantics)
+    val payType = StructType(payload.map(p => right.schema(p)) :+
+      StructField("__mt", right.schema(rightTime).dataType))
+    // side tags order right rows INSIDE the frame at equal times:
+    // backward (frame = preceding..current, last()): right before left;
+    // forward (frame = current..following, first()): left before right
+    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
     val l = left
       .withColumn(t, col(leftTime))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftTag))
       .withColumn("__tie", lit(null).cast("long"))
-      .withColumn("__pay", lit(null).cast(payType))
+      .withColumn(out, lit(null).cast(payType))
     val r = right
       .withColumn(t, col(rightTime))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightTag))
       .withColumn("__tie",
         tiebreak.map(col(_).cast("long")).getOrElse(lit(0L)))
-      .withColumn("__pay", struct(payload.map(col): _*))
-      .select((keys ++ Seq(t, "__side", "__tie", "__pay")).map(col): _*)
-    // union-by-name fills left-only columns with nulls on right rows
+      .withColumn(out,
+        struct(payload.map(col) :+ col(rightTime).as("__mt"): _*))
+      .select((keys ++ Seq(t, "__side", "__tie", out)).map(col): _*)
     val unioned = UnionByName(Seq(l, r))
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(t).asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // greatest tiebreak wins in both directions: ascending ties feed
+    // last(), descending ties feed first()
+    val tieOrd: Column = if (forward) col("__tie").desc else col("__tie").asc
+    val w0 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(t).asc, col("__side").asc, tieOrd)
+    val (w, pick) =
+      if (forward)
+        (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col(out), ignoreNulls = true).over(
+            w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else
+        (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col(out), ignoreNulls = true).over(
+            w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     unioned
-      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select((leftCols.map(col) ++
-        payload.map(p => col("__pay").getField(p).as(p))): _*)
+      .withColumn(out, pick)
+      .filter(col("__side") === leftTag)
+      .select((leftCols :+ out).map(col): _*)
   }
 }

@@ -180,6 +180,29 @@ object Analytics7 {
         threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // as-of join, forward direction: each purchase's NEXT click
+    "asof_join_forward" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.AsOfJoin(p, c, Seq("user_id"), "ts", "click_ts",
+        Seq("click_ts", "click_value"), Some("click_id"),
+        graft.operators.AsOfJoin.Forward)
+        .select(col("user_id"), col("event_id"),
+          expr("click_ts div 1000").as("click_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // as-of join, nearest direction: closest click either side, exact
+    // ties resolve backward
+    "asof_join_nearest" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.AsOfJoin(p, c, Seq("user_id"), "ts", "click_ts",
+        Seq("click_ts", "click_value"), Some("click_id"),
+        graft.operators.AsOfJoin.Nearest)
+        .select(col("user_id"), col("event_id"),
+          expr("click_ts div 1000").as("click_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // clustering quality: within-cell sum of squared distances to the
     // centroid (the k-means objective) for the md5-seeded IVF cells —
     // the metric that tells you whether nlist/iters were enough
@@ -315,6 +338,18 @@ object Analytics7 {
       PageRank(edges, "src", "dst", iterations = 3).orderBy("node")
     })
   )
+
+  /** The asof_join gate's two sides (purchases probe clicks), shared by
+    * the forward and nearest direction gates. */
+  private def asofSides(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = tbl(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    (purchases, clicks)
+  }
 
   /** The text_quality oracle's scoring CTE, reused by filter_quantile so
     * the two gates cannot drift. Yields q(doc_id, quality). */
@@ -548,6 +583,45 @@ object Analytics7 {
            round(i / lb, 3) AS c_ba
          FROM p WHERE greatest(round(i / la, 3), round(i / lb, 3)) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "asof_join_forward" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+             WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events
+             WHERE event_type = 'click')
+         SELECT p.user_id, p.event_id,
+           epoch_us(c.ts) AS click_us, c.value AS click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND c.ts >= p.ts
+         ORDER BY event_id""",
+
+    // backward + forward ASOF, then pick the smaller absolute distance
+    // (exact ties -> backward, matching AsOfJoin.Nearest)
+    "asof_join_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+             WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events
+             WHERE event_type = 'click'),
+         bk AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS bt,
+             c.value AS bv
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND c.ts <= p.ts),
+         fw AS (SELECT p.event_id, c.ts AS ft, c.value AS fv
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND c.ts >= p.ts)
+         SELECT bk.user_id, bk.event_id,
+           CASE WHEN ft IS NULL THEN epoch_us(bt)
+                WHEN bt IS NULL THEN epoch_us(ft)
+                WHEN epoch_ns(bk.ts) - epoch_ns(bt)
+                  <= epoch_ns(ft) - epoch_ns(bk.ts) THEN epoch_us(bt)
+                ELSE epoch_us(ft) END AS click_us,
+           CASE WHEN ft IS NULL THEN bv
+                WHEN bt IS NULL THEN fv
+                WHEN epoch_ns(bk.ts) - epoch_ns(bt)
+                  <= epoch_ns(ft) - epoch_ns(bk.ts) THEN bv
+                ELSE fv END AS click_value
+         FROM bk JOIN fw ON bk.event_id = fw.event_id
+         ORDER BY bk.event_id""",
 
     "agg_cluster_sse" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,

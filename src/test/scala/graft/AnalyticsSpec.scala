@@ -235,6 +235,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(t.getLong(2) !== base.getLong(2))
   }
 
+  // ---------------- as-of directions ----------------
+
+  test("as-of directions: backward/forward/nearest on crafted times") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "t")
+    val r = Seq((1L, 90L, "a"), (1L, 103L, "b"), (1L, 250L, "c"),
+      (2L, 400L, "d")).toDF("k", "rt", "p")
+    def run(d: AsOfJoin.Direction) =
+      AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("p"), direction = d)
+        .orderBy("k", "t").select("p").as[Option[String]].collect().toSeq
+    // t=100: prior a(90), next b(103), nearest b (3 < 10)
+    // t=200: prior b(103), next c(250), nearest c (50 < 97)
+    // t=50 (k=2): no prior -> null; next/nearest d(400)
+    assert(run(AsOfJoin.Backward) === Seq(Some("a"), Some("b"), None))
+    assert(run(AsOfJoin.Forward) === Seq(Some("b"), Some("c"), Some("d")))
+    assert(run(AsOfJoin.Nearest) === Seq(Some("b"), Some("c"), Some("d")))
+    // exact tie resolves backward: right at 150 and 250 around t=200
+    val r2 = Seq((1L, 150L, "x"), (1L, 250L, "y")).toDF("k", "rt", "p")
+    val tie = AsOfJoin(l.filter(col("t") === 200), r2, Seq("k"), "t", "rt",
+      Seq("p"), direction = AsOfJoin.Nearest)
+      .select("p").as[String].head()
+    assert(tie === "x")
+  }
+
   // ---------------- fuzzy join ----------------
 
   test("fuzzy join finds token-blocked near-matches with exact distances") {
