@@ -180,6 +180,42 @@ object Analytics7 {
         threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // PER-GROUP quantile buckets: quartile cutpoints per status
+    // broadcast back, bucket assignment a pure map (the grouped variant
+    // of agg_quantile_bucket's scale-safe ntile replacement)
+    "agg_quantile_bucket_grouped" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val cuts = o.groupBy("o_orderstatus")
+        .agg(percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("__cuts"))
+      o.join(broadcast(cuts), "o_orderstatus")
+        .withColumn("bucket",
+          aggregate(col("__cuts"), lit(1),
+            (acc, c) => acc +
+              when(col("o_totalprice") > round(c, 6), 1).otherwise(0)))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("v_sum"))
+        .orderBy("o_orderstatus", "bucket")
+    }),
+
+    // weighted mean/variance per language (quality-weighted n_chars):
+    // single-pass moment formula, identical on both engines
+    "agg_weighted_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("w", TextAnalysis.qualityScore(col("text")))
+        .withColumn("x", col("n_chars").cast("double"))
+        .filter(col("w") > 0)
+      d.groupBy("lang")
+        .agg(
+          round(sum(col("w") * col("x")) / sum(col("w")), 4).as("wmean"),
+          round(sum(col("w") * col("x") * col("x")) / sum(col("w")) -
+            pow(sum(col("w") * col("x")) / sum(col("w")), 2), 4)
+            .as("wvar"),
+          round(sum("w"), 4).as("w_total"))
+        .orderBy("lang")
+    }),
+
     // as-of join, forward direction: each purchase's NEXT click
     "asof_join_forward" -> ((s, dir) => {
       val (p, c) = asofSides(s, dir)
@@ -583,6 +619,30 @@ object Analytics7 {
            round(i / lb, 3) AS c_ba
          FROM p WHERE greatest(round(i / la, 3), round(i / lb, 3)) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "agg_quantile_bucket_grouped" ->
+      """WITH c AS (SELECT o_orderstatus,
+           quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS cuts
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o.o_orderstatus,
+           CAST(1 + len(list_filter(c.cuts,
+             x -> o_totalprice > round(x, 6))) AS INT) AS bucket,
+           count(*) AS n, round(sum(o_totalprice), 2) AS v_sum
+         FROM orders o JOIN c ON o.o_orderstatus = c.o_orderstatus
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "agg_weighted_stats" ->
+      s"""WITH $QualitySql,
+         d AS (SELECT q.doc_id, q.quality AS w, doc.lang,
+             doc.n_chars::DOUBLE AS x
+           FROM q JOIN documents doc ON q.doc_id = doc.doc_id
+           WHERE q.quality > 0)
+         SELECT lang,
+           round(sum(w * x) / sum(w), 4) AS wmean,
+           round(sum(w * x * x) / sum(w)
+             - pow(sum(w * x) / sum(w), 2), 4) AS wvar,
+           round(sum(w), 4) AS w_total
+         FROM d GROUP BY lang ORDER BY lang""",
 
     "asof_join_forward" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events
