@@ -289,6 +289,36 @@ object ScaleRehearsal {
       prTime(s"pagerank 3 iters (${k}x graph)", edgesK)
     }
 
+    // ---- PQ: train once, then encode + ADC scan at n and 10n ----
+    // codebooks are corpus-size-free (m·ksub·subDim doubles); encode
+    // and the ADC candidate scan are pure maps -> both ~linear in rows
+    if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      import graft.similarity.{ProductQuantizer, Similarity}
+      def synthVecs(rows: Long) = spark.range(rows).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(xxhash64(col("id"), i), lit(2001)) - 1000)
+            .cast("double") / 1000.0).as("embedding"))
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      val model = ProductQuantizer.fit(base, "vec_id", "embedding", 64,
+        m = 8, ksub = 32, iters = 1)
+      val qv = base.orderBy("vec_id")
+        .select(Similarity.toVec(col("embedding"))).head().getSeq[Double](0)
+      val en = base.count()
+      def pqTime(rows: Long): Double = {
+        val t0 = System.nanoTime()
+        val enc = ProductQuantizer.encode(synthVecs(rows), "vec_id",
+          "embedding", model)
+        ProductQuantizer.adcRescoreTopK(enc, synthVecs(rows), "vec_id",
+          "embedding", model, qv, candidates = 200, k = 10).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val p1 = pqTime(en * 10)
+      val p10 = pqTime(en * 100)
+      println(f"[rehearsal] PQ encode+ADC+rescore: ${en * 10} vecs ${p1}%.2f s; " +
+        f"${en * 100} vecs ${p10}%.2f s (${p10 / p1}%.1fx, ~linear target)")
+    }
+
     // ---- fuzzy join: token-blocked Levenshtein at n and 10n names ----
     // vocab scales with n so per-token block occupancy stays ~constant
     // (like signBandPlanFor holds LSH occupancy): candidates, and so
