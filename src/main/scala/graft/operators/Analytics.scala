@@ -276,12 +276,12 @@ object Analytics {
   }
 
   /** Order-independent table content checksum: row count, the SUM of a
-    * 40-bit md5 prefix (40 bits so int64 holds the exact sum up to
-    * ~8 × 10⁶ rows per 2⁶³ budget — far past any gate scale; overflow
-    * past that wraps identically nowhere, so the XOR channel is the one
-    * that stays exact at any cardinality), and the BIT_XOR of the
-    * 60-bit prefix (commutative, never overflows; blind only to
-    * even-multiplicity changes, which n_rows + sum catch). All three
+    * 40-bit md5 prefix accumulated in decimal(38,0) — 10³⁸/2⁴⁰ ≈ 10²⁶
+    * rows before overflow, i.e. exact at any realistic cardinality and
+    * it fails loudly (ANSI decimal overflow) rather than wrapping — and
+    * the BIT_XOR of the 60-bit prefix (commutative, never overflows;
+    * blind only to even-multiplicity changes, which n_rows + sum
+    * catch). All three
     * are commutative ⇒ partitioning/ordering never changes the result,
     * and md5 replays in any engine — the cross-system migration
     * validation primitive ("did every row survive the copy?"). One
@@ -293,7 +293,7 @@ object Analytics {
     val hex = md5(concat_ws("|", cols.map(col(_).cast("string")): _*))
     val k40 = conv(substring(hex, 1, 10), 16, 10).cast("long")
     val k60 = conv(substring(hex, 1, 15), 16, 10).cast("long")
-    df.select(k40.as("__k40"), k60.as("__k60"))
+    df.select(k40.cast("decimal(38,0)").as("__k40"), k60.as("__k60"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__k40")).as("content_sum"),
         expr("bit_xor(__k60)").as("content_xor"))
   }

@@ -59,6 +59,19 @@ object AsOfJoin {
           .select((leftCols.map(col) ++
             payload.map(p => col("__pay").getField(p).as(p))): _*)
       case Nearest =>
+        // the distance arithmetic below casts to long; a timestamp here
+        // would silently degrade to second granularity, so refuse it
+        Seq(left.schema(leftTime) -> leftTime,
+            right.schema(rightTime) -> rightTime).foreach { case (f, n) =>
+          import org.apache.spark.sql.types._
+          val integral = f.dataType match {
+            case LongType | IntegerType | ShortType | ByteType => true
+            case _ => false
+          }
+          require(integral,
+            s"Nearest needs an integral (epoch ns/us) time column; " +
+              s"'$n' is ${f.dataType.simpleString}")
+        }
         val b = carry(left, right, keys, leftTime, rightTime, payload,
           tiebreak, forward = false, out = "__payb")
         val bf = carry(b, right, keys, leftTime, rightTime, payload,

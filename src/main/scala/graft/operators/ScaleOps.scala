@@ -200,7 +200,10 @@ object WeightedTopKSample {
       .cast("double") + lit(1.0)) / lit(Scale)
     df.filter(weight > 0.0)
       .withColumn("__k", log(u) / weight)
-      .orderBy(col("__k").desc, col(seedCols.head))
+      // tie-break on ALL seed columns: the md5 key is derived from the
+      // full seed tuple, so head alone would leave the cut nondeterministic
+      // whenever the first seed column repeats
+      .orderBy(col("__k").desc +: seedCols.map(col): _*)
       .limit(k)
       .drop("__k")
   }
@@ -224,7 +227,7 @@ object StratifiedWeightedTopKSample {
       .cast("double") + lit(1.0)) / lit(Scale)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
-      .orderBy(col("__k").desc, col(seedCols.head))
+      .orderBy(col("__k").desc +: seedCols.map(col): _*)
     df.filter(weight > 0.0)
       .withColumn("__k", log(u) / weight)
       .withColumn("__rk", row_number().over(w))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite naive bounded-edit-distance predicates
   *
@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.IntegerType
   * null ⇒ the row is filtered) and so are the kept rows, since
   * `lev(a,b) <= d  ⇔  |len(a)−len(b)| <= d ∧ lev(a,b,d) >= 0`.
   *
+  * The threshold side matches any foldable integral expression — a bare
+  * `3`, a `3L` (whose comparison wraps the Levenshtein in a widening
+  * Cast, which is stripped), or a constant arithmetic expression — so
+  * the common SQL spellings all reach the banded kernel, not just the
+  * IntegerType-literal one.
+  *
   * The rewrite is idempotent by construction — the produced predicate
   * compares a THRESHOLDED Levenshtein against 0 and matches neither
   * pattern again — so it is safe under the optimizer's run-to-fixpoint
@@ -36,24 +42,46 @@ import org.apache.spark.sql.types.IntegerType
   */
 object FuzzyMatchPruning extends Rule[LogicalPlan] {
 
-  private def bounded(a: Expression, b: Expression, d: Literal): Expression =
+  /** The unbounded Levenshtein, possibly behind benign widening casts
+    * the analyzer inserts when the literal side is a wider integral
+    * (e.g. `levenshtein(a,b) <= 3L` → `cast(lev AS bigint) <= 3L`). */
+  private object Lev {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(a, b, None) => Some((a, b))
+      case Cast(child, LongType | IntegerType, _, _) => unapply(child)
+      case _ => None
+    }
+  }
+
+  /** A foldable integral-typed threshold evaluated to Int (bounds past
+    * Int.MaxValue are meaningless for edit distance — left unmatched). */
+  private object Bound {
+    def unapply(e: Expression): Option[Int] =
+      if (!e.foldable) None
+      else e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          e.eval() match {
+            case null => None
+            case n: Byte => Some(n.toInt)
+            case n: Short => Some(n.toInt)
+            case n: Int => Some(n)
+            case n: Long if n.isValidInt => Some(n.toInt)
+            case _ => None
+          }
+        case _ => None
+      }
+  }
+
+  private def bounded(a: Expression, b: Expression, d: Int): Expression =
     And(
-      LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), d),
-      GreaterThanOrEqual(Levenshtein(a, b, Some(d)), Literal(0)))
+      LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), Literal(d)),
+      GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(d))), Literal(0)))
 
   private def rewrite(cond: Expression): Expression = cond.transformUp {
-    case LessThanOrEqual(Levenshtein(a, b, None), d @ Literal(v: Int, IntegerType))
-        if v >= 0 =>
-      bounded(a, b, d)
-    case GreaterThanOrEqual(d @ Literal(v: Int, IntegerType), Levenshtein(a, b, None))
-        if v >= 0 =>
-      bounded(a, b, d)
-    case LessThan(Levenshtein(a, b, None), Literal(v: Int, IntegerType))
-        if v >= 1 =>
-      bounded(a, b, Literal(v - 1))
-    case GreaterThan(Literal(v: Int, IntegerType), Levenshtein(a, b, None))
-        if v >= 1 =>
-      bounded(a, b, Literal(v - 1))
+    case LessThanOrEqual(Lev(a, b), Bound(v)) if v >= 0 => bounded(a, b, v)
+    case GreaterThanOrEqual(Bound(v), Lev(a, b)) if v >= 0 => bounded(a, b, v)
+    case LessThan(Lev(a, b), Bound(v)) if v >= 1 => bounded(a, b, v - 1)
+    case GreaterThan(Bound(v), Lev(a, b)) if v >= 1 => bounded(a, b, v - 1)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -558,9 +558,9 @@ object Analytics7 {
       """WITH s AS (SELECT event_type, avg(value) AS m,
            stddev_samp(value) AS sd FROM events GROUP BY event_type)
          SELECT event_id, e.event_type, value,
-           round((value - m) / sd, 4) AS z
+           round((value - m) / NULLIF(sd, 0), 4) AS z
          FROM events e JOIN s ON e.event_type = s.event_type
-         WHERE abs(round((value - m) / sd, 4)) >= 2.5
+         WHERE abs(round((value - m) / NULLIF(sd, 0), 4)) >= 2.5
          ORDER BY event_id""",
 
     "agg_mad" ->
@@ -751,7 +751,7 @@ object Analytics7 {
       """SELECT count(*) AS n_rows,
            sum(CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
              l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR || '|' ||
-             l_returnflag), 1, 10)) AS BIGINT))::BIGINT AS content_sum,
+             l_returnflag), 1, 10)) AS BIGINT))::DECIMAL(38,0) AS content_sum,
            bit_xor(CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
              l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR || '|' ||
              l_returnflag), 1, 15)) AS BIGINT)) AS content_xor

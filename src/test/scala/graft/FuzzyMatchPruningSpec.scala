@@ -75,6 +75,23 @@ class FuzzyMatchPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("bigint literal and foldable-expression thresholds rewrite too") {
+    withExtSession { spark =>
+      // `<= 3L` analyzes as cast(lev AS bigint) <= 3L — the benign cast
+      // is stripped and the bound still reaches the banded kernel
+      val big = spark.sql(
+        s"SELECT * FROM $rows WHERE levenshtein(a, b) <= CAST(2 AS BIGINT)")
+      val bigPlan = big.queryExecution.optimizedPlan.toString
+      assert(bigPlan.contains("Some(2)) >= 0"), s"bigint bound threaded:\n$bigPlan")
+      assert(big.collect().map(r => (r.getString(0), r.getString(1))).toSet
+        === Set(("abc", "abd"), ("abc", "abc")))
+      // a constant arithmetic bound folds and rewrites the same way
+      val fold = spark.sql(s"SELECT * FROM $rows WHERE levenshtein(a, b) <= 1 + 1")
+        .queryExecution.optimizedPlan.toString
+      assert(fold.contains("Some(2)) >= 0"), s"foldable bound threaded:\n$fold")
+    }
+  }
+
   test("already-thresholded and unbounded-value uses are left alone") {
     withExtSession { spark =>
       // projection (no predicate): untouched
