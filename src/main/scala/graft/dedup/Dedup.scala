@@ -157,6 +157,17 @@ object Dedup {
       .select(col("__dig"), col("__hset"), col("__bands"),
         posexplode(col("__bands")).as(Seq("band", "bucket")))
 
+    bandedVerifyExpand(reps, members, aCol, bCol, threshold)
+  }
+
+  /** The fused banded verify + document expansion shared by every
+    * MinHash family: `reps` carries one row per (unique digest, band)
+    * with columns (__dig, __hset, __bands, band, bucket); `members`
+    * maps documents to digests. Family-independent — band buckets only
+    * need to be equal-comparable longs. */
+  private def bandedVerifyExpand(reps: DataFrame, members: DataFrame,
+                                 aCol: String, bCol: String,
+                                 threshold: Double): DataFrame = {
     val a = reps.toDF("__dig_a", "__hset_a", "__bands_a", "band", "bucket")
     val b = reps.toDF("__dig_b", "__hset_b", "__bands_b", "band_b", "bucket_b")
     val jac = graft.functions.SortedJaccard(col("__hset_a"), col("__hset_b"))
@@ -240,6 +251,15 @@ object Dedup {
     // map task, and the join-back is AQE-skew-splittable. Both sides
     // hash-partition on (band, bucket), so the bandRows exchange is
     // reused — the data still shuffles once.
+    representativeAssign(bandRows, members, idCol)
+  }
+
+  /** Per-bucket min → per-digest min → expand to documents; shared by
+    * every MinHash family. `bandRows` = (__dig, band, bucket, __dmin),
+    * `members` = (id, __dig). See [[minhashRepresentatives]] for why
+    * this is a groupBy + join-back and not a window. */
+  private def representativeAssign(bandRows: DataFrame, members: DataFrame,
+                                   idCol: String): DataFrame = {
     val bucketMin = bandRows.groupBy("band", "bucket")
       .agg(min("__dmin").as("__bucket_min"))
     val digRep = bandRows.select("__dig", "band", "bucket")
@@ -318,6 +338,150 @@ object Dedup {
     require(changed == 0L,
       s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("u").as(idCol), col("lbl").as("component_id"))
+  }
+
+  // ---------------- md5-keyed replayable family ----------------
+  //
+  // Same operators as the xxhash64 family above, with every random draw
+  // derived from md5 — the one hash both this engine and any SQL oracle
+  // (DuckDB, Postgres, BigQuery) can recompute bit-for-bit, so the LSH
+  // candidate sets themselves become cross-engine verifiable instead of
+  // rows-only-checkable. The xx64 family stays the production default
+  // (xxhash64 is ~4x cheaper per call and fused into single-pass codegen
+  // kernels); this family is the migration-validation / audit variant.
+  //
+  // MinHash here is the classic affine universal family over a 32-bit
+  // md5 word hash: h_i(w) = (a_i * m(w) + b_i) mod P with P prime just
+  // above 2^32 and a_i < 2^30, so every product stays below 2^62 — no
+  // overflow under ANSI arithmetic in EITHER engine (DuckDB BIGINT
+  // errors on overflow too). The (a_i, b_i) are fixed constants derived
+  // from md5("a:i")/md5("b:i") at plan-build time and inlined as
+  // literals into both the Spark plan and generated oracle SQL, so the
+  // two sides cannot drift.
+
+  /** Prime just above 2^32 — the modulus of the md5 affine family. */
+  val Md5P: Long = 4294967311L
+
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Deterministic affine coefficients (a_i in [1, 2^30), b_i in [0, P)). */
+  def md5AffineCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      ((md5Long(s"a:$i") % ((1L << 30) - 1)) + 1, md5Long(s"b:$i") % Md5P)
+    }
+
+  /** 32-bit word hash any engine replays: first 8 hex chars of md5. */
+  def md5WordHash32(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+
+  /** Per-digest md5 MinHash signature, computed by EXPLODING the word
+    * set and taking `numHashes` min-aggregates — one md5 per (digest,
+    * word) total, where the column-expression form would recompute the
+    * md5 under every one of the k lambda traversals (CollapseProject
+    * inlines a shared projection into each use). One extra shuffle on
+    * the digest, fully map-side combined. */
+  private def md5SigTable(uniq: DataFrame, setCol: String,
+                          numHashes: Int): DataFrame = {
+    val aggs = md5AffineCoeffs(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((col("__m") * lit(a) + lit(b)) % lit(Md5P)).as(s"__s$i")
+    }
+    uniq.select(col("__dig"), explode(col(setCol)).as("__w"))
+      .withColumn("__m", md5WordHash32(col("__w")))
+      .groupBy("__dig")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__dig"),
+        array((0 until numHashes).map(i => col(s"__s$i")): _*).as("__sig"))
+  }
+
+  /** Band bucket as a replayable long: 60-bit md5 prefix of
+    * "band_sig1_sig2_..." — `array_join` of longs cast to string matches
+    * any engine's integer-to-decimal-string rendering. */
+  def md5BandHashes(sig: Column, bands: Int, rows: Int): Column =
+    // array_compact: the elements are provably non-null (md5 of a
+    // non-null concat) but typed nullable through conv/cast — compact
+    // re-types the array containsNull=false for FirstEqualIndex
+    array_compact(array((0 until bands).map { bnd =>
+      conv(substring(md5(concat(lit(s"${bnd}_"),
+        array_join(transform(slice(sig, bnd * rows + 1, rows),
+          x => x.cast("string")), "_"))), 1, 15), 16, 10).cast("long")
+    }: _*))
+
+  /** [[minhashNearDups]] with the md5 affine family — identical fused
+    * banded join, digest collapse, and verification; only the signature
+    * and band-bucket draws differ. Output is exactly what a SQL oracle
+    * recomputes from the same inlined constants. */
+  def minhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, numHashes: Int = 64,
+                         bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
+    val uniq = df.select(wordSetKey(col(textCol)).as("__dig"),
+        wordSet(col(textCol)).as("__set"))
+      .dropDuplicates("__dig")
+    val reps = uniq.join(md5SigTable(uniq, "__set", numHashes), Seq("__dig"))
+      .withColumn("__hset", array_sort(transform(col("__set"), w => xxhash64(w))))
+      .withColumn("__bands", md5BandHashes(col("__sig"), bands, rows))
+      .select(col("__dig"), col("__hset"), col("__bands"),
+        posexplode(col("__bands")).as(Seq("band", "bucket")))
+    bandedVerifyExpand(reps, members, s"${idCol}_a", s"${idCol}_b", threshold)
+  }
+
+  /** [[minhashRepresentatives]] with the md5 affine family. */
+  def minhashRepresentativesMd5(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 64,
+                                bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val dig = coalesce(wordSetKey(col(textCol)), lit(""))
+    val members = df.select(col(idCol), dig.as("__dig"))
+    val digMin = members.groupBy("__dig").agg(min(idCol).as("__dmin"))
+    val uniq = df.select(dig.as("__dig"), wordSet(col(textCol)).as("__set"))
+      .dropDuplicates("__dig")
+    val bandRows = uniq.join(md5SigTable(uniq, "__set", numHashes), Seq("__dig"))
+      .withColumn("__bands", md5BandHashes(col("__sig"), bands, rows))
+      .select(col("__dig"), posexplode(col("__bands")).as(Seq("band", "bucket")))
+      .join(digMin, Seq("__dig"))
+    representativeAssign(bandRows, members, idCol)
+  }
+
+  /** 60-bit md5 SimHash (the replayable sibling of [[withSimHash]]):
+    * per distinct word the 60-bit md5 prefix, each bit voting +1/−1,
+    * final bit set iff its vote sum is strictly positive. Explode +
+    * 60 sum-aggregates — one md5 per (doc, word), map-side combined;
+    * the disjoint power-of-two bit terms recombine by plain addition. */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val votes = (0 until bits).map { i =>
+      sum(when(shiftrightunsigned(col("__h"), i).bitwiseAND(lit(1L)) === lit(1L),
+        lit(1)).otherwise(lit(-1))).as(s"__v$i")
+    }
+    val hash = (0 until bits).map { i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), explode(wordSet(col(textCol))).as("__w"))
+      .withColumn("__h", conv(substring(md5(col("__w")), 1, 15), 16, 10)
+        .cast("long"))
+      .groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), hash.as("simhash"))
+  }
+
+  /** [[simhashNearDups]] over the md5 simhash: block on the high 16 of
+    * the 60 bits, verify hamming within blocks. */
+  def simhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 8): DataFrame = {
+    val hashed = simhashMd5(df, idCol, textCol)
+      .withColumn("block", shiftrightunsigned(col("simhash"), 44))
+    val a = hashed.toDF(s"${idCol}_a", "sim_a", "block")
+    val b = hashed.toDF(s"${idCol}_b", "sim_b", "block_b")
+    a.join(b, a("block") === b("block_b") && a(s"${idCol}_a") < b(s"${idCol}_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(s"${idCol}_a", s"${idCol}_b", "hamming")
   }
 
   // ---------------- SimHash ----------------

@@ -8,9 +8,10 @@ import graft.streaming.EventWindows
 import graft.textanalysis.TextAnalysis
 
 /** North-star extension queries: dedup, similarity search, text analysis,
-  * multimodal plumbing, event-time windows. Hash-based ops (MinHash,
-  * SimHash) have no DuckDB-expressible oracle and get rows-only checks;
-  * everything else is oracle-checked.
+  * multimodal plumbing, event-time windows. MinHash/SimHash gates run
+  * the md5-keyed replayable family so DuckDB recomputes their exact
+  * candidate sets (the xx64 production family is spec-pinned instead);
+  * only the HLL sketch (`agg_approx_distinct`) stays rows-only.
   */
 object Extensions {
 
@@ -30,6 +31,46 @@ object Extensions {
       s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** DuckDB CTEs recomputing [[Dedup.minhashNearDupsMd5]]'s signatures
+    * and band buckets from the SAME `md5AffineCoeffs`/`Md5P` constants
+    * the Spark plan inlines — the two sides cannot drift. Yields CTEs
+    * `sets` (doc word-sets), `bands` (doc_id, b, bucket). */
+  private def md5MinhashCtes(numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val mins = Dedup.md5AffineCoeffs(numHashes).map { case (a, b) =>
+      s"min((m * $a + $b) % ${Dedup.Md5P})"
+    }.mkString(", ")
+    s"""sets AS (SELECT doc_id,
+           list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ws
+         FROM documents),
+         words AS (SELECT doc_id, unnest(ws) AS w FROM sets),
+         wh AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS m FROM words),
+         sig AS (SELECT doc_id, [$mins] AS sig FROM wh GROUP BY doc_id),
+         bands AS (SELECT doc_id, b,
+           CAST(('0x' || substr(md5(b::VARCHAR || '_' ||
+             array_to_string(sig[b*$rows+1 : b*$rows+$rows], '_')), 1, 15))
+             AS BIGINT) AS bucket
+         FROM sig CROSS JOIN generate_series(0, ${bands - 1}) AS t(b))"""
+  }
+
+  /** DuckDB CTEs recomputing [[Dedup.simhashMd5]]'s 60-bit simhash:
+    * yields CTE `sh` (doc_id, simhash). */
+  private def md5SimhashCtes: String = {
+    val votes = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val bits = (0 until 60).map(i =>
+      s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""words AS (SELECT doc_id, unnest(list_distinct(
+           regexp_split_to_array(trim(text), '\\s+'))) AS w
+         FROM documents),
+         wh AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words),
+         v AS (SELECT doc_id, $votes FROM wh GROUP BY doc_id),
+         sh AS (SELECT doc_id, $bits AS simhash FROM v)"""
+  }
+
   val defs: Map[String, Q] = Map(
     // exact dedup on the canonical word-set digest
     "dedup_exact" -> ((s, dir) =>
@@ -42,26 +83,30 @@ object Extensions {
         window = 25, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
-    // MinHash/LSH candidate generation + Jaccard verification (rows-only)
+    // MinHash/LSH candidate generation + Jaccard verification. Gated on
+    // the md5 affine family so DuckDB replays the exact candidate set
+    // (signatures, buckets, verified pairs); the xx64 production family
+    // runs the identical fused join and is pinned by InternalOracleSpec
+    // + DedupEquivalenceSpec.
     "dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashNearDupsMd5(tbl(s, dir, "documents"), "doc_id", "text",
         threshold = 0.9, numHashes = 64, bands = 8)
         .orderBy("doc_id_a", "doc_id_b")),
 
-    // SimHash per document + blocked near-dup pairs (rows-only)
+    // SimHash per document (md5 60-bit replayable family) + block key
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.withSimHash(tbl(s, dir, "documents"), "text", "simhash")
-        .select(col("doc_id"), col("simhash"),
-          shiftrightunsigned(col("simhash"), 48).as("block"))
+      Dedup.simhashMd5(tbl(s, dir, "documents"), "doc_id", "text")
+        .withColumn("block", shiftrightunsigned(col("simhash"), 44))
         .orderBy("doc_id")),
 
     // single-pass LSH dedup decision: O(n) representative assignment
     "dedup_minhash_keep" -> ((s, dir) =>
-      Dedup.minhashRepresentatives(tbl(s, dir, "documents"), "doc_id", "text")
+      Dedup.minhashRepresentativesMd5(tbl(s, dir, "documents"), "doc_id",
+        "text")
         .orderBy("doc_id")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashNearDupsMd5(tbl(s, dir, "documents"), "doc_id", "text",
         maxHamming = 16)
         .orderBy("doc_id_a", "doc_id_b")),
 
@@ -447,6 +492,44 @@ object Extensions {
          WHERE len(list_intersect(a.s, b.s))::DOUBLE
              / len(list_distinct(a.s || b.s)) >= 0.8
          ORDER BY id_a, id_b""",
+    // LSH candidates from the replayed md5 signatures, then the exact
+    // Jaccard verify — DISTINCT mirrors the engine's first-colliding-band
+    // exactly-once rule
+    "dedup_minhash_pairs" ->
+      s"""WITH ${md5MinhashCtes(64, 8)},
+         cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+           FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+             AND a.doc_id < c.doc_id)
+         SELECT doc_id_a, doc_id_b,
+           round(len(list_intersect(sa.ws, sb.ws))::DOUBLE
+             / len(list_distinct(sa.ws || sb.ws)), 3) AS jaccard
+         FROM cand
+           JOIN sets sa ON sa.doc_id = cand.doc_id_a
+           JOIN sets sb ON sb.doc_id = cand.doc_id_b
+         WHERE len(list_intersect(sa.ws, sb.ws))::DOUBLE
+             / len(list_distinct(sa.ws || sb.ws)) >= 0.9
+         ORDER BY doc_id_a, doc_id_b""",
+    "dedup_minhash_keep" ->
+      s"""WITH ${md5MinhashCtes(64, 8)},
+         bmin AS (SELECT b, bucket, min(doc_id) AS bucket_min
+           FROM bands GROUP BY b, bucket),
+         rep AS (SELECT a.doc_id, min(m.bucket_min) AS rep_id
+           FROM bands a JOIN bmin m ON a.b = m.b AND a.bucket = m.bucket
+           GROUP BY a.doc_id)
+         SELECT doc_id, rep_id, doc_id = rep_id AS is_kept
+         FROM rep ORDER BY doc_id""",
+    "dedup_simhash" ->
+      s"""WITH $md5SimhashCtes
+         SELECT doc_id, simhash, simhash >> 44 AS block
+         FROM sh ORDER BY doc_id""",
+    "dedup_simhash_pairs" ->
+      s"""WITH $md5SimhashCtes
+         SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+         FROM sh a JOIN sh c ON (a.simhash >> 44) = (c.simhash >> 44)
+           AND a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.simhash, c.simhash)) <= 16
+         ORDER BY doc_id_a, doc_id_b""",
     "agg_centroids" ->
       """SELECT label, i - 1 AS dim,
          round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS cval

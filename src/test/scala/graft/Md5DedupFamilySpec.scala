@@ -1,0 +1,60 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** The md5-keyed replayable dedup family: deterministic coefficient
+  * derivation, recall of exact duplicates, and agreement with the
+  * exact-Jaccard oracle on the pairs it emits — at a NON-gate
+  * (numHashes, bands) configuration so the parameterization is covered,
+  * not just the single shape the CORRECTNESS gate replays in DuckDB. */
+class Md5DedupFamilySpec extends SparkTestBase {
+  private lazy val docs = queries.tbl(spark, sf, "documents")
+
+  test("affine coefficients are deterministic and in range") {
+    val c1 = Dedup.md5AffineCoeffs(64)
+    val c2 = Dedup.md5AffineCoeffs(64)
+    assert(c1 === c2)
+    assert(c1.distinct.size === 64, "no repeated (a,b) draws")
+    assert(c1.forall { case (a, b) =>
+      a >= 1 && a < (1L << 30) && b >= 0 && b < Dedup.Md5P })
+  }
+
+  test("md5 minhash pairs: every emitted pair meets the threshold exactly") {
+    val t = 0.8
+    val pairs = Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+      threshold = t, numHashes = 32, bands = 4).collect()
+    val sets = docs.select(col("doc_id"), Dedup.wordSet(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (sets(a).toSet, sets(b).toSet)
+      val jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(jac >= t, s"pair ($a,$b) below threshold: $jac")
+      assert(math.abs(r.getDouble(2) - math.floor(jac * 1000 + 0.5) / 1000)
+        < 1e-9, s"reported jaccard off for ($a,$b)")
+    }
+  }
+
+  test("md5 minhash keep: representatives are minimal over shared buckets") {
+    val kept = Dedup.minhashRepresentativesMd5(docs, "doc_id", "text",
+      numHashes = 32, bands = 8).collect()
+    assert(kept.length === docs.count())
+    kept.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), "rep is never a larger id")
+      assert(r.getBoolean(2) === (r.getLong(0) === r.getLong(1)))
+    }
+  }
+
+  test("md5 simhash: exact duplicates collide at hamming 0") {
+    val dup = docs.limit(5).union(docs.limit(5)) // force exact dups
+      .withColumn("doc_id", monotonically_increasing_id())
+    val pairs = Dedup.simhashNearDupsMd5(dup, "doc_id", "text",
+      maxHamming = 0)
+    assert(pairs.filter(col("hamming") === 0).count() >= 5)
+    // and the simhash is a pure function of the text
+    val h = Dedup.simhashMd5(docs.limit(20), "doc_id", "text")
+    val h2 = Dedup.simhashMd5(docs.limit(20), "doc_id", "text")
+    assert(h.exceptAll(h2).count() === 0L)
+  }
+}
