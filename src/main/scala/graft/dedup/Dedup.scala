@@ -541,8 +541,8 @@ object Dedup {
     * misses (a short doc fully contained in a long one has low Jaccard
     * but containment 1.0). Emits both directions' scores per unordered
     * pair; same windowed blocking as [[jaccardPairsWindowed]] (the
-    * exact-verification variant — at scale, block with MinHash banding
-    * instead, the threshold transfers since containment >= jaccard). */
+    * exact-verification variant — at scale use [[containmentNearDups]],
+    * the prefix-filtered join with identical semantics and full recall). */
   def containmentPairsWindowed(df: DataFrame, idCol: String,
                                textCol: String, window: Int,
                                threshold: Double): DataFrame = {
@@ -560,5 +560,96 @@ object Dedup {
       .withColumn("c_ba", round(inter / size(col("__set_b")), 3))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select("id_a", "id_b", "c_ab", "c_ba")
+  }
+
+  /** Containment pairs AT SCALE: prefix-filtered token join, the
+    * production sibling of [[containmentPairsWindowed]] with the same
+    * output (id_a, id_b, c_ab, c_ba) over the WHOLE corpus — no id
+    * window, FULL recall.
+    *
+    * Why not MinHash banding: max-containment |A∩B|/min(|A|,|B|) is
+    * only lower-bounded by Jaccard, so banding tuned for J >= t misses
+    * exactly the pairs this operator exists for (a short doc quoted
+    * inside a long one has containment 1.0 and Jaccard ~|A|/|B|).
+    * Prefix filtering (the AllPairs/PPJoin family; distributed form as
+    * in Vernica et al., SIGMOD'10) is EXACT for overlap predicates: if
+    * |S∩B| >= ceil(t·|S|) for the smaller set S, then B shares at least
+    * one of S's first |S| − ceil(t·|S|) + 1 tokens under ANY fixed
+    * global token order — so emitting only that prefix for each doc as
+    * probe keys loses nothing.
+    *
+    * Shuffle shape: one df-aggregation over the token stream (map-side
+    * combined), one per-doc window to rank tokens rarest-first (the
+    * order that makes prefix buckets small — a doc's prefix tokens are
+    * its rarest), one equi-join of the prefix stream against the full
+    * token index, then distinct canonical pairs + verification joins.
+    * Candidate count scales with sum over prefix tokens of their df —
+    * bounded by rarity-first ordering, skew split by AQE. Nothing is
+    * quadratic in corpus size; the windowed variant remains only as the
+    * oracle-verification shape.
+    */
+  def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    // digest collapse (as in [[minhashNearDups]]): the prefix join and
+    // verification run once per UNIQUE word-set; duplicate-heavy corpora
+    // pay candidate cost per template, not per copy
+    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
+    val uniq = df.select(wordSetKey(col(textCol)).as("__dig"),
+        wordSet(col(textCol)).as("__ws"))
+      .dropDuplicates("__dig")
+    val toks = uniq.select(col("__dig"), size(col("__ws")).as("__sz"),
+      explode(col("__ws")).as("__w"))
+    val dfreq = toks.groupBy("__w").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__dig").orderBy(col("__df"), col("__w"))
+    val ranked = toks.join(dfreq, Seq("__w"))
+      .withColumn("__pos", row_number().over(w))
+    // prefix of the POTENTIALLY-CONTAINED side: |S| - ceil(t'|S|) + 1
+    // rarest tokens; every set also serves as containing side via the
+    // full token index. t' carries half-ulp-of-round-3 slack because the
+    // kept-set predicate compares the ROUNDED containment (a pair at
+    // c = t - 0.0004 rounds up into the kept set and must be recalled)
+    val tSlack = threshold - 5e-4
+    val prefixes = ranked
+      .filter(col("__pos") <= col("__sz") - ceil(lit(tSlack) * col("__sz"))
+        + lit(1))
+      .select(col("__dig").as("__dig_p"), col("__w"))
+    val index = toks.select(col("__dig").as("__dig_i"), col("__w"))
+    val cand = prefixes.join(index, Seq("__w"))
+      .filter(col("__dig_p") =!= col("__dig_i"))
+      .select(least(col("__dig_p"), col("__dig_i")).as("__dig_a"),
+        greatest(col("__dig_p"), col("__dig_i")).as("__dig_b"))
+      .distinct()
+    val inter = size(array_intersect(col("__set_a"), col("__set_b")))
+      .cast("double")
+    val verified = cand
+      .join(uniq.select(col("__dig").as("__dig_a"), col("__ws").as("__set_a")),
+        Seq("__dig_a"))
+      .join(uniq.select(col("__dig").as("__dig_b"), col("__ws").as("__set_b")),
+        Seq("__dig_b"))
+      .withColumn("c_ab", round(inter / size(col("__set_a")), 3))
+      .withColumn("c_ba", round(inter / size(col("__set_b")), 3))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("__dig_a", "__dig_b", "c_ab", "c_ba")
+    // expand digest pairs to id pairs; the directional scores follow the
+    // id order (c_ab is always the smaller-ID side's containment)
+    val cross = verified
+      .join(members.toDF("__x", "__dig_a"), Seq("__dig_a"))
+      .join(members.toDF("__y", "__dig_b"), Seq("__dig_b"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"),
+        when(col("__x") <= col("__y"), col("c_ab")).otherwise(col("c_ba"))
+          .as("c_ab"),
+        when(col("__x") <= col("__y"), col("c_ba")).otherwise(col("c_ab"))
+          .as("c_ba"))
+    // identical sets: containment 1.0 both ways, always >= threshold
+    val within = members.toDF("id_a", "__dig")
+      .join(members.toDF("id_b", "__dig2"),
+        col("__dig") === col("__dig2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(1.0).as("c_ab"), lit(1.0).as("c_ba"))
+    cross.unionByName(within)
   }
 }

@@ -180,6 +180,14 @@ object Analytics7 {
         threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // the production containment path: prefix-filtered token join, full
+    // corpus, full recall — the oracle brute-forces all pairs, which is
+    // exactly what the prefix filter provably never loses
+    "dedup_containment_scale" -> ((s, dir) =>
+      graft.dedup.Dedup.containmentNearDups(
+        tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+        .orderBy("id_a", "id_b")),
+
     // PER-GROUP quantile buckets: quartile cutpoints per status
     // broadcast back, bucket assignment a pure map (the grouped variant
     // of agg_quantile_bucket's scale-safe ntile replacement)
@@ -615,6 +623,19 @@ object Analytics7 {
            len(a.s)::DOUBLE AS la, len(b.s)::DOUBLE AS lb
            FROM sets a JOIN sets b
            ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+         SELECT id_a, id_b, round(i / la, 3) AS c_ab,
+           round(i / lb, 3) AS c_ba
+         FROM p WHERE greatest(round(i / la, 3), round(i / lb, 3)) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "dedup_containment_scale" ->
+      """WITH sets AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+           FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE AS i,
+           len(a.s)::DOUBLE AS la, len(b.s)::DOUBLE AS lb
+           FROM sets a JOIN sets b ON b.doc_id > a.doc_id)
          SELECT id_a, id_b, round(i / la, 3) AS c_ab,
            round(i / lb, 3) AS c_ba
          FROM p WHERE greatest(round(i / la, 3), round(i / lb, 3)) >= 0.9

@@ -61,6 +61,19 @@ object ScaleRehearsal {
     time("minhash pairs (gate: t=.9, b=8)") {
       Dedup.minhashNearDups(corpus, "doc_id", "text", 0.9, 64, 8).count()
     }
+    // Containment prefix join: candidate volume is sum-of-prefix-df —
+    // replicating the corpus k-fold grows every token's df k-fold and the
+    // doc count k-fold, so candidates (and wall time) should stay
+    // ~quadratic-free: compare pair output at n and kn
+    val baseContain = Dedup.containmentNearDups(base, "doc_id", "text", 0.9)
+      .count()
+    time(s"containment prefix join (${k}x)") {
+      val c = Dedup.containmentNearDups(corpus, "doc_id", "text", 0.9).count()
+      println(f"[rehearsal]   base=$baseContain pairs, ${k}x=$c " +
+        f"(k^2 within duplicate clusters is inherent to the OUTPUT — " +
+        f"every replica pair IS a containment pair)")
+      c
+    }
 
     // Hot-bucket rehearsal: the same row count, but every doc is a
     // DISTINCT single-word mutation of one 30-word template — digest

@@ -100,4 +100,37 @@ class DedupEquivalenceSpec extends SparkTestBase {
       assert(naive.exceptAll(fused).count() === 0L, s"trial $trial naive-only")
     }
   }
+
+  test("prefix-filtered containment == windowed on the window domain") {
+    val docs = queries.tbl(spark, sf, "documents")
+    Seq(0.7, 0.9).foreach { t =>
+      val scale = Dedup.containmentNearDups(docs, "doc_id", "text", t)
+        .filter(col("id_b") <= col("id_a") + 25)
+      val windowed = Dedup.containmentPairsWindowed(docs, "doc_id", "text",
+        window = 25, threshold = t)
+      assert(scale.exceptAll(windowed).count() === 0L, s"t=$t scale-only")
+      assert(windowed.exceptAll(scale).count() === 0L, s"t=$t windowed-only")
+    }
+  }
+
+  test("containment catches a short doc quoted inside a long one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma plus lots of extra words around the quote " +
+        "that drive jaccard far below any useful threshold"),
+      (3L, "unrelated content entirely")).toDF("doc_id", "text")
+    val got = Dedup.containmentNearDups(docs, "doc_id", "text", 0.9)
+      .collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 1L && got(0).getLong(1) === 2L)
+    assert(got(0).getDouble(2) === 1.0, "full containment of the short doc")
+    // ... a pair symmetric Jaccard banding at t=0.9 could never emit
+    val jac = Dedup.jaccard(col("__set_a"), col("__set_b"))
+    val sets = docs.select(col("doc_id"), Dedup.wordSet(col("text")).as("s"))
+    val j12 = sets.toDF("a", "__set_a").crossJoin(sets.toDF("b", "__set_b"))
+      .filter(col("a") === 1 && col("b") === 2)
+      .select(jac).head().getDouble(0)
+    assert(j12 < 0.25, s"jaccard of the quoted pair is low: $j12")
+  }
 }
