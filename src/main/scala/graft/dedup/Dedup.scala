@@ -470,6 +470,22 @@ object Dedup {
       .select(col(idCol), hash.as("simhash"))
   }
 
+  /** Doc-level (id, band, bucket) rows from the md5 affine family —
+    * the replayable banded-signature table (streaming claim replays,
+    * audits). Digest-collapsed internally, expanded back per document. */
+  def md5BandedDocs(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
+    val uniq = df.select(wordSetKey(col(textCol)).as("__dig"),
+        wordSet(col(textCol)).as("__set"))
+      .dropDuplicates("__dig")
+    val bandRows = uniq.join(md5SigTable(uniq, "__set", numHashes), Seq("__dig"))
+      .withColumn("__bands", md5BandHashes(col("__sig"), bands, rows))
+      .select(col("__dig"), posexplode(col("__bands")).as(Seq("band", "bucket")))
+    members.join(bandRows, Seq("__dig")).select(idCol, "band", "bucket")
+  }
+
   /** [[simhashNearDups]] over the md5 simhash: block on the high 16 of
     * the 60 bits, verify hamming within blocks. */
   def simhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,

@@ -110,6 +110,21 @@ object Extensions {
         maxHamming = 16)
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // batch replay of the streaming BucketClaim store: synthetic arrival
+    // times with COLLISIONS ((id*37) mod 97 — the (ts, id) tie-break is
+    // load-bearing), md5 band buckets so DuckDB replays the claim
+    // resolution; kept = docs owning all 8 of their buckets
+    "stream_neardup_keep" -> ((s, dir) => {
+      val banded = Dedup.md5BandedDocs(tbl(s, dir, "documents"), "doc_id",
+          "text", numHashes = 64, bands = 8)
+        .select(col("doc_id").as("id"),
+          pmod(col("doc_id") * lit(37L), lit(97L)).as("ts"),
+          col("band"), col("bucket"))
+      graft.streaming.StreamingDedup.nearDupKeepReplay(banded, bands = 8)
+        .select(col("id").as("doc_id"), col("ts"))
+        .orderBy("doc_id")
+    }),
+
     // brute-force cosine of every vector against the vec_id=0 query
     "sim_cosine_all" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -530,6 +545,20 @@ object Extensions {
            AND a.doc_id < c.doc_id
          WHERE bit_count(xor(a.simhash, c.simhash)) <= 16
          ORDER BY doc_id_a, doc_id_b""",
+    "stream_neardup_keep" ->
+      s"""WITH ${md5MinhashCtes(64, 8)},
+         br AS (SELECT doc_id, (doc_id * 37) % 97 AS ts, b, bucket
+           FROM bands),
+         own AS (SELECT b, bucket, doc_id AS win_id FROM (
+             SELECT b, bucket, doc_id,
+               row_number() OVER (PARTITION BY b, bucket
+                 ORDER BY ts, doc_id) AS rn
+             FROM br) WHERE rn = 1)
+         SELECT br.doc_id, min(br.ts) AS ts
+         FROM br JOIN own ON br.b = own.b AND br.bucket = own.bucket
+         GROUP BY br.doc_id
+         HAVING sum(CASE WHEN br.doc_id = own.win_id THEN 1 ELSE 0 END) = 8
+         ORDER BY doc_id""",
     "agg_centroids" ->
       """SELECT label, i - 1 AS dim,
          round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS cval

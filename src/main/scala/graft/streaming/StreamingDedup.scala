@@ -138,4 +138,29 @@ object StreamingDedup {
       .filter(col("__claims") === bands)
       .select(col("window"), col("id").as(idCol), col("ts"))
   }
+
+  /** Deterministic BATCH replay of [[nearDupKeep]]'s claim decision —
+    * the oracle-checkable twin: over a banded signature table
+    * (id, ts, band, bucket), each bucket's owner is its min (ts, id)
+    * row (exactly the [[BucketClaim]] rule with no horizon eviction,
+    * i.e. every document inside one watermark horizon), and a document
+    * is kept iff it owns ALL of its band buckets.
+    *
+    * Shapes exactly like [[graft.dedup.Dedup.minhashRepresentatives]]:
+    * one partial-aggregating groupBy per bucket (the min struct
+    * combines map-side) + one join back + one groupBy per doc — no
+    * unpartitioned window, no pair materialization. `ts` can be any
+    * orderable type (timestamp in streaming, epoch long in audits).
+    */
+  def nearDupKeepReplay(banded: DataFrame, bands: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val owner = banded.groupBy("band", "bucket")
+      .agg(min(struct(col("ts"), col("id"))).as("__w"))
+    banded.join(owner, Seq("band", "bucket"))
+      .groupBy("id")
+      .agg(sum(when(col("__w.id") === col("id"), 1).otherwise(0)).as("__won"),
+        min("ts").as("ts"))
+      .filter(col("__won") === bands)
+      .select("id", "ts")
+  }
 }

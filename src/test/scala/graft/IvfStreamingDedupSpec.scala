@@ -150,24 +150,22 @@ class IvfStreamingDedupSpec extends SparkTestBase {
   test("streaming near-dup keep == batch first-wins twin on real documents") {
     implicit val sqlCtx = spark.sqlContext
     import graft.dedup.Dedup
-    import org.apache.spark.sql.expressions.Window
     // arrival order = doc_id (one doc per minute, all within the horizon)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
       .withColumn("t", expr("timestamp_millis(1704067200000 + doc_id * 60000)"))
-    // batch twin: bucket claimant = min doc_id (== min ts); a doc is kept
-    // iff it claims ALL of its band buckets
+    // batch twin = the GATE's replay function (min (ts,id) claims every
+    // bucket; kept iff all bands won) over the same xx64 banding the
+    // streaming operator computes — pinning nearDupKeepReplay itself to
+    // the streaming semantics, not just an inline reimplementation
     val banded = docs
       .withColumn("__sig", Dedup.minhashSignature(Dedup.wordSet($"text"), 64))
       .withColumn("__bands", Dedup.bandHashes($"__sig", 8, 8))
-      .select($"doc_id", posexplode($"__bands").as(Seq("band", "bucket")))
-    val claimant = Window.partitionBy("band", "bucket")
-    val expected = banded
-      .withColumn("__min", min("doc_id").over(claimant))
-      .groupBy("doc_id")
-      .agg(sum(when($"doc_id" === $"__min", 1).otherwise(0)).as("__won"))
-      .filter($"__won" === 8)
-      .select("doc_id").as[Long].collect().sorted.toSeq
+      .select($"doc_id".as("id"), $"t".as("ts"),
+        posexplode($"__bands").as(Seq("band", "bucket")))
+    val expected = graft.streaming.StreamingDedup
+      .nearDupKeepReplay(banded, bands = 8)
+      .select("id").as[Long].collect().sorted.toSeq
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
     val kept = graft.streaming.StreamingDedup.nearDupKeep(
       input.toDF().toDF("doc_id", "text", "t"), "t", "2 hours",
