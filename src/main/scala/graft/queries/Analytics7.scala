@@ -365,6 +365,27 @@ object Analytics7 {
         .withColumn("sim", col("sim") + lit(0.0))
     }),
 
+    // IVFADC: IVF coarse probe -> ADC scan inside probed cells -> exact
+    // rescore. nprobe = nlist + 300-candidate headroom => brute-force
+    // identity, which is what the oracle checks; production runs
+    // nprobe << nlist over a __cell-partitioned store
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(graft.similarity.Similarity.toVec(col("embedding")))
+        .head().getSeq[Double](0)
+      val (assigned, cents) = graft.similarity.Similarity.ivfIndex(
+        emb, "vec_id", "embedding", dim = 64, nlist = 8, iters = 1)
+      val model = graft.similarity.ProductQuantizer.fit(
+        emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32, iters = 1)
+      val encoded = graft.similarity.ProductQuantizer.encode(
+        assigned, "vec_id", "embedding", model)
+      graft.similarity.ProductQuantizer.ivfAdcTopK(encoded, cents, emb,
+        "vec_id", "embedding", model, qv, nprobe = 8, candidates = 300,
+        k = 10)
+        .withColumn("sim", col("sim") + lit(0.0))
+    }),
+
     // entity resolution end-to-end: fuzzy pairs -> transitive closure
     // -> canonical representative per entity (min-id member's name)
     "pipeline_entity_resolution" -> ((s, dir) =>
@@ -781,6 +802,17 @@ object Analytics7 {
     // the 300-candidate pool dwarfs k=10, so two-stage PQ retrieval is
     // exact brute-force top-k — the identity this oracle checks
     "sim_ann_pq" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0
+             AS sim
+         FROM embeddings, q
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    // nprobe = nlist + rescore headroom: IVFADC degenerates to exact
+    // brute-force top-k, the same identity as sim_ann_pq
+    "sim_ann_ivfpq" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                     WHERE vec_id = 0)
          SELECT vec_id,

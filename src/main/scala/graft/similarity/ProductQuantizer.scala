@@ -127,25 +127,73 @@ object ProductQuantizer {
                      candidates: Int, k: Int): DataFrame = {
     require(candidates >= k, "candidate pool must cover k")
     require(queryVec.length == model.dim, "query dim mismatch")
+    val pool = encoded
+      .select(col(idCol), adcScore(model, queryVec).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(candidates)
+      .select(idCol)
+    rescore(corpus, pool, idCol, vecCol, queryVec, k)
+  }
+
+  /** The ADC approximate score of a `codes` row: the query's (m × ksub)
+    * partial-dot-product tables are computed once on the driver and
+    * inlined as literals — m `element_at` lookups per corpus row. */
+  private def adcScore(model: Model, queryVec: Seq[Double]): Column = {
     val subDim = model.subDim
-    // (m × ksub) partial dot products, computed once on the driver
     val luts: Seq[Seq[Double]] = model.books.zipWithIndex.map { case (book, s) =>
       val q = queryVec.slice(s * subDim, (s + 1) * subDim)
       book.map(c => c.iterator.zip(q.iterator).map { case (a, b) => a * b }.sum)
     }
-    val approx = luts.zipWithIndex.map { case (lut, s) =>
+    luts.zipWithIndex.map { case (lut, s) =>
       element_at(typedLit(lut), col("codes")(s) + 1)
     }.reduce(_ + _)
-    val pool = encoded
-      .select(col(idCol), approx.as("__adc"))
-      .orderBy(col("__adc").desc, col(idCol))
-      .limit(candidates)
-      .select(idCol)
+  }
+
+  private def rescore(corpus: DataFrame, pool: DataFrame, idCol: String,
+                      vecCol: String, queryVec: Seq[Double],
+                      k: Int): DataFrame =
     corpus.join(broadcast(pool), Seq(idCol))
       .select(col(idCol),
         round(Similarity.cosine(Similarity.toVec(col(vecCol)),
           typedLit(queryVec)), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+
+  /** IVFADC (Jégou et al., §V): the IVF coarse quantizer prunes the scan
+    * to the `nprobe` most query-similar cells, and only THEIR rows pay
+    * the m ADC lookups; the survivors rescore at full precision. The
+    * classic three-stage retrieval layout — at 100 TB the encoded corpus
+    * is stored partitioned by `__cell`, so the non-probed inverted lists
+    * are never read at all (the [[Similarity.ivfTopK]] pruning contract)
+    * and the float32 store is touched only for the `candidates` pool.
+    *
+    * `encoded` must carry `__cell` (from [[Similarity.ivfIndex]]) and
+    * `codes` (from [[encode]]); with `nprobe` = nlist and candidate
+    * headroom the result IS exact brute-force top-k — the identity the
+    * `sim_ann_ivfpq` gate checks against DuckDB.
+    */
+  def ivfAdcTopK(encoded: DataFrame, centroids: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, model: Model,
+                 queryVec: Seq[Double], nprobe: Int, candidates: Int,
+                 k: Int): DataFrame = {
+    require(candidates >= k, "candidate pool must cover k")
+    require(queryVec.length == model.dim, "query dim mismatch")
+    // probed cells resolve driver-side (the centroid table is nlist
+    // rows, already collected for assignment) and land in the plan as
+    // an isin LITERAL — a static partition filter a __cell-partitioned
+    // store prunes at the scan, where a join would need runtime DPP
+    val cells = centroids
+      .select(col("__cell").cast("int"),
+        round(Similarity.cosine(Similarity.toVec(col("__cvec")),
+          typedLit(queryVec)), 4).as("__csim"))
+      .orderBy(col("__csim").desc, col("__cell"))
+      .limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    val pool = encoded.filter(col("__cell").isin(cells: _*))
+      .select(col(idCol), adcScore(model, queryVec).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(candidates)
+      .select(idCol)
+    rescore(corpus, pool, idCol, vecCol, queryVec, k)
   }
 }

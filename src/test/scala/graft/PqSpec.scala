@@ -44,6 +44,54 @@ class PqSpec extends SparkTestBase {
     assert(got.toSeq === exact.toSeq)
   }
 
+  test("IVFADC with nprobe = nlist and full pool is exact brute force") {
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toVec(col("embedding"))).head().getSeq[Double](0)
+    val n = emb.count().toInt
+    val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 8, iters = 1)
+    val enc = ProductQuantizer.encode(assigned, "vec_id", "embedding", model)
+    val got = ProductQuantizer.ivfAdcTopK(enc, cents, emb, "vec_id",
+      "embedding", model, qv, nprobe = 8, candidates = n, k = 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    val exact = emb
+      .select(col("vec_id"),
+        round(Similarity.cosine(Similarity.toVec(col("embedding")),
+          typedLit(qv)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .as[(Long, Double)].collect()
+    assert(got.toSeq === exact.toSeq)
+    // partial probe: k rows, none better than exact best, still ranked
+    val partial = ProductQuantizer.ivfAdcTopK(enc, cents, emb, "vec_id",
+      "embedding", model, qv, nprobe = 2, candidates = 100, k = 5)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(partial.length === 5)
+    assert(partial.forall(_._2 <= exact.head._2))
+    assert(partial.map(_._2).toSeq === partial.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("IVFADC probe over a __cell-partitioned store is partition-pruned") {
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toVec(col("embedding"))).head().getSeq[Double](0)
+    val (assigned, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 8, iters = 1)
+    val enc = ProductQuantizer.encode(assigned, "vec_id", "embedding", model)
+      .select("vec_id", "__cell", "codes")
+    val out = java.nio.file.Files.createTempDirectory("ivfadc-store").toString
+    enc.write.mode("overwrite").partitionBy("__cell").parquet(out)
+    val store = spark.read.parquet(out)
+    val nCells = enc.select("__cell").distinct().count()
+    assert(nCells >= 3, s"need a multi-cell index, got $nCells")
+    val probe = ProductQuantizer.ivfAdcTopK(store, cents, emb, "vec_id",
+      "embedding", model, qv, nprobe = 2, candidates = 50, k = 5)
+    probe.collect()
+    // the probed-cell isin literal must reach the store scan as a
+    // PartitionFilter — the non-probed inverted lists are never read
+    val scans = probe.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [__cell"),
+      s"probe must prune partitions at the scan:\n$scans")
+  }
+
   test("ADC coarse scan is a pure map + TakeOrderedAndProject") {
     val qv = emb.filter(col("vec_id") === 0)
       .select(Similarity.toVec(col("embedding"))).head().getSeq[Double](0)
