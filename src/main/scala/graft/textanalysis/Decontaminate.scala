@@ -58,10 +58,10 @@ object Decontaminate {
     *
     * The filter is built with `DataFrame.stat.bloomFilter` (distributed
     * aggregation; only the fixed-size bit array reaches the driver) and
-    * re-broadcast as a task binary. `mightContainString` is a UDF probe
-    * — one xxhash per gram, off codegen but cheap and map-side; the
-    * expensive part (shuffle of the un-filtered gram stream) is what it
-    * eliminates.
+    * re-broadcast as a task binary. The probe is the codegen'd
+    * [[graft.functions.BloomMightContain]] expression holding the
+    * broadcast handle, so the prefilter stage stays inside whole-stage
+    * codegen end to end.
     */
   def contaminationHitsBloom(corpus: DataFrame, idCol: String, textCol: String,
                              benchmark: DataFrame, benchTextCol: String,
@@ -77,10 +77,9 @@ object Decontaminate {
     val nGrams = math.max(benchGrams.count(), 1L)
     val filter: BloomFilter = benchGrams.stat.bloomFilter("__gram", nGrams, fpp)
     val bcast = spark.sparkContext.broadcast(filter)
-    val probablyIn = udf((g: String) => g != null && bcast.value.mightContainString(g))
     corpus
       .select(col(idCol), explode(TextAnalysis.ngrams(col(textCol), n)).as("__gram"))
-      .filter(probablyIn(col("__gram")))
+      .filter(graft.functions.BloomMightContain(col("__gram"), bcast))
       // exact verify: false positives die here; no broadcast hint — at
       // scale the planner shuffles two already-small sides.
       .join(benchGrams, Seq("__gram"))

@@ -210,6 +210,26 @@ class TextPipelineSpec extends SparkTestBase {
     assert(bigBloom === big)
   }
 
+  test("bloom probe is a codegen expression inside the scan stage") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val df = Decontaminate.contaminationHitsBloom(
+      d.filter($"doc_id" % 97 =!= 0), "doc_id", "text",
+      d.filter($"doc_id" % 97 === 0), "text", n = 3)
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF")
+      && !plan.toLowerCase.contains("pythonudf"),
+      s"no UDF in the prefilter stage:\n$plan")
+    assert(plan.contains("bloom_might_contain"),
+      s"the codegen probe must appear in the plan:\n$plan")
+    // the '*(n)' prefix is the whole-stage-codegen marker; the Filter
+    // carrying the probe must sit inside a starred stage
+    val probeLine = plan.linesIterator
+      .find(l => l.contains("Filter") && l.contains("bloom_might_contain"))
+    assert(probeLine.exists(_.contains("*(")),
+      s"prefilter stays inside whole-stage codegen:\n$plan")
+  }
+
   test("bucketed prefix sum equals the single-window form, any bucket width") {
     import graft.operators.BucketedPrefixSum
     val d = spark.read.parquet(s"$sf/documents.parquet")
