@@ -19,6 +19,16 @@ class ViewServer(base: DataFrame, viewName: String = "units") {
   view.sparkSession.catalog.dropTempView(viewName)
   view.createOrReplaceTempView(viewName)
 
+  /** E3's SQL surface: any ANSI SQL against the registered snapshot
+    * view (`SELECT ... FROM <viewName> WHERE ...`). Resolves to the
+    * SAME cached relation as the parameterized methods — Catalyst
+    * optimizes both spellings to the same plan (spec-pinned), so the
+    * dashboard's query builder and an analyst's raw SQL cannot drift.
+    * Parameter values belong in `args` (`sql("... WHERE x = ?", v)`),
+    * never string-interpolated into the query. */
+  def sql(query: String, args: Any*): DataFrame =
+    view.sparkSession.sql(query, args.toArray)
+
   /** P10/P11 — equality filters + any-column case-insensitive search. */
   def filtered(proyecto: Option[String] = None, estado: Option[String] = None,
                search: Option[String] = None): DataFrame = {

@@ -96,6 +96,39 @@ class SinksAndViewSpec extends SparkTestBase {
     } finally vs.close()
   }
 
+  test("E3 SQL surface plans identically to the parameterized operators") {
+    val vs = new ViewServer(units, "units_sql")
+    def opt(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan
+    try {
+      // filter: builder spelling vs raw SQL (parameterized, not
+      // interpolated) — same optimized plan over the same cached view
+      val viaApi = vs.filtered(proyecto = Some("Matera"))
+      val viaSql = vs.sql("SELECT * FROM units_sql WHERE Proyecto = ?",
+        "Matera")
+      assert(opt(viaSql).sameResult(opt(viaApi)),
+        s"filter plans diverge:\n${opt(viaApi)}\nvs\n${opt(viaSql)}")
+      // chart aggregation: A9 count-by-estado
+      val aggApi = vs.countByEstado(vs.view)
+      val aggSql = vs.sql(
+        """SELECT coalesce(`Estado de inmueble`, '__NA__') AS estado,
+             count(1) AS n
+           FROM units_sql GROUP BY 1 ORDER BY n DESC, estado""")
+      assert(opt(aggSql).sameResult(opt(aggApi)),
+        s"agg plans diverge:\n${opt(aggApi)}\nvs\n${opt(aggSql)}")
+      // ... and both read the CACHED snapshot, not the base plan
+      Seq(viaApi, viaSql, aggSql).foreach { df =>
+        assert(df.queryExecution.withCachedData.toString
+          .contains("InMemoryRelation"),
+          "SQL surface must serve from the cached snapshot")
+      }
+      // results agree, not just plans
+      assert(viaSql.count() === 2)
+      assert(aggSql.collect().map(_.toSeq).toSeq ===
+        aggApi.collect().map(_.toSeq).toSeq)
+    } finally vs.close()
+  }
+
   test("F17 currency format matches the dashboard's money() rendering") {
     import graft.functions.GraftFunctions.formatCurrency
     // the dashboard's card values (golden kpis.json): Intl es-PE, PEN,
