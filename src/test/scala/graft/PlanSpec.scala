@@ -193,7 +193,12 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("MinHash signature is the single-pass native expression") {
-    val p = plan("dedup_minhash_pairs")
+    // the GATE runs the md5 replayable family (r8); the xx64 PRODUCTION
+    // operator must still plan through the fused codegen expression
+    val p = graft.dedup.Dedup.minhashNearDups(
+        graft.queries.tbl(spark, sf, "documents"), "doc_id", "text",
+        threshold = 0.9, numHashes = 64, bands = 8)
+      .queryExecution.executedPlan.toString
     assert(p.contains("minhash_signature"),
       "signature must be the fused MinHashSignature expression, " +
         "not 64 interpreted transform passes")
