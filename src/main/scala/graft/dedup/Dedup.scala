@@ -470,6 +470,53 @@ object Dedup {
       .select(col(idCol), hash.as("simhash"))
   }
 
+  /** Corpus-level vocabulary overlap between two document sets — the
+    * "how much does source A's word space overlap source B's" audit a
+    * mixing policy consumes before blending corpora. Returns ONE row:
+    *
+    *  - `n_agree` / `estimate`: the MinHash resemblance estimate —
+    *    each corpus's signature component i is the min of the md5
+    *    affine hash h_i over ALL its words (a corpus is one giant set;
+    *    the min distributes over the union of its documents' word
+    *    sets), and the estimate is the fraction of agreeing
+    *    components. This is what you'd compute at 100 TB: one pure-map
+    *    pass + a numHashes-wide aggregate per corpus, no word-level
+    *    join — and being md5-derived it replays exactly in a SQL
+    *    oracle, estimator bias and all.
+    *  - `exact_jaccard`: |A ∩ B| / |A ∪ B| over the distinct-word
+    *    vocabularies, for calibration. Costs a distinct + join on the
+    *    word space — fine at vocabulary scale (vocabularies grow
+    *    sub-linearly in corpus size), and the number the estimate
+    *    approximates.
+    */
+  def corpusOverlapMd5(a: DataFrame, b: DataFrame, textCol: String,
+                       numHashes: Int = 64): DataFrame = {
+    val cs = md5AffineCoeffs(numHashes)
+    def sigRow(df: DataFrame, prefix: String): DataFrame = {
+      val aggs = cs.zipWithIndex.map { case ((ai, bi), i) =>
+        min((col("__m") * lit(ai) + lit(bi)) % lit(Md5P)).as(s"$prefix$i")
+      }
+      df.select(explode(wordSet(col(textCol))).as("__w"))
+        .select(md5WordHash32(col("__w")).as("__m"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    def vocab(df: DataFrame): DataFrame =
+      df.select(explode(wordSet(col(textCol))).as("__w")).distinct()
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"__sa$i") === col(s"__sb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val va = vocab(a)
+    val vb = vocab(b)
+    val sizes = va.agg(count(lit(1)).as("__na"))
+      .crossJoin(vb.agg(count(lit(1)).as("__nb")))
+      .crossJoin(va.join(vb, Seq("__w")).agg(count(lit(1)).as("__ni")))
+    sigRow(a, "__sa").crossJoin(sigRow(b, "__sb")).crossJoin(sizes)
+      .select(agree.as("n_agree"),
+        round(agree.cast("double") / numHashes, 3).as("estimate"),
+        round(col("__ni").cast("double") /
+          (col("__na") + col("__nb") - col("__ni")), 3).as("exact_jaccard"))
+  }
+
   /** Doc-level (id, band, bucket) rows from the md5 affine family —
     * the replayable banded-signature table (streaming claim replays,
     * audits). Digest-collapsed internally, expanded back per document. */

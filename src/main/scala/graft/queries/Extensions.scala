@@ -54,6 +54,37 @@ object Extensions {
          FROM sig CROSS JOIN generate_series(0, ${bands - 1}) AS t(b))"""
   }
 
+  /** DuckDB SQL for [[Dedup.corpusOverlapMd5]] over two source slices —
+    * signature mins and the agree-count chain generated from the SAME
+    * coefficients the Spark plan inlines. */
+  private def corpusOverlapSql(srcA: String, srcB: String,
+                               numHashes: Int): String = {
+    val cs = Dedup.md5AffineCoeffs(numHashes)
+    def mins(p: String) = cs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((m * $a + $b) % ${Dedup.Md5P}) AS $p$i"
+    }.mkString(", ")
+    val agree = (0 until numHashes)
+      .map(i => s"(CASE WHEN sa.a$i = sb.b$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH wa AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text),
+           '\\s+')) AS w FROM documents WHERE source = '$srcA'),
+       wb AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text),
+           '\\s+')) AS w FROM documents WHERE source = '$srcB'),
+       ma AS (SELECT CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS m
+           FROM wa),
+       mb AS (SELECT CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS m
+           FROM wb),
+       sa AS (SELECT ${mins("a")} FROM ma),
+       sb AS (SELECT ${mins("b")} FROM mb),
+       ag AS (SELECT $agree AS n_agree FROM sa, sb),
+       sz AS (SELECT (SELECT count(*) FROM wa) AS na,
+                     (SELECT count(*) FROM wb) AS nb,
+                     (SELECT count(*) FROM wa JOIN wb ON wa.w = wb.w) AS ni)
+       SELECT n_agree, round(n_agree::DOUBLE / $numHashes, 3) AS estimate,
+         round(ni::DOUBLE / (na + nb - ni), 3) AS exact_jaccard
+       FROM ag, sz"""
+  }
+
   /** DuckDB CTEs recomputing [[Dedup.simhashMd5]]'s 60-bit simhash:
     * yields CTE `sh` (doc_id, simhash). */
   private def md5SimhashCtes: String = {
@@ -350,6 +381,34 @@ object Extensions {
         window = 25, threshold = 0.8)
       Dedup.connectedComponents(pairs, "id_a", "id_b", docs, "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // span-level exact-substring duplication report (Lee et al. signal):
+    // per doc, the count and fraction of its 8-word spans occurring
+    // anywhere else in the corpus; md5 span fingerprints replay in SQL
+    "text_dup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(tbl(s, dir, "documents"), "doc_id",
+        "text", n = 8)
+        .orderBy("doc_id")),
+
+    // component-size distribution of the near-dup graph — the dup-cluster
+    // profile ("how big do duplicate families get") a curation run reports
+    "dedup_component_sizes" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsWindowed(docs, "doc_id", "text",
+        window = 25, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b", docs, "doc_id")
+        .groupBy("component_id").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_components"))
+        .orderBy("csize")
+    }),
+
+    // corpus-level vocabulary overlap of two sources: replayable MinHash
+    // resemblance estimate next to the exact Jaccard it approximates
+    "dedup_corpus_overlap" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.corpusOverlapMd5(d.filter(col("source") === "src0"),
+        d.filter(col("source") === "src1"), "text", numHashes = 64)
     }),
 
     // corpus n-gram frequency: top-50 bigrams (contamination/boilerplate
@@ -653,6 +712,48 @@ object Extensions {
            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
          SELECT u AS doc_id, min(r) AS component_id
          FROM reach GROUP BY u ORDER BY doc_id""",
+    "text_dup_spans" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         s AS (SELECT doc_id,
+             unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i, ws
+           FROM w),
+         sp AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),
+               1, 15)) AS BIGINT) AS k
+           FROM s),
+         c AS (SELECT k, count(*) AS n FROM sp GROUP BY k)
+         SELECT sp.doc_id, count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+           round(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 3) AS dup_fraction
+         FROM sp JOIN c ON sp.k = c.k
+         GROUP BY sp.doc_id ORDER BY doc_id""",
+
+    "dedup_component_sizes" ->
+      """WITH RECURSIVE sets AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sets a JOIN sets b
+             ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(a.s || b.s)) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(u, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         comp AS (SELECT u, min(r) AS component_id FROM reach GROUP BY u),
+         szs AS (SELECT component_id, count(*) AS csize
+                 FROM comp GROUP BY component_id)
+         SELECT csize, count(*)::BIGINT AS n_components
+         FROM szs GROUP BY csize ORDER BY csize""",
+
+    "dedup_corpus_overlap" -> corpusOverlapSql("src0", "src1", 64),
+
     "text_top_ngrams" ->
       """WITH toks AS (
            SELECT regexp_split_to_array(trim(text), '\s+') AS t

@@ -93,6 +93,47 @@ object TextAnalysis {
     flatten(transform(array(tokens(text)), gramsOf))
   }
 
+  /** Per-document exact-substring duplication report (the Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * span-level signal, at word granularity): for every document, how
+    * many of its `n`-word spans occur ANYWHERE else in the corpus
+    * (other documents or repeated within this one), and what fraction
+    * of its span positions that is — the evidence a span-removal or
+    * doc-drop policy consumes. Span-level catches the boilerplate and
+    * quoted-block duplication that whole-document digests miss.
+    *
+    * Scale shape: one explode of the corpus span stream keyed on a
+    * 60-bit md5 span fingerprint (8 shuffled bytes per span instead of
+    * the ~50-byte span string; at 100 TB swap in xxhash64 — 4x cheaper
+    * per call, same plan), one partial-aggregating groupBy for corpus
+    * span counts (map-side combine collapses boilerplate spans to one
+    * partial per task — the hot-key regime IS the interesting one), a
+    * join back on the same key partitioning, and a per-doc groupBy. No
+    * window, no pair materialization: cost is linear in corpus tokens.
+    * The md5 key replays in any engine, which is what the gate checks.
+    *
+    * Documents with fewer than `n` words have no spans and are absent
+    * from the report (deterministic; mirror the filter in any oracle).
+    */
+  def duplicatedSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int,
+                      minOccurrences: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "span length must be >= 2 words")
+    require(minOccurrences >= 2, "a span needs >= 2 occurrences to be a dup")
+    val spans = df
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("__span"))
+      .select(col(idCol),
+        conv(substring(md5(col("__span")), 1, 15), 16, 10).cast("long")
+          .as("__k"))
+    val counts = spans.groupBy("__k").agg(count(lit(1)).as("__n"))
+    spans.join(counts, Seq("__k"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__n") >= minOccurrences, 1).otherwise(0)).as("n_dup"))
+      .withColumn("dup_fraction",
+        round(col("n_dup").cast("double") / col("n_spans"), 3))
+  }
+
   /** Corpus-level n-gram frequency: the k most frequent word n-grams
     * with deterministic (count desc, gram) tie-ordering. One explode +
     * one partial-aggregating groupBy (map-side combine shrinks the

@@ -46,6 +46,29 @@ class Md5DedupFamilySpec extends SparkTestBase {
     }
   }
 
+  test("corpus overlap: identity, disjointness, and estimator accuracy") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val b = Seq((3L, "omega psi chi phi")).toDF("doc_id", "text")
+    // identical corpora: every signature component agrees, jaccard 1.0
+    val same = Dedup.corpusOverlapMd5(a, a, "text").head()
+    assert(same.getInt(0) === 64)
+    assert(same.getDouble(1) === 1.0 && same.getDouble(2) === 1.0)
+    // disjoint vocabularies: exact 0; the estimate can only collide by
+    // md5 accident (none on these words)
+    val disj = Dedup.corpusOverlapMd5(a, b, "text").head()
+    assert(disj.getDouble(2) === 0.0)
+    assert(disj.getDouble(1) === 0.0)
+    // real corpora: the 64-hash estimate lands near the exact overlap
+    // (binomial std ~ sqrt(J(1-J)/64) <= 0.063; 0.2 is > 3 sigma)
+    val d = queries.tbl(spark, sf, "documents")
+    val r = Dedup.corpusOverlapMd5(d.filter(col("source") === "src0"),
+      d.filter(col("source") === "src1"), "text").head()
+    assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 0.2,
+      s"estimate ${r.getDouble(1)} vs exact ${r.getDouble(2)}")
+  }
+
   test("md5 simhash: exact duplicates collide at hamming 0") {
     val dup = docs.limit(5).union(docs.limit(5)) // force exact dups
       .withColumn("doc_id", monotonically_increasing_id())

@@ -210,6 +210,26 @@ class TextPipelineSpec extends SparkTestBase {
     assert(bigBloom === big)
   }
 
+  test("duplicated spans: cross-doc and within-doc repeats, short docs absent") {
+    val corpus = docs(
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> "zzz one two three four five six seven eight yyy",
+      3L -> "a b a b a b a b a b a b a b a b a b",
+      4L -> "too short")
+    val got = graft.textanalysis.TextAnalysis
+      .duplicatedSpans(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1+2 share exactly the span "one two three four five six seven
+    // eight" (positions 1 in doc1, 2 in doc2); their other spans are unique
+    assert(got(1L) === ((3L, 1L, 0.333)))
+    assert(got(2L) === ((3L, 1L, 0.333)))
+    // doc 3: every 8-gram of the ab-cycle repeats WITHIN the doc
+    assert(got(3L)._1 === 11L && got(3L)._2 === 11L && got(3L)._3 === 1.0)
+    // doc 4 has fewer than n words: absent from the report
+    assert(!got.contains(4L))
+  }
+
   test("bloom probe is a codegen expression inside the scan stage") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val df = Decontaminate.contaminationHitsBloom(
