@@ -243,6 +243,28 @@ object Analytics {
       .drop("__mean", "__sd")
   }
 
+  /** Per-group winsorization: clip `valueCol` to its group's
+    * [pLo, pHi] exact-percentile band — the outlier-capping
+    * preprocessing twin of [[zscoreOutliers]] (which DROPS; this KEEPS
+    * at the boundary). One aggregation for the cutpoints, broadcast
+    * back, clipping a pure map — the agg_quantile_bucket shape.
+    * Cutpoints round to 6 dp before the clamp so the kept/clamped
+    * decision is identical across engines whose percentile
+    * interpolation differs in the last ulp. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double, pHi: Double,
+                broadcastStats: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo,$pHi]")
+    val cuts = df.groupBy(groupCols.map(col): _*)
+      .agg(round(percentile(col(valueCol), lit(pLo)), 6).as("__lo"),
+        round(percentile(col(valueCol), lit(pHi)), 6).as("__hi"))
+    val s = if (broadcastStats) broadcast(cuts) else cuts
+    df.join(s, groupCols)
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-group robust location/scale: exact median and median absolute
     * deviation. Two aggregation passes (median, then median of
     * |v − median|) with the 1-row-per-group median table broadcast back

@@ -236,6 +236,35 @@ object StratifiedWeightedTopKSample {
   }
 }
 
+/** Deterministic dataset split (train/val/test): each row draws a
+  * reproducible uniform u from the md5 of its seed columns and lands in
+  * the split whose cumulative weight interval covers u. Pure map over
+  * the scan — no shuffle, no sampling state; the SAME row lands in the
+  * SAME split on every engine and every rerun (the property random
+  * splits lack and training pipelines need for resumable/auditable
+  * data builds). Weights must sum to 1. */
+object DeterministicSplit {
+  private val Scale = (1L << 60).toDouble
+
+  def apply(df: DataFrame, seedCols: Seq[String],
+            splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val u = (conv(substring(SampleHash.keyFor(seedCols, Md5), 1, 15), 16, 10)
+      .cast("double") + lit(1.0)) / lit(Scale)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val first = when(u <= cum.head, lit(splits.head._1))
+    val assigned = splits.init.tail.zip(cum.init.tail)
+      .foldLeft(first) { case (acc, ((name, _), c)) =>
+        acc.when(u <= c, lit(name))
+      }
+      .otherwise(lit(splits.last._1))
+    df.withColumn("split", assigned)
+  }
+}
+
 /** Distributed exclusive prefix sum over a global order — the building
   * block for sequence packing, global byte offsets, and deterministic
   * concatenation layouts. The naive form (one unpartitioned window) puts

@@ -143,6 +143,23 @@ object Analytics7 {
       Analytics.madStats(tbl(s, dir, "events"), Seq("event_type"), "value")
         .orderBy("event_type")),
 
+    // per-type winsorization: clip values into the [p01, p99] band
+    // (outlier capping; cutpoints 6-dp-rounded for cross-engine parity)
+    "scalar_winsorize" -> ((s, dir) =>
+      Analytics.winsorize(tbl(s, dir, "events"), Seq("event_type"), "value",
+          pLo = 0.01, pHi = 0.99)
+        .select("event_id", "event_type", "value", "clipped")
+        .orderBy("event_id")),
+
+    // deterministic md5 train/val/test split: pure map, same row ->
+    // same split in any engine, on any rerun
+    "sample_split" -> ((s, dir) =>
+      graft.operators.DeterministicSplit(tbl(s, dir, "orders"),
+          Seq("o_orderkey"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("o_orderkey", "split")
+        .orderBy("o_orderkey")),
+
     // trailing 1-hour activity per user (RANGE frame on epoch-ns)
     "window_moving_range" -> ((s, dir) =>
       Analytics.trailingRangeAgg(tbl(s, dir, "events"), Seq("user_id"),
@@ -605,6 +622,26 @@ object Analytics7 {
            round(quantile_cont(abs(value - md), 0.5), 4) AS mad
          FROM events e JOIN m ON e.event_type = m.event_type
          GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "scalar_winsorize" ->
+      """WITH c AS (SELECT event_type,
+           round(quantile_cont(value, 0.01), 6) AS lo,
+           round(quantile_cont(value, 0.99), 6) AS hi
+         FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, value,
+           least(greatest(value, lo), hi) AS clipped
+         FROM events e JOIN c ON e.event_type = c.event_type
+         ORDER BY event_id""",
+
+    "sample_split" ->
+      """SELECT o_orderkey,
+           CASE WHEN u <= 0.8 THEN 'train' WHEN u <= 0.9 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT o_orderkey,
+             (CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))
+                AS BIGINT)::DOUBLE + 1.0) / 1152921504606846976.0 AS u
+           FROM orders)
+         ORDER BY o_orderkey""",
 
     "window_moving_range" ->
       """SELECT event_id, user_id,

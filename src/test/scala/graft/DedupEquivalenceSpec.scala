@@ -113,6 +113,33 @@ class DedupEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered containment == brute force on randomized mini-corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll")
+    Seq(0.6, 0.9).foreach { t =>
+      val docs = (0 until 80).map { i =>
+        val base = Vector.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        // every 5th doc quotes a prefix of the previous doc's words
+        val words = if (i % 5 == 0 && i > 0) base.take(2) else base
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val sets = docs.select(col("doc_id"), Dedup.wordSet(col("text")).as("s"))
+      val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+      val brute = sets.toDF("id_a", "__sa")
+        .crossJoin(sets.toDF("id_b", "__sb"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("c_ab", round(inter / size(col("__sa")), 3))
+        .withColumn("c_ba", round(inter / size(col("__sb")), 3))
+        .filter(greatest(col("c_ab"), col("c_ba")) >= t)
+        .select("id_a", "id_b", "c_ab", "c_ba")
+      val fast = Dedup.containmentNearDups(docs, "doc_id", "text", t)
+      assert(fast.exceptAll(brute).count() === 0L, s"t=$t fast-only")
+      assert(brute.exceptAll(fast).count() === 0L, s"t=$t brute-only")
+    }
+  }
+
   test("containment catches a short doc quoted inside a long one") {
     import spark.implicits._
     val docs = Seq(

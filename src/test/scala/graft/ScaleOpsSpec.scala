@@ -7,6 +7,47 @@ import graft.streaming.SessionState
 import graft.streaming.SessionState.Event
 
 class ScaleOpsSpec extends SparkTestBase {
+
+  test("deterministic split: partition, proportions, reproducibility") {
+    import graft.operators.DeterministicSplit
+    val o = queries.tbl(spark, sf, "orders")
+    val s1 = DeterministicSplit(o, Seq("o_orderkey"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // total partition: every row in exactly one split
+    assert(s1.count() === o.count())
+    val byName = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    // proportions near the weights (md5 uniformity; 1500 rows, 3 sigma)
+    val n = o.count().toDouble
+    assert(math.abs(byName("train") / n - 0.8) < 0.04)
+    assert(math.abs(byName("val") / n - 0.1) < 0.03)
+    // reproducible: same assignment under repartitioning
+    val s2 = DeterministicSplit(o.repartition(13), Seq("o_orderkey"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s1.select("o_orderkey", "split")
+      .exceptAll(s2.select("o_orderkey", "split")).count() === 0L)
+  }
+
+  test("winsorize: clipped values stay inside the band, interior untouched") {
+    import graft.operators.Analytics
+    val e = queries.tbl(spark, sf, "events")
+    val w = Analytics.winsorize(e, Seq("event_type"), "value", 0.05, 0.95)
+    assert(w.count() === e.count())
+    // clipped equals raw wherever raw is inside the band; boundary rows
+    // take exactly a cutpoint value
+    val cuts = e.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+        round(expr("percentile(value, 0.95)"), 6).as("hi"))
+    val joined = w.join(cuts, "event_type")
+    assert(joined.filter(col("clipped") < col("lo") ||
+      col("clipped") > col("hi")).count() === 0L)
+    assert(joined.filter(col("value") >= col("lo") &&
+      col("value") <= col("hi") && col("clipped") =!= col("value"))
+      .count() === 0L)
+    assert(joined.filter(col("value") < col("lo") &&
+      col("clipped") =!= col("lo")).count() === 0L)
+  }
   import spark.implicits._
 
   test("salted join is row-identical to the plain join (inner and left)") {
