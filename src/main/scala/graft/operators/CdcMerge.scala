@@ -31,6 +31,41 @@ import org.apache.spark.sql.functions._
   * window functions — a `row_number` formulation would shuffle the full
   * feed AND sort each partition; the aggregate form does neither.
   */
+/** Incremental aggregate maintenance (classic IVM over a before/after
+  * change feed): keep a (key, cnt, sum) aggregate table current by
+  * applying a batch of row-level changes — each carrying its OLD and
+  * NEW value (insert: old null; delete: new null; update: both) —
+  * without touching the unaffected keys.
+  *
+  * `cnt`/`sum` are self-maintainable: the batch reduces to one delta
+  * row per touched key (map-side-combined aggregation of
+  * ±1 / new−old), and one full-outer join applies it. Cost is
+  * O(|changes| + |touched keys|) versus O(|table|) recompute — THE
+  * reason aggregate dashboards over 100 TB fact tables update in
+  * seconds. Keys whose count reaches zero drop out, exactly as a
+  * recompute would drop them. Requires faithful before-images (the
+  * contract a CDC source like Debezium provides); a feed that lies
+  * about old values diverges from recompute — by the same amount it
+  * lied.
+  */
+object IncrementalAgg {
+  def maintain(base: DataFrame, changes: DataFrame, keyCol: String,
+               oldCol: String, newCol: String): DataFrame = {
+    val delta = changes.groupBy(keyCol).agg(
+      sum(when(col(newCol).isNotNull, 1).otherwise(0) -
+        when(col(oldCol).isNotNull, 1).otherwise(0)).as("__dc"),
+      sum(coalesce(col(newCol), lit(0.0)) - coalesce(col(oldCol), lit(0.0)))
+        .as("__ds"))
+    base.join(delta, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("v_sum"), lit(0.0)) + coalesce(col("__ds"), lit(0.0)))
+          .as("v_sum"))
+      .filter(col("cnt") > 0)
+  }
+}
+
 object CdcMerge {
   def apply(base: DataFrame, changes: DataFrame, keyCol: String,
             opCol: String, seqCols: Seq[String], setCols: Seq[String],

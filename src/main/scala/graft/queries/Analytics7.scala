@@ -151,6 +151,36 @@ object Analytics7 {
         .select("event_id", "event_type", "value", "clipped")
         .orderBy("event_id")),
 
+    // incremental aggregate maintenance: a before/after change feed
+    // (inserts %7=0, updates %11=3 at +10%, deletes %13=5) applied to a
+    // per-customer (cnt, sum) aggregate via one O(delta) join — the
+    // oracle RECOMPUTES the final state from scratch, proving the
+    // incremental arithmetic lands on the identical table
+    "cdc_incremental_agg" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 7 =!= 0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("v_sum"))
+      val ins = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey"), lit(null).cast("double").as("old_v"),
+          col("o_totalprice").as("new_v"))
+      val upd = o.filter(col("o_orderkey") % 7 =!= 0 &&
+          col("o_orderkey") % 11 === 3)
+        .select(col("o_custkey"), col("o_totalprice").as("old_v"),
+          // floor(x*100+0.5)/100, NOT round(): identical IEEE ops in any
+          // engine, where round()'s half-way tie handling differs
+          (floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100).as("new_v"))
+      val del = o.filter(col("o_orderkey") % 7 =!= 0 &&
+          col("o_orderkey") % 11 =!= 3 && col("o_orderkey") % 13 === 5)
+        .select(col("o_custkey"), col("o_totalprice").as("old_v"),
+          lit(null).cast("double").as("new_v"))
+      graft.operators.IncrementalAgg.maintain(base,
+          ins.unionAll(upd).unionAll(del), "o_custkey", "old_v", "new_v")
+        .select(col("o_custkey"), col("cnt"),
+          round(col("v_sum"), 2).as("v_sum"))
+        .orderBy("o_custkey")
+    }),
+
     // deterministic md5 train/val/test split: pure map, same row ->
     // same split in any engine, on any rerun
     "sample_split" -> ((s, dir) =>
@@ -632,6 +662,22 @@ object Analytics7 {
            least(greatest(value, lo), hi) AS clipped
          FROM events e JOIN c ON e.event_type = c.event_type
          ORDER BY event_id""",
+
+    "cdc_incremental_agg" ->
+      """WITH finals AS (
+           SELECT o_custkey, o_totalprice AS v FROM orders
+           WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_custkey,
+             CASE WHEN o_orderkey % 11 = 3
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS v
+           FROM orders
+           WHERE o_orderkey % 7 <> 0
+             AND NOT (o_orderkey % 11 <> 3 AND o_orderkey % 13 = 5))
+         SELECT o_custkey, count(*)::BIGINT AS cnt,
+           round(sum(v), 2) AS v_sum
+         FROM finals GROUP BY o_custkey ORDER BY o_custkey""",
 
     "sample_split" ->
       """SELECT o_orderkey,

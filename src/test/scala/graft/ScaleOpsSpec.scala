@@ -29,6 +29,27 @@ class ScaleOpsSpec extends SparkTestBase {
       .exceptAll(s2.select("o_orderkey", "split")).count() === 0L)
   }
 
+  test("incremental agg maintenance equals from-scratch recompute") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    val rows = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0), (3L, 8.0))
+      .toDF("k", "v")
+    val base = rows.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+    // insert k=4, update one k=1 row 10->11, delete BOTH k=3 rows
+    val changes = Seq(
+      (4L, Option.empty[Double], Some(42.0)),
+      (1L, Some(10.0), Some(11.0)),
+      (3L, Some(7.0), Option.empty[Double]),
+      (3L, Some(8.0), Option.empty[Double]))
+      .toDF("k", "old_v", "new_v")
+    val got = IncrementalAgg.maintain(base, changes, "k", "old_v", "new_v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got === Map(1L -> (2L, 31.0), 2L -> (1L, 5.0), 4L -> (1L, 42.0)))
+    assert(!got.contains(3L), "fully-deleted key drops out")
+  }
+
   test("winsorize: clipped values stay inside the band, interior untouched") {
     import graft.operators.Analytics
     val e = queries.tbl(spark, sf, "events")
