@@ -151,6 +151,30 @@ object Analytics7 {
         .select("event_id", "event_type", "value", "clipped")
         .orderBy("event_id")),
 
+    // per-group Pearson correlation + sample covariance: one map-side
+    // combining aggregation (Spark's CentralMomentAgg family)
+    "agg_correlation" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("qty_price_cov"))
+        .orderBy("l_returnflag")),
+
+    // per-group simple linear regression (slope/intercept/r2) of price
+    // on quantity — the built-in regr_* aggregates, replayable in DuckDB
+    "agg_regression" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("r2"))
+        .orderBy("l_returnflag")),
+
     // incremental aggregate maintenance: a before/after change feed
     // (inserts %7=0, updates %11=3 at +10%, deletes %13=5) applied to a
     // per-customer (cnt, sum) aggregate via one O(delta) join — the
@@ -662,6 +686,19 @@ object Analytics7 {
            least(greatest(value, lo), hi) AS clipped
          FROM events e JOIN c ON e.event_type = c.event_type
          ORDER BY event_id""",
+
+    "agg_correlation" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_regression" ->
+      """SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "cdc_incremental_agg" ->
       """WITH finals AS (

@@ -50,6 +50,40 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(!got.contains(3L), "fully-deleted key drops out")
   }
 
+  test("foreachBatch + IncrementalAgg: streamed maintenance == recompute") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production IVM loop: each micro-batch of before/after changes
+    // folds into the aggregate table via one O(delta) join; the state
+    // version flips through localCheckpoint (standing in for a table-
+    // format commit), so lineage never grows across batches
+    val input = MemoryStream[(Long, Option[Double], Option[Double])]
+    var state = Seq.empty[(Long, Long, Double)].toDF("k", "cnt", "v_sum")
+    val q = input.toDF().toDF("k", "old_v", "new_v")
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = IncrementalAgg.maintain(state, batch, "k", "old_v", "new_v")
+          .localCheckpoint()
+      }.start()
+    try {
+      // batch 1: insert k=1:{10, 20}, k=2:{5}
+      input.addData((1L, None, Some(10.0)), (1L, None, Some(20.0)),
+        (2L, None, Some(5.0)))
+      q.processAllAvailable()
+      // batch 2: update 10 -> 12, insert k=3:{7}
+      input.addData((1L, Some(10.0), Some(12.0)), (3L, None, Some(7.0)))
+      q.processAllAvailable()
+      // batch 3: delete k=2's only row
+      input.addData((2L, Some(5.0), None))
+      q.processAllAvailable()
+      // final table by construction: k=1 {12,20}, k=3 {7}
+      val got = state.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got === Map(1L -> (2L, 32.0), 3L -> (1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("winsorize: clipped values stay inside the band, interior untouched") {
     import graft.operators.Analytics
     val e = queries.tbl(spark, sf, "events")
