@@ -35,14 +35,15 @@ object Extensions {
     * and band buckets from the SAME `md5AffineCoeffs`/`Md5P` constants
     * the Spark plan inlines — the two sides cannot drift. Yields CTEs
     * `sets` (doc word-sets), `bands` (doc_id, b, bucket). */
-  private def md5MinhashCtes(numHashes: Int, bands: Int): String = {
+  private def md5MinhashCtes(numHashes: Int, bands: Int,
+                             corpus: String = "documents"): String = {
     val rows = numHashes / bands
     val mins = Dedup.md5AffineCoeffs(numHashes).map { case (a, b) =>
       s"min((m * $a + $b) % ${Dedup.Md5P})"
     }.mkString(", ")
     s"""sets AS (SELECT doc_id,
            list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ws
-         FROM documents),
+         FROM $corpus),
          words AS (SELECT doc_id, unnest(ws) AS w FROM sets),
          wh AS (SELECT doc_id,
            CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS m FROM words),
@@ -403,6 +404,34 @@ object Extensions {
         .orderBy("csize")
     }),
 
+    // round-8 curation capstone: span-dup filter (Lee et al. policy) ->
+    // one-pass md5 near-dup keep -> deterministic train split ->
+    // per-language corpus report; the oracle recomposes every stage
+    "pipeline_curation2" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      // 1. drop span-duplicated docs (>= half their 8-word spans seen
+      //    elsewhere); docs too short to have spans pass through
+      val spanReport = TextAnalysis.duplicatedSpans(docs, "doc_id", "text",
+        n = 8)
+      val dupDocs = spanReport.filter(col("dup_fraction") >= 0.5)
+        .select("doc_id")
+      val s1 = docs.join(dupDocs, Seq("doc_id"), "left_anti")
+      // 2. near-dup templates: keep each bucket-cluster's min-id doc
+      val s2 = s1.join(
+        Dedup.minhashRepresentativesMd5(s1, "doc_id", "text")
+          .filter(col("is_kept")).select("doc_id"),
+        Seq("doc_id"))
+      // 3. reproducible 80% train cut
+      val s3 = graft.operators.DeterministicSplit(s2, Seq("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+      // 4. the mixing report a data build publishes
+      s3.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // corpus-level vocabulary overlap of two sources: replayable MinHash
     // resemblance estimate next to the exact Jaccard it approximates
     "dedup_corpus_overlap" -> ((s, dir) => {
@@ -753,6 +782,44 @@ object Extensions {
          FROM szs GROUP BY csize ORDER BY csize""",
 
     "dedup_corpus_overlap" -> corpusOverlapSql("src0", "src1", 64),
+
+    // every stage recomposed: span report -> keep filter -> doc-level
+    // bucket-min representatives on the SURVIVORS -> md5 split -> report
+    "pipeline_curation2" ->
+      s"""WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS tws
+           FROM documents),
+         sp0 AS (SELECT doc_id,
+             unnest(generate_series(1, greatest(len(tws) - 7, 0))) AS i, tws
+           FROM w),
+         sp AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(tws[i:i+7], ' ')),
+               1, 15)) AS BIGINT) AS k
+           FROM sp0),
+         spc AS (SELECT k, count(*) AS n FROM sp GROUP BY k),
+         frac AS (SELECT sp.doc_id,
+             sum(CASE WHEN spc.n >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+               AS f
+           FROM sp JOIN spc ON sp.k = spc.k GROUP BY sp.doc_id),
+         s1 AS (SELECT d.* FROM documents d
+           LEFT JOIN frac ON d.doc_id = frac.doc_id
+           WHERE frac.doc_id IS NULL OR round(frac.f, 3) < 0.5),
+         ${md5MinhashCtes(64, 8, corpus = "s1")},
+         bmin AS (SELECT b, bucket, min(doc_id) AS bucket_min
+           FROM bands GROUP BY b, bucket),
+         rep AS (SELECT a.doc_id, min(m.bucket_min) AS rep_id
+           FROM bands a JOIN bmin m ON a.b = m.b AND a.bucket = m.bucket
+           GROUP BY a.doc_id),
+         s2 AS (SELECT s1.* FROM s1
+           JOIN rep ON s1.doc_id = rep.doc_id AND s1.doc_id = rep.rep_id),
+         s3 AS (SELECT * FROM s2
+           WHERE (CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+               AS BIGINT)::DOUBLE + 1.0) / 1152921504606846976.0 <= 0.8)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+             AS total_tokens
+         FROM s3 GROUP BY lang ORDER BY lang""",
 
     "text_top_ngrams" ->
       """WITH toks AS (
