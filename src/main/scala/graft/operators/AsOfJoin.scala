@@ -32,6 +32,17 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * value in every direction; left rows with no qualifying right row
   * get nulls in all payload columns. Nearest requires the time columns
   * to be integral (epoch ns/us) for the distance arithmetic.
+  *
+  * The two pandas `merge_asof` knobs are supported:
+  *
+  *  - `tolerance`: a match farther than this (in the time column's own
+  *    unit) is dropped — payload goes null, as if no right row
+  *    qualified. Applied per direction (Nearest drops a side before
+  *    picking). Requires integral time columns.
+  *  - `allowExactMatches = false`: strict inequality — an equal-time
+  *    right row no longer matches. Implemented purely by the union-sort
+  *    side tags: ordering the left row BEFORE its equal-time right rows
+  *    puts them outside the window frame, so strictness costs nothing.
   */
 object AsOfJoin {
   sealed trait Direction
@@ -49,33 +60,45 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
             leftTime: String, rightTime: String, payload: Seq[String],
             tiebreak: Option[String] = None,
-            direction: Direction = Backward): DataFrame = {
+            direction: Direction = Backward,
+            tolerance: Option[Long] = None,
+            allowExactMatches: Boolean = true): DataFrame = {
     if (payload.isEmpty) return left
+    tolerance.foreach(tol => require(tol >= 0, s"negative tolerance $tol"))
+    if (tolerance.isDefined) requireIntegralTimes(left, right, leftTime,
+      rightTime, "tolerance")
+    // null out a carried match farther than the tolerance (per direction)
+    def clip(outCol: String, forward: Boolean): Column = tolerance match {
+      case None => col(outCol)
+      case Some(tol) =>
+        val d =
+          if (forward)
+            col(outCol).getField("__mt").cast("long") -
+              col(leftTime).cast("long")
+          else
+            col(leftTime).cast("long") -
+              col(outCol).getField("__mt").cast("long")
+        when(col(outCol).isNull || d <= tol, col(outCol))
+    }
     val leftCols = left.columns.toSeq
     direction match {
       case Backward | Forward =>
         carry(left, right, keys, leftTime, rightTime, payload, tiebreak,
-          forward = direction == Forward, out = "__pay")
+          forward = direction == Forward, out = "__pay",
+          allowExact = allowExactMatches)
+          .withColumn("__pay", clip("__pay", direction == Forward))
           .select((leftCols.map(col) ++
             payload.map(p => col("__pay").getField(p).as(p))): _*)
       case Nearest =>
-        // the distance arithmetic below casts to long; a timestamp here
-        // would silently degrade to second granularity, so refuse it
-        Seq(left.schema(leftTime) -> leftTime,
-            right.schema(rightTime) -> rightTime).foreach { case (f, n) =>
-          import org.apache.spark.sql.types._
-          val integral = f.dataType match {
-            case LongType | IntegerType | ShortType | ByteType => true
-            case _ => false
-          }
-          require(integral,
-            s"Nearest needs an integral (epoch ns/us) time column; " +
-              s"'$n' is ${f.dataType.simpleString}")
-        }
+        requireIntegralTimes(left, right, leftTime, rightTime, "Nearest")
         val b = carry(left, right, keys, leftTime, rightTime, payload,
-          tiebreak, forward = false, out = "__payb")
+          tiebreak, forward = false, out = "__payb",
+          allowExact = allowExactMatches)
         val bf = carry(b, right, keys, leftTime, rightTime, payload,
-          tiebreak, forward = true, out = "__payf")
+          tiebreak, forward = true, out = "__payf",
+          allowExact = allowExactMatches)
+          .withColumn("__payb", clip("__payb", forward = false))
+          .withColumn("__payf", clip("__payf", forward = true))
         val t = col(leftTime).cast("long")
         val bt = col("__payb").getField("__mt").cast("long")
         val ft = col("__payf").getField("__mt").cast("long")
@@ -89,21 +112,43 @@ object AsOfJoin {
     }
   }
 
+  /** Distance arithmetic casts times to long — a timestamp would
+    * silently degrade to second granularity, so refuse it. */
+  private def requireIntegralTimes(left: DataFrame, right: DataFrame,
+                                   leftTime: String, rightTime: String,
+                                   what: String): Unit =
+    Seq(left.schema(leftTime) -> leftTime,
+        right.schema(rightTime) -> rightTime).foreach { case (f, n) =>
+      import org.apache.spark.sql.types._
+      val integral = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      require(integral,
+        s"$what needs an integral (epoch ns/us) time column; " +
+          s"'$n' is ${f.dataType.simpleString}")
+    }
+
   /** Union + single window carry in one direction; output keeps the
     * left frame's columns plus `out` = struct(payload*, __mt =
     * matched right time), null when nothing qualifies. */
   private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
                     leftTime: String, rightTime: String,
                     payload: Seq[String], tiebreak: Option[String],
-                    forward: Boolean, out: String): DataFrame = {
+                    forward: Boolean, out: String,
+                    allowExact: Boolean = true): DataFrame = {
     val t = "__asof_t"
     val leftCols = left.columns.toSeq
     val payType = StructType(payload.map(p => right.schema(p)) :+
       StructField("__mt", right.schema(rightTime).dataType))
     // side tags order right rows INSIDE the frame at equal times:
     // backward (frame = preceding..current, last()): right before left;
-    // forward (frame = current..following, first()): left before right
-    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
+    // forward (frame = current..following, first()): left before right.
+    // STRICT mode flips the tags — the left row then sorts before
+    // (backward) / after (forward) its equal-time rights, which pushes
+    // them outside the frame: strictness purely by sort order.
+    val (leftTag, rightTag) =
+      if (forward ^ !allowExact) (0, 1) else (1, 0)
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn("__side", lit(leftTag))

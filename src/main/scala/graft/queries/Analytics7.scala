@@ -324,6 +324,20 @@ object Analytics7 {
         .orderBy("event_id")
     }),
 
+    // as-of join with both pandas merge_asof knobs: strict inequality
+    // (allow_exact_matches=False) + 2-hour tolerance (farther matches
+    // null out)
+    "asof_join_tolerance" -> ((s, dir) => {
+      val (p, c) = asofSides(s, dir)
+      graft.operators.AsOfJoin(p, c, Seq("user_id"), "ts", "click_ts",
+        Seq("click_ts", "click_value"), Some("click_id"),
+        graft.operators.AsOfJoin.Backward,
+        tolerance = Some(7200000000000L), allowExactMatches = false)
+        .select(col("user_id"), col("event_id"),
+          expr("click_ts div 1000").as("click_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // clustering quality: within-cell sum of squared distances to the
     // centroid (the k-means objective) for the md5-seeded IVF cells —
     // the metric that tells you whether nlist/iters were enough
@@ -821,6 +835,23 @@ object Analytics7 {
            epoch_us(c.ts) AS click_us, c.value AS click_value
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND c.ts >= p.ts
+         ORDER BY event_id""",
+
+    // strict (<) ASOF; matches beyond the 2-hour tolerance null out
+    "asof_join_tolerance" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+             WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events
+             WHERE event_type = 'click')
+         SELECT p.user_id, p.event_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_ns(p.ts) - epoch_ns(c.ts) <= 7200000000000
+                THEN epoch_us(c.ts) END AS click_us,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_ns(p.ts) - epoch_ns(c.ts) <= 7200000000000
+                THEN c.value END AS click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND c.ts < p.ts
          ORDER BY event_id""",
 
     // backward + forward ASOF, then pick the smaller absolute distance

@@ -237,6 +237,41 @@ class AnalyticsSpec extends SparkTestBase {
 
   // ---------------- as-of directions ----------------
 
+  test("as-of knobs: strict exact matches and tolerance") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
+    val r = Seq((1L, 100L, "x"), (1L, 90L, "a"), (1L, 199L, "b"))
+      .toDF("k", "rt", "p")
+    def run(tol: Option[Long], exact: Boolean) =
+      AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("p"),
+        direction = AsOfJoin.Backward, tolerance = tol,
+        allowExactMatches = exact)
+        .orderBy("t").select("p").collect().map(r =>
+          Option(r.getString(0))).toSeq
+    // default: the equal-time right matches
+    assert(run(None, exact = true) === Seq(Some("x"), Some("b")))
+    // strict: t=100 skips x(100) back to a(90)
+    assert(run(None, exact = false) === Seq(Some("a"), Some("b")))
+    // strict + tolerance 5: a is 10 away -> dropped; b is 1 away -> kept
+    assert(run(Some(5L), exact = false) === Seq(None, Some("b")))
+    // forward strict: t=100 skips x(100), next is b(199)
+    val fwd = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("p"),
+      direction = AsOfJoin.Forward, allowExactMatches = false)
+      .orderBy("t").select("p").collect().map(r => r.getString(0)).toSeq
+    assert(fwd === Seq("b", null))
+    // nearest strict + tolerance: t=100 candidates a(10 back) b(99 fwd)
+    // -> a; with tolerance 5 both drop
+    val near = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("p"),
+      direction = AsOfJoin.Nearest, allowExactMatches = false)
+      .orderBy("t").select("p").collect().map(r => r.getString(0)).toSeq
+    assert(near === Seq("a", "b"))
+    val nearTol = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("p"),
+      direction = AsOfJoin.Nearest, tolerance = Some(5L),
+      allowExactMatches = false)
+      .orderBy("t").select("p").collect().map(r => r.getString(0)).toSeq
+    assert(nearTol === Seq(null, "b"))
+  }
+
   test("as-of directions: backward/forward/nearest on crafted times") {
     import graft.operators.AsOfJoin
     val l = Seq((1L, 100L), (1L, 200L), (2L, 50L)).toDF("k", "t")
