@@ -108,6 +108,30 @@ object Relational2 {
         .orderBy("o_orderkey")
     }),
 
+    // FULL OUTER join: customers and per-customer spend where either
+    // side can be absent (disjoint %-filters force both null shapes)
+    "join_full_outer" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select("c_custkey", "c_name")
+      val o = tbl(s, dir, "orders").filter(col("o_custkey") % 5 === 0)
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("spend"))
+        .orderBy("custkey")
+    }),
+
+    // calendar part extraction + month bucketing (cross-engine exact)
+    "scalar_date_parts" -> ((s, dir) =>
+      tbl(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"), // 1 = Sunday
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy("o_orderkey")),
+
     // multi-way star join: revenue per nation (dims broadcast by Catalyst)
     "join_star" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -141,6 +165,21 @@ object Relational2 {
         col("o_custkey"), col("o_orderkey"),
         round(sum("o_totalprice").over(w), 2).as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // distribution window functions: percent_rank / cume_dist / a
+    // partition-wide nth_value (explicit full frame on both engines)
+    "window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      tbl(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+        .orderBy("o_orderstatus", "o_orderkey")
     }),
 
     // O-window — lag/lead neighbor access (inter-order gaps per customer)
@@ -331,6 +370,37 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+             WHERE c_custkey % 3 = 0),
+         o AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+             FROM orders WHERE o_custkey % 5 = 0 GROUP BY o_custkey)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, spend
+         FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+         ORDER BY custkey""",
+
+    "scalar_date_parts" ->
+      """SELECT o_orderkey,
+         year(o_orderdate)::INT AS y,
+         quarter(o_orderdate)::INT AS q,
+         month(o_orderdate)::INT AS m,
+         (dayofweek(o_orderdate) + 1)::INT AS dow,
+         strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey""",
+
+    "window_distribution" ->
+      """SELECT o_orderstatus, o_orderkey,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd,
+         nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, o_orderkey""",
+
     "window_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
          (epoch_ms(o_orderdate) - epoch_ms(lag(o_orderdate) OVER w))
