@@ -167,6 +167,35 @@ object Relational2 {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // higher-order array functions over the embedding vectors:
+    // fold-sum, min/max, filtered count, zip_with dot against reverse
+    "scalar_array_hof" -> ((s, dir) => {
+      val v = graft.similarity.Similarity.toVec(col("embedding"))
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x), 4).as("vsum"),
+        round(array_max(v), 4).as("vmax"),
+        round(array_min(v), 4).as("vmin"),
+        size(filter(v, x => x > 0)).as("n_pos"),
+        round(aggregate(zip_with(v, reverse(v), (a, b) => a * b),
+          lit(0.0), (a, x) => a + x), 4).as("dot_rev"))
+        .orderBy("vec_id")
+    }),
+
+    // SCD2 dimension history: each (user, value) version gets its
+    // validity interval from the next change; open interval = current.
+    // Microsecond times on both sides: DuckDB TIMESTAMP is us-precision,
+    // so raw ns would differ in the sub-us digits (and us ordering keeps
+    // the tie-break identical)
+    "pipeline_scd2" -> ((s, dir) => {
+      val us = expr("ts div 1000")
+      val w = Window.partitionBy("user_id").orderBy(us, col("event_id"))
+      tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("value"), us.as("valid_from"),
+        lead(us, 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // distribution window functions: percent_rank / cume_dist / a
     // partition-wide nth_value (explicit full frame on both engines)
     "window_distribution" -> ((s, dir) => {
@@ -387,6 +416,24 @@ object Relational2 {
          (dayofweek(o_orderdate) + 1)::INT AS dow,
          strftime(o_orderdate, '%Y-%m') AS ym
          FROM orders ORDER BY o_orderkey""",
+
+    "scalar_array_hof" ->
+      """SELECT vec_id,
+         round(list_sum(embedding::DOUBLE[]), 4) AS vsum,
+         round(list_max(embedding::DOUBLE[]), 4) AS vmax,
+         round(list_min(embedding::DOUBLE[]), 4) AS vmin,
+         len(list_filter(embedding::DOUBLE[], x -> x > 0))::INT AS n_pos,
+         round(list_dot_product(embedding::DOUBLE[],
+           list_reverse(embedding::DOUBLE[])), 4) AS dot_rev
+         FROM embeddings ORDER BY vec_id""",
+
+    "pipeline_scd2" ->
+      """SELECT user_id, event_id, value, epoch_us(ts) AS valid_from,
+         lead(epoch_us(ts)) OVER w AS valid_to,
+         lead(epoch_us(ts)) OVER w IS NULL AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY user_id, valid_from, event_id""",
 
     "window_distribution" ->
       """SELECT o_orderstatus, o_orderkey,
