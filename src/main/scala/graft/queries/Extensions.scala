@@ -440,6 +440,20 @@ object Extensions {
         d.filter(col("source") === "src1"), "text", numHashes = 64)
     }),
 
+    // per-node triangle counts on the near-dup pair graph (dup-clique
+    // structure): oriented wedge join — a<b<c by pair construction, so
+    // each triangle is found exactly once with two hash joins
+    "graph_triangles" -> ((s, dir) => {
+      val e = Dedup.jaccardPairsWindowed(tbl(s, dir, "documents"),
+          "doc_id", "text", window = 25, threshold = 0.8)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val tri = e.join(e.toDF("b", "c"), Seq("b"))
+        .join(e.toDF("a", "c"), Seq("a", "c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("node")
+    }),
+
     // corpus n-gram frequency: top-50 bigrams (contamination/boilerplate
     // statistics for a training corpus)
     "text_top_ngrams" -> ((s, dir) =>
@@ -820,6 +834,24 @@ object Extensions {
              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
              AS total_tokens
          FROM s3 GROUP BY lang ORDER BY lang""",
+
+    "graph_triangles" ->
+      """WITH sets AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+           FROM documents),
+         e AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sets a JOIN sets b
+             ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(a.s || b.s)) >= 0.8),
+         tri AS (
+           SELECT ab.a, ab.b, bc.b AS c
+           FROM e ab JOIN e bc ON ab.b = bc.a
+             JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+         SELECT node, count(*)::BIGINT AS n_triangles
+         FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+         GROUP BY node ORDER BY node""",
 
     "text_top_ngrams" ->
       """WITH toks AS (
