@@ -94,11 +94,17 @@ object AsOfJoin {
         val b = carry(left, right, keys, leftTime, rightTime, payload,
           tiebreak, forward = false, out = "__payb",
           allowExact = allowExactMatches)
-        val bf = carry(b, right, keys, leftTime, rightTime, payload,
+        val carried = carry(b, right, keys, leftTime, rightTime, payload,
           tiebreak, forward = true, out = "__payf",
           allowExact = allowExactMatches)
-          .withColumn("__payb", clip("__payb", forward = false))
-          .withColumn("__payf", clip("__payf", forward = true))
+        // only add the clip projections when a tolerance exists — an
+        // identity rewrite of the carried structs is not free, it blocks
+        // projection collapsing across the two window stages
+        val bf =
+          if (tolerance.isEmpty) carried
+          else carried
+            .withColumn("__payb", clip("__payb", forward = false))
+            .withColumn("__payf", clip("__payf", forward = true))
         val t = col(leftTime).cast("long")
         val bt = col("__payb").getField("__mt").cast("long")
         val ft = col("__payf").getField("__mt").cast("long")
