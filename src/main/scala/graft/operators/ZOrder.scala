@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — the multi-column data-layout primitive
+  * behind lakehouse `OPTIMIZE ZORDER BY`: rows close in the interleaved
+  * bit space are close in EVERY clustered column, so a range-partitioned
+  * write by z-value gives min/max file statistics that prune scans on
+  * ANY of the columns, not just the first sort key (a lexicographic
+  * sort clusters only its leading column).
+  *
+  * Shape: each column buckets into 2^bits exact-quantile ranks — the
+  * [[Analytics.quantileCutpoints]] broadcast + pure-map assignment, so
+  * skewed columns still spread evenly over their rank space — then the
+  * rank bits interleave into one long. Everything after the one
+  * cutpoint reduce per column is a pure map over the scan; the layout
+  * write is `repartitionByRange` on the z-value (sampled range
+  * exchange) + sort within partitions. Cutpoints round to 6 dp before
+  * comparison (the [[Analytics.bucketByCutpoints]] cross-engine
+  * contract), which makes the whole z-value replayable in a SQL
+  * oracle.
+  */
+object ZOrder {
+
+  /** Interleave `ranks` (each in [0, 2^bits)) bit by bit: output bit
+    * `i * n + j` is bit `i` of column `j` — the Morton code. Pure
+    * integer expression, engine-agnostic. */
+  def interleave(ranks: Seq[Column], bits: Int): Column =
+    (0 until bits).flatMap { i =>
+      ranks.zipWithIndex.map { case (r, j) =>
+        shiftleft(shiftrightunsigned(r.cast("long"), i).bitwiseAND(lit(1L)),
+          i * ranks.size + j)
+      }
+    }.reduce(_ + _)
+
+  /** Add `zCol` = the z-value over `cols` at 2^bits quantile ranks per
+    * column. One exact-percentile reduce per column (broadcast back);
+    * rank + interleave are a pure map. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
+                 zCol: String = "__z"): DataFrame = {
+    require(cols.size >= 2, "z-ordering needs at least two columns")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits=$bits x ${cols.size} cols exceeds a long")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+    val withRanks = cols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+      val cuts = Analytics.quantileCutpoints(df, c, probs)
+        .withColumnRenamed("__cuts", s"__cuts$j")
+      d.join(broadcast(cuts))
+        .withColumn(s"__rank$j",
+          aggregate(col(s"__cuts$j"), lit(0),
+            (acc, x) => acc + when(col(c) > round(x, 6), 1).otherwise(0)))
+        .drop(s"__cuts$j")
+    }
+    withRanks
+      .withColumn(zCol,
+        interleave(cols.indices.map(j => col(s"__rank$j")), bits))
+      .drop(cols.indices.map(j => s"__rank$j"): _*)
+  }
+
+  /** The layout operation: z-value, range-repartition on it into
+    * `numFiles` output partitions, sort within partitions — each
+    * written file then covers a tight z-range, i.e. a tight min/max
+    * box in every clustered column. */
+  def clustered(df: DataFrame, cols: Seq[String], bits: Int,
+                numFiles: Int): DataFrame =
+    withZValue(df, cols, bits)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+}

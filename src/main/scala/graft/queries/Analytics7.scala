@@ -151,6 +151,15 @@ object Analytics7 {
         .select("event_id", "event_type", "value", "clipped")
         .orderBy("event_id")),
 
+    // Morton/Z-order value over (price, customer) quantile ranks — the
+    // multi-column layout key behind OPTIMIZE ZORDER; quantile
+    // bucketing + bit interleave, fully replayable cross-engine
+    "scalar_zorder" -> ((s, dir) =>
+      graft.operators.ZOrder.withZValue(tbl(s, dir, "orders"),
+          Seq("o_totalprice", "o_custkey"), bits = 4, zCol = "z")
+        .select("o_orderkey", "z")
+        .orderBy("o_orderkey")),
+
     // per-group Pearson correlation + sample covariance: one map-side
     // combining aggregation (Spark's CentralMomentAgg family)
     "agg_correlation" -> ((s, dir) =>
@@ -495,6 +504,27 @@ object Analytics7 {
     })
   )
 
+  /** DuckDB replay of [[graft.operators.ZOrder.withZValue]] on
+    * (o_totalprice, o_custkey): the interleave terms and quantile grid
+    * are generated from the same constants as the Spark plan. */
+  private def zorderOracleSql(bits: Int): String = {
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(((r0 >> $i) & 1) << ${i * 2})",
+        s"(((r1 >> $i) & 1) << ${i * 2 + 1})")
+    }.mkString(" + ")
+    s"""WITH c0 AS (SELECT quantile_cont(o_totalprice,
+           [${probs.mkString(", ")}]) AS cuts FROM orders),
+       c1 AS (SELECT quantile_cont(o_custkey,
+           [${probs.mkString(", ")}]) AS cuts FROM orders),
+       r AS (SELECT o_orderkey,
+           len(list_filter(c0.cuts, x -> o_totalprice > round(x, 6))) AS r0,
+           len(list_filter(c1.cuts, x -> o_custkey > round(x, 6))) AS r1
+         FROM orders, c0, c1)
+       SELECT o_orderkey, ($terms)::BIGINT AS z
+       FROM r ORDER BY o_orderkey"""
+  }
+
   /** The asof_join gate's two sides (purchases probe clicks), shared by
     * the forward and nearest direction gates. */
   private def asofSides(s: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -700,6 +730,8 @@ object Analytics7 {
            least(greatest(value, lo), hi) AS clipped
          FROM events e JOIN c ON e.event_type = c.event_type
          ORDER BY event_id""",
+
+    "scalar_zorder" -> zorderOracleSql(4),
 
     "agg_correlation" ->
       """SELECT l_returnflag,
