@@ -34,6 +34,14 @@ object ZOrder {
       }
     }.reduce(_ + _)
 
+  /** Inverse of [[interleave]]: recover column `j`'s rank from a
+    * z-value over `n` columns (file-statistics math — a z-range's
+    * per-column bounding box). */
+  def deinterleave(z: Column, j: Int, n: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(z, i * n + j).bitwiseAND(lit(1L)), i)
+    }.reduce(_ + _)
+
   /** Add `zCol` = the z-value over `cols` at 2^bits quantile ranks per
     * column. One exact-percentile reduce per column (broadcast back);
     * rank + interleave are a pure map. */

@@ -196,6 +196,17 @@ object Relational2 {
         .orderBy("user_id", "valid_from", "event_id")
     }),
 
+    // rolling exact median over a bounded row frame (per-user trailing
+    // 4-sample median — the robust smoother's window form)
+    "window_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(expr("ts div 1000"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        round(percentile(col("value"), lit(0.5)).over(w), 6).as("med4"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // distribution window functions: percent_rank / cume_dist / a
     // partition-wide nth_value (explicit full frame on both engines)
     "window_distribution" -> ((s, dir) => {
@@ -434,6 +445,13 @@ object Relational2 {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
          ORDER BY user_id, valid_from, event_id""",
+
+    "window_rolling_median" ->
+      """SELECT user_id, event_id,
+         round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS med4
+         FROM events ORDER BY user_id, event_id""",
 
     "window_distribution" ->
       """SELECT o_orderstatus, o_orderkey,

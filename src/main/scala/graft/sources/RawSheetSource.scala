@@ -180,19 +180,50 @@ private[sources] class RawSheetTable(path: String, cfg: Config,
 private[sources] class RawSheetScanBuilder(path: String, cfg: Config,
                                            proyecto: String,
                                            full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
+  private var skipFile = false
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RawSheetScan(path, cfg, proyecto, required)
+
+  /** The one filter a sheet file can answer WITHOUT reading a row:
+    * equality on the per-file `Proyecto` literal. A mismatch skips the
+    * whole file (zero input partitions) — the multi-sheet union then
+    * reads only the requested project's files, the same file-skipping
+    * a partitioned parquet store gets from its directory layout. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.EqualTo
+    val (accepted, rest) = filters.partition {
+      case EqualTo("Proyecto", v) => v != null
+      case _ => false
+    }
+    accepted.foreach { case EqualTo(_, v) =>
+      if (v.asInstanceOf[String] != proyecto) skipFile = true
+    }
+    pushed = accepted
+    rest // everything else evaluates post-scan
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  override def build(): Scan =
+    new RawSheetScan(path, cfg, proyecto, required, skipFile)
 }
 
 private[sources] class RawSheetScan(path: String, cfg: Config,
-                                    proyecto: String, required: StructType)
+                                    proyecto: String, required: StructType,
+                                    skipFile: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"rawsheet($path)${if (skipFile) " [file-skipped: Proyecto mismatch]" else ""}"
   override def planInputPartitions(): Array[InputPartition] = {
+    if (skipFile) return Array.empty
     val (hdrIdx, cols) = RawSheetSource.resolve(path, cfg)
     // the projection each task builds: only REQUIRED fields, compiled
     // to cell-index lists (this is where pruning pays per row)

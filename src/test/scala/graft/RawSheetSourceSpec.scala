@@ -72,6 +72,23 @@ class RawSheetSourceSpec extends SparkTestBase {
     assert(r.getAs[String]("Precio de lista") === "500.000,00")
   }
 
+  test("a Proyecto-mismatch filter skips the whole file at planning") {
+    val p = fixture("skip.csv", Seq(
+      "Número de inmueble,Precio de lista,Estado de inmueble,Tipología",
+      "101,\"1.000,00\",Disponible,A-1"))
+    val df = v2(p, "Matera")
+    // match: rows flow, filter handled by the pushed literal
+    assert(df.filter(org.apache.spark.sql.functions.col("Proyecto")
+      === "Matera").count() === 1)
+    // mismatch: zero partitions planned — the file is never opened
+    val miss = df.filter(org.apache.spark.sql.functions.col("Proyecto")
+      === "Otro")
+    assert(miss.count() === 0)
+    assert(miss.queryExecution.executedPlan.toString
+      .contains("file-skipped"),
+      s"mismatch must skip at the scan:\n${miss.queryExecution.executedPlan}")
+  }
+
   test("column pruning reaches the scan") {
     val p = fixture("prune.csv", Seq(
       "Número de inmueble,Precio de lista,Estado de inmueble,Tipología",

@@ -25,6 +25,19 @@ class ZOrderSpec extends SparkTestBase {
     assert(xs === xs.sorted)
   }
 
+  test("deinterleave round-trips every rank pair") {
+    val pairs = spark.range(256).select(
+      (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+    val z = pairs.select(col("x"), col("y"),
+      ZOrder.interleave(Seq(col("x"), col("y")), 4).as("z"))
+    val bad = z.filter(
+      ZOrder.deinterleave(col("z"), 0, 2, 4) =!= col("x") ||
+        ZOrder.deinterleave(col("z"), 1, 2, 4) =!= col("y")).count()
+    assert(bad === 0L)
+    // and the code is a bijection on the 8-bit space
+    assert(z.select("z").distinct().count() === 256L)
+  }
+
   test("clustered layout plans a range exchange on the z-value") {
     val o = queries.tbl(spark, sf, "orders")
     val plan = ZOrder.clustered(o, Seq("o_totalprice", "o_custkey"),
