@@ -116,6 +116,13 @@ object Analytics {
                        tieCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     import org.apache.spark.sql.graft.Shim
+    // self-register the planner strategy: sessions built without
+    // GraftExtensions (a notebook, the driver's Verify session) can
+    // still plan the node — extraStrategies is the public runtime hook
+    val em = df.sparkSession.experimental
+    if (!em.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      em.extraStrategies = em.extraStrategies :+
+        graft.plans.TopKPerGroupStrategy
     val groups = groupCols.map(c => Shim.expression(df(c)))
     val order = SortOrder(Shim.expression(df(orderCol)), Descending) +:
       tieCols.map(c => SortOrder(Shim.expression(df(c)), Ascending))

@@ -39,6 +39,17 @@ object Analytics7 {
         .select("o_orderstatus", "o_orderkey", "o_totalprice", "rk")
         .orderBy("o_orderstatus", "rk")),
 
+    // the same top-3 through the CUSTOM PHYSICAL OPERATOR (logical node
+    // -> strategy -> partial/final exec, bounded k-row buffers, no
+    // window sort) — the extension-ladder tier inside a correctness gate
+    "sort_topk_group_exec" -> ((s, dir) =>
+      Analytics.topKPerGroupExec(tbl(s, dir, "orders"),
+          Seq("o_orderstatus"), "o_totalprice", k = 3,
+          tieCols = Seq("o_orderkey"))
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc,
+          col("o_orderkey"))),
+
     // most frequent priority per status, ties to the smallest value;
     // the rank window runs on the counted table, never raw rows
     "agg_mode" -> ((s, dir) =>
@@ -614,6 +625,15 @@ object Analytics7 {
                ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) r
          WHERE rk <= 3 ORDER BY o_orderstatus, rk""",
+
+    "sort_topk_group_exec" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) r
+         WHERE rk <= 3
+         ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
 
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
