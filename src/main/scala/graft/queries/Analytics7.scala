@@ -171,6 +171,38 @@ object Analytics7 {
         .select("o_orderkey", "z")
         .orderBy("o_orderkey")),
 
+    // population skewness + excess kurtosis from RAW moments, spelled
+    // out identically on both engines — the built-ins disagree on
+    // bias correction (Spark population, DuckDB sample-adjusted)
+    "agg_moments" -> ((s, dir) => {
+      val x = col("value")
+      val e1 = avg(x); val e2 = avg(x * x)
+      val e3 = avg(x * x * x); val e4 = avg(x * x * x * x)
+      val m2 = e2 - e1 * e1
+      val m3 = e3 - lit(3) * e1 * e2 + lit(2) * e1 * e1 * e1
+      val m4 = e4 - lit(4) * e1 * e3 + lit(6) * e1 * e1 * e2 -
+        lit(3) * e1 * e1 * e1 * e1
+      tbl(s, dir, "events").groupBy("event_type")
+        .agg(round(m3 / pow(m2, 1.5), 4).as("skew"),
+          round(m4 / (m2 * m2) - lit(3), 4).as("exkurt"))
+        .orderBy("event_type")
+    }),
+
+    // ordered string aggregation: each status's top-5 order keys joined
+    // in rank order — the LISTAGG/string_agg report formatting op
+    "agg_string_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .groupBy("o_orderstatus")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rk"), col("o_orderkey")))),
+          e => e.getField("o_orderkey").cast("string")), ",").as("top_keys"))
+        .orderBy("o_orderstatus")
+    }),
+
     // per-group Pearson correlation + sample covariance: one map-side
     // combining aggregation (Spark's CentralMomentAgg family)
     "agg_correlation" -> ((s, dir) =>
@@ -752,6 +784,30 @@ object Analytics7 {
          ORDER BY event_id""",
 
     "scalar_zorder" -> zorderOracleSql(4),
+
+    "agg_moments" ->
+      """SELECT event_type,
+         round((avg(value*value*value) - 3*avg(value)*avg(value*value)
+             + 2*avg(value)*avg(value)*avg(value))
+           / ((avg(value*value) - avg(value)*avg(value))
+              ^ 1.5), 4) AS skew,
+         round((avg(value*value*value*value)
+             - 4*avg(value)*avg(value*value*value)
+             + 6*avg(value)*avg(value)*avg(value*value)
+             - 3*avg(value)*avg(value)*avg(value)*avg(value))
+           / ((avg(value*value) - avg(value)*avg(value))
+              * (avg(value*value) - avg(value)*avg(value))) - 3, 4)
+           AS exkurt
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "agg_string_topk" ->
+      """SELECT o_orderstatus,
+           string_agg(o_orderkey::VARCHAR, ',' ORDER BY rk) AS top_keys
+         FROM (SELECT o_orderstatus, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 5 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "agg_correlation" ->
       """SELECT l_returnflag,
