@@ -14,6 +14,33 @@ class AnalyticsEdgeSpec extends SparkTestBase {
   private lazy val empty =
     Seq.empty[(String, Double, Long)].toDF("grp", "v", "id")
 
+  test("round-8 edges: constant-group winsorize, split guards, overlap") {
+    import graft.dedup.Dedup
+    import graft.operators.DeterministicSplit
+    // constant group: every percentile equals the constant, nothing moves
+    val const = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0)).toDF("grp", "v")
+    val w = Analytics.winsorize(const, Seq("grp"), "v", 0.01, 0.99)
+    assert(w.filter(col("clipped") =!= col("v")).count() === 0)
+    // split weight validation fails loudly
+    val rows = Seq((1L, 1.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      DeterministicSplit(rows, Seq("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      DeterministicSplit(rows, Seq("id"), Seq("only" -> 1.0))
+    }
+    // corpus overlap of a corpus with itself is exactly 1.0 even when
+    // tiny; against an empty corpus the exact jaccard is 0 and the
+    // estimate never reports a false match (null-signature side)
+    val a = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val self = Dedup.corpusOverlapMd5(a, a, "text").head()
+    assert(self.getInt(0) === 64 && self.getDouble(2) === 1.0)
+    val vsEmpty = Dedup.corpusOverlapMd5(a, emptyDocs, "text").head()
+    assert(vsEmpty.getDouble(2) === 0.0,
+      s"empty side must yield zero exact overlap, got $vsEmpty")
+  }
+
   test("empty inputs: stats, mode, top-k, histogram, funnel, checksum") {
     assert(Analytics.saltedStats(empty, Seq("grp"), "v", Seq("id"), 8)
       .count() === 0)
