@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * feed AND sort each partition; the aggregate form does neither.
   */
 /** Incremental aggregate maintenance (classic IVM over a before/after
-  * change feed): keep a (key, cnt, sum) aggregate table current by
+  * change feed): keep a (key, `cnt`, `v_sum`) aggregate table current by
   * applying a batch of row-level changes — each carrying its OLD and
   * NEW value (insert: old null; delete: new null; update: both) —
   * without touching the unaffected keys.
