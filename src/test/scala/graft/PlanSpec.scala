@@ -273,4 +273,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cell blocking must make the candidate join an equi-join:\n$p")
   }
+
+  test("containment prefix join: equi-joins only, doc-bounded window") {
+    val df = graft.dedup.Dedup.containmentNearDups(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 0.9)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"the token join must stay an equi-join:\n$p")
+    // the only window ranks tokens WITHIN one digest's set — always
+    // partitioned, never corpus-wide
+    assert(!p.contains("Window [") ||
+      "Window \\[".r.findAllIn(p).isEmpty || p.contains("windowspecdefinition(__dig"),
+      s"the rank window must partition by digest:\n$p")
+  }
+
+  test("duplicated spans: two partial-agg shuffles + a key join, no window") {
+    val df = graft.textanalysis.TextAnalysis.duplicatedSpans(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"span counting must be aggregation, never a corpus window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"the span-count join must be an equi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"span counts must partial-aggregate map-side:\n$p")
+  }
 }
