@@ -441,7 +441,19 @@ object Dedup {
     val digMin = members.groupBy("__dig").agg(min(idCol).as("__dmin"))
     val uniq = df.select(dig.as("__dig"), wordSet(col(textCol)).as("__set"))
       .dropDuplicates("__dig")
-    val bandRows = uniq.join(md5SigTable(uniq, "__set", numHashes), Seq("__dig"))
+    // LEFT join + all-null fallback signature: md5SigTable builds
+    // signatures by exploding the word set, so the null-text sentinel
+    // digest ("" — its set is NULL, explode emits nothing) has no
+    // signature row; an inner join would silently drop those documents
+    // from the keep/drop decision. The all-null signature mirrors
+    // MinHashSignature's behavior on a null set in the xx64 family, so
+    // both families band null-text docs into the same deterministic
+    // buckets instead of losing them.
+    val nullSig = array(
+      (0 until numHashes).map(_ => lit(null).cast("long")): _*)
+    val bandRows = uniq
+      .join(md5SigTable(uniq, "__set", numHashes), Seq("__dig"), "left")
+      .withColumn("__sig", coalesce(col("__sig"), nullSig))
       .withColumn("__bands", md5BandHashes(col("__sig"), bands, rows))
       .select(col("__dig"), posexplode(col("__bands")).as(Seq("band", "bucket")))
       .join(digMin, Seq("__dig"))

@@ -118,11 +118,20 @@ object Analytics {
     import org.apache.spark.sql.graft.Shim
     // self-register the planner strategy: sessions built without
     // GraftExtensions (a notebook, the driver's Verify session) can
-    // still plan the node — extraStrategies is the public runtime hook
+    // still plan the node — extraStrategies is the public runtime hook.
+    // The check looks at the PLANNER's strategy list (which includes
+    // both extension-injected and experimental strategies), so a
+    // GraftExtensions session is never double-registered; the
+    // synchronized block makes the check-then-append safe under
+    // concurrent callers on one session.
     val em = df.sparkSession.experimental
-    if (!em.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
-      em.extraStrategies = em.extraStrategies :+
-        graft.plans.TopKPerGroupStrategy
+    em.synchronized {
+      val present = df.sparkSession.sessionState.planner.strategies
+        .contains(graft.plans.TopKPerGroupStrategy)
+      if (!present)
+        em.extraStrategies = em.extraStrategies :+
+          graft.plans.TopKPerGroupStrategy
+    }
     val groups = groupCols.map(c => Shim.expression(df(c)))
     val order = SortOrder(Shim.expression(df(orderCol)), Descending) +:
       tieCols.map(c => SortOrder(Shim.expression(df(c)), Ascending))
@@ -305,25 +314,29 @@ object Analytics {
   }
 
   /** Order-independent table content checksum: row count, the SUM of a
-    * 40-bit md5 prefix accumulated in decimal(38,0) — 10³⁸/2⁴⁰ ≈ 10²⁶
-    * rows before overflow, i.e. exact at any realistic cardinality and
-    * it fails loudly (ANSI decimal overflow) rather than wrapping — and
-    * the BIT_XOR of the 60-bit prefix (commutative, never overflows;
-    * blind only to even-multiplicity changes, which n_rows + sum
-    * catch). All three
-    * are commutative ⇒ partitioning/ordering never changes the result,
-    * and md5 replays in any engine — the cross-system migration
-    * validation primitive ("did every row survive the copy?"). One
-    * pure-map pass + a 1-row reduce; swap md5 for xxhash64 intra-Spark
-    * (4× cheaper, same shape). NULL renders as the empty string
-    * (concat_ws skips nulls), so NULL and '' collide — acceptable for a
-    * checksum, not an equality proof. */
+    * 32-bit md5 prefix accumulated in plain BIGINT — int64 holds
+    * n·(2³²−1) exactly up to n ≈ 2³¹ rows, far past any per-table
+    * validation scale, and int64 is the one numeric representation
+    * every engine/Arrow consumer canonicalizes identically (a
+    * decimal128 sum column round-trips with engine-specific physical
+    * encodings and defeats byte-level result comparison — observed
+    * against DuckDB) — and the BIT_XOR of the 60-bit prefix
+    * (commutative, never overflows; blind only to even-multiplicity
+    * changes, which n_rows + sum catch; also the unbounded guard past
+    * the sum's 2³¹-row exactness horizon). All three are commutative ⇒
+    * partitioning/ordering never changes the result, and md5 replays
+    * in any engine — the cross-system migration validation primitive
+    * ("did every row survive the copy?"). One pure-map pass + a 1-row
+    * reduce; swap md5 for xxhash64 intra-Spark (4× cheaper, same
+    * shape). NULL renders as the empty string (concat_ws skips nulls),
+    * so NULL and '' collide — acceptable for a checksum, not an
+    * equality proof. */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     val hex = md5(concat_ws("|", cols.map(col(_).cast("string")): _*))
-    val k40 = conv(substring(hex, 1, 10), 16, 10).cast("long")
+    val k32 = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val k60 = conv(substring(hex, 1, 15), 16, 10).cast("long")
-    df.select(k40.cast("decimal(38,0)").as("__k40"), k60.as("__k60"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("__k40")).as("content_sum"),
+    df.select(k32.as("__k32"), k60.as("__k60"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__k32")).as("content_sum"),
         expr("bit_xor(__k60)").as("content_xor"))
   }
 

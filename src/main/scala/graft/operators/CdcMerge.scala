@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * feed AND sort each partition; the aggregate form does neither.
   */
 /** Incremental aggregate maintenance (classic IVM over a before/after
-  * change feed): keep a (key, `cnt`, `v_sum`) aggregate table current by
+  * change feed): keep a (key, count, sum) aggregate table current by
   * applying a batch of row-level changes — each carrying its OLD and
   * NEW value (insert: old null; delete: new null; update: both) —
   * without touching the unaffected keys.
@@ -47,10 +47,30 @@ import org.apache.spark.sql.functions._
   * contract a CDC source like Debezium provides); a feed that lies
   * about old values diverges from recompute — by the same amount it
   * lied.
+  *
+  * Numeric contract: the sum is maintained in doubles as
+  * base + Σ(new−old), which equals a from-scratch recompute only up to
+  * floating-point association — consumers comparing against a
+  * recompute should round both sides to their reporting precision
+  * (the CORRECTNESS gates round to cents, where the ~1-ulp drift of a
+  * few thousand accumulations is orders of magnitude below the
+  * half-cent boundary). For exact-to-the-bit parity, maintain cents as
+  * integers upstream.
+  *
+  * `min`/`max` are NOT self-maintainable under deletes (removing the
+  * stored extremum reveals nothing about the runner-up) — see
+  * [[IncrementalAgg.maintainFull]] for the standard hybrid.
   */
 object IncrementalAgg {
+  /** Maintain a (key, count, sum) aggregate table. `base` must carry
+    * `keyCol`, `cntCol` (long) and `sumCol` (double) — the same schema
+    * this function returns, so maintenance iterates. */
   def maintain(base: DataFrame, changes: DataFrame, keyCol: String,
-               oldCol: String, newCol: String): DataFrame = {
+               oldCol: String, newCol: String, cntCol: String = "cnt",
+               sumCol: String = "v_sum"): DataFrame = {
+    require(Seq(keyCol, cntCol, sumCol).forall(base.columns.contains),
+      s"base must carry ($keyCol, $cntCol, $sumCol); has " +
+        base.columns.mkString(", "))
     val delta = changes.groupBy(keyCol).agg(
       sum(when(col(newCol).isNotNull, 1).otherwise(0) -
         when(col(oldCol).isNotNull, 1).otherwise(0)).as("__dc"),
@@ -58,11 +78,80 @@ object IncrementalAgg {
         .as("__ds"))
     base.join(delta, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
-          .as("cnt"),
-        (coalesce(col("v_sum"), lit(0.0)) + coalesce(col("__ds"), lit(0.0)))
-          .as("v_sum"))
-      .filter(col("cnt") > 0)
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+          .as(cntCol),
+        (coalesce(col(sumCol), lit(0.0)) + coalesce(col("__ds"), lit(0.0)))
+          .as(sumCol))
+      .filter(col(cntCol) > 0)
+  }
+
+  /** Maintain a (key, count, sum, min, max) aggregate table — the
+    * standard IVM hybrid for the non-self-maintainable extrema:
+    *
+    *  - count/sum update by pure delta arithmetic (as [[maintain]]);
+    *  - min/max update by delta where that is sound — inserts can only
+    *    IMPROVE an extremum, so `least(stored, min(inserted))` /
+    *    `greatest(stored, max(inserted))` is exact;
+    *  - a key is INVALIDATED when a removed old value ties-or-beats its
+    *    stored extremum (the runner-up is unknown) or the key is new to
+    *    the base while the feed claims removals for it; only those keys
+    *    re-aggregate from `detail`, the post-change fact rows.
+    *
+    * Cost: O(|changes| + |touched keys|) for the delta path plus one
+    * semi-join-pruned aggregation of `detail` restricted to the
+    * invalidated keys — O(|rows of invalidated keys|), not O(|table|).
+    * On a detail store partitioned/bucketed by `keyCol` the semi join
+    * prunes at the scan, so a 100 TB fact table contributes only the
+    * invalidated keys' partitions. Deletes of non-extreme values never
+    * touch `detail` at all.
+    *
+    * `base` must carry `keyCol`, `cnt`, `v_sum`, `v_min`, `v_max` —
+    * the schema this function returns. `detail` must carry `keyCol`
+    * and `valCol` and reflect the feed already applied. */
+  def maintainFull(base: DataFrame, changes: DataFrame, detail: DataFrame,
+                   keyCol: String, valCol: String, oldCol: String,
+                   newCol: String): DataFrame = {
+    require(Seq(keyCol, "cnt", "v_sum", "v_min", "v_max")
+        .forall(base.columns.contains),
+      s"base must carry ($keyCol, cnt, v_sum, v_min, v_max); has " +
+        base.columns.mkString(", "))
+    val delta = changes.groupBy(keyCol).agg(
+      sum(when(col(newCol).isNotNull, 1).otherwise(0) -
+        when(col(oldCol).isNotNull, 1).otherwise(0)).as("__dc"),
+      sum(coalesce(col(newCol), lit(0.0)) - coalesce(col(oldCol), lit(0.0)))
+        .as("__ds"),
+      min(col(newCol)).as("__ins_min"), max(col(newCol)).as("__ins_max"),
+      min(col(oldCol)).as("__del_min"), max(col(oldCol)).as("__del_max"))
+
+    val merged = base.join(delta, Seq(keyCol), "full_outer")
+      .withColumn("__cnt",
+        coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+      .withColumn("__sum",
+        coalesce(col("v_sum"), lit(0.0)) + coalesce(col("__ds"), lit(0.0)))
+      .filter(col("__cnt") > 0)
+      // invalidated: a removal may have been the stored extremum
+      // (<=/>= rather than = is deliberately conservative — recomputing
+      // a still-valid key is correct, missing an invalid one is not),
+      // or the base row is absent while the feed removes values
+      .withColumn("__invalid",
+        (col("cnt").isNull && col("__del_min").isNotNull) ||
+        (col("cnt").isNotNull && col("__del_min").isNotNull &&
+          (col("__del_min") <= col("v_min") ||
+           col("__del_max") >= col("v_max"))))
+
+    // O(touched): re-aggregate ONLY the invalidated keys' detail rows
+    val invalidKeys = merged.filter(col("__invalid")).select(keyCol)
+    val recomputed = detail
+      .join(invalidKeys, Seq(keyCol), "left_semi")
+      .groupBy(keyCol)
+      .agg(min(col(valCol)).as("__r_min"), max(col(valCol)).as("__r_max"))
+
+    merged.join(recomputed, Seq(keyCol), "left")
+      .select(col(keyCol), col("__cnt").as("cnt"), col("__sum").as("v_sum"),
+        when(col("__invalid"), col("__r_min"))
+          .otherwise(least(col("v_min"), col("__ins_min"))).as("v_min"),
+        when(col("__invalid"), col("__r_max"))
+          .otherwise(greatest(col("v_max"), col("__ins_max"))).as("v_max"))
   }
 }
 

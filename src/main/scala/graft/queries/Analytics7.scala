@@ -257,6 +257,47 @@ object Analytics7 {
         .orderBy("o_custkey")
     }),
 
+    // the IVM hybrid for non-self-maintainable extrema: count/sum by
+    // delta, min/max by delta on inserts and an O(touched) re-aggregate
+    // of ONLY the invalidated keys' post-change detail rows — the
+    // oracle recomputes the whole final state from scratch, proving the
+    // hybrid lands on the identical table (min/max emitted raw: both
+    // engines hold the same exact doubles)
+    "cdc_incremental_agg2" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 7 =!= 0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("v_sum"),
+          min("o_totalprice").as("v_min"), max("o_totalprice").as("v_max"))
+      val ins = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey"), lit(null).cast("double").as("old_v"),
+          col("o_totalprice").as("new_v"))
+      val upd = o.filter(col("o_orderkey") % 7 =!= 0 &&
+          col("o_orderkey") % 11 === 3)
+        .select(col("o_custkey"), col("o_totalprice").as("old_v"),
+          (floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100).as("new_v"))
+      val del = o.filter(col("o_orderkey") % 7 =!= 0 &&
+          col("o_orderkey") % 11 =!= 3 && col("o_orderkey") % 13 === 5)
+        .select(col("o_custkey"), col("o_totalprice").as("old_v"),
+          lit(null).cast("double").as("new_v"))
+      // post-change fact rows: inserts as-is, survivors with the update
+      // rule applied — the same "finals" set the oracle recomputes from
+      val detail = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey"), col("o_totalprice").as("v"))
+        .unionAll(o.filter(col("o_orderkey") % 7 =!= 0 &&
+            !(col("o_orderkey") % 11 =!= 3 && col("o_orderkey") % 13 === 5))
+          .select(col("o_custkey"),
+            when(col("o_orderkey") % 11 === 3,
+              floor(col("o_totalprice") * 1.1 * 100 + 0.5) / 100)
+              .otherwise(col("o_totalprice")).as("v")))
+      graft.operators.IncrementalAgg.maintainFull(base,
+          ins.unionAll(upd).unionAll(del), detail, "o_custkey", "v",
+          "old_v", "new_v")
+        .select(col("o_custkey"), col("cnt"),
+          round(col("v_sum"), 2).as("v_sum"), col("v_min"), col("v_max"))
+        .orderBy("o_custkey")
+    }),
+
     // deterministic md5 train/val/test split: pure map, same row ->
     // same split in any engine, on any rerun
     "sample_split" -> ((s, dir) =>
@@ -838,6 +879,23 @@ object Analytics7 {
            round(sum(v), 2) AS v_sum
          FROM finals GROUP BY o_custkey ORDER BY o_custkey""",
 
+    "cdc_incremental_agg2" ->
+      """WITH finals AS (
+           SELECT o_custkey, o_totalprice AS v FROM orders
+           WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_custkey,
+             CASE WHEN o_orderkey % 11 = 3
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5) / 100
+                  ELSE o_totalprice END AS v
+           FROM orders
+           WHERE o_orderkey % 7 <> 0
+             AND NOT (o_orderkey % 11 <> 3 AND o_orderkey % 13 = 5))
+         SELECT o_custkey, count(*)::BIGINT AS cnt,
+           round(sum(v), 2) AS v_sum,
+           min(v) AS v_min, max(v) AS v_max
+         FROM finals GROUP BY o_custkey ORDER BY o_custkey""",
+
     "sample_split" ->
       """SELECT o_orderkey,
            CASE WHEN u <= 0.8 THEN 'train' WHEN u <= 0.9 THEN 'val'
@@ -1058,7 +1116,7 @@ object Analytics7 {
       """SELECT count(*) AS n_rows,
            sum(CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
              l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR || '|' ||
-             l_returnflag), 1, 10)) AS BIGINT))::DECIMAL(38,0) AS content_sum,
+             l_returnflag), 1, 8)) AS BIGINT))::BIGINT AS content_sum,
            bit_xor(CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
              l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR || '|' ||
              l_returnflag), 1, 15)) AS BIGINT)) AS content_xor

@@ -303,6 +303,19 @@ object Extensions {
       EventWindows.sessions(tbl(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start")),
 
+    // per-user greedy funnel progress: the StepDone rows the streaming
+    // tracker emits under event-time-ordered replay (batch twin —
+    // streaming == replay is pinned in StreamingFunnelSpec); the oracle
+    // re-derives every (user, step, counted-ts) from the same step list.
+    // Times run at MICROsecond precision on both sides (integral div —
+    // DuckDB holds parquet nanos at us internally, so ns-strict
+    // comparisons would diverge on sub-us ties)
+    "stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingFunnel.progressReplay(
+          tbl(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "event_type", "ts_us", Analytics7.FunnelSteps)
+        .orderBy("user_id", "step_idx")),
+
     // custom arbitrary-state sessionization (flatMapGroups batch twin of
     // the flatMapGroupsWithState streaming operator)
     "stream_session_custom" -> ((s, dir) => {
@@ -591,7 +604,32 @@ object Extensions {
         countDistinct(col("l_orderkey")).as("exact_orders")))
   )
 
+  /** `stream_funnel` oracle: the greedy strictly-after advance as a
+    * chained CTE per step, generated from the SAME step list as the
+    * Spark query so the two sides cannot drift. Times are BIGINT
+    * MICROseconds on both sides (`epoch_us` ↔ `ts div 1000`): DuckDB
+    * holds the parquet nanos at us precision, so a ns-strict comparison
+    * would diverge on sub-us ties. */
+  private def streamFunnelOracleSql(steps: Seq[String]): String = {
+    val ctes = steps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+           WHERE event_type = '$step' GROUP BY user_id)"""
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN s$i ON e.user_id = s$i.user_id
+             AND epoch_us(e.ts) > s$i.t
+           WHERE e.event_type = '$step' GROUP BY e.user_id)"""
+    }.mkString(",\n       ")
+    val selects = steps.indices.map { i =>
+      s"""SELECT user_id, CAST(${i + 1} AS INT) AS step_idx, t AS ts
+         FROM s${i + 1}"""
+    }.mkString(" UNION ALL ")
+    s"WITH $ctes $selects ORDER BY user_id, step_idx"
+  }
+
   val oracles: Map[String, String] = Map(
+    "stream_funnel" -> streamFunnelOracleSql(Analytics7.FunnelSteps),
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
            regexp_split_to_array(trim(text), '\s+'))), ' ')) AS dedup_key,

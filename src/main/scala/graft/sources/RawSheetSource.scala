@@ -152,9 +152,18 @@ class RawSheetDataSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (_, cols) = resolve(pathOf(options), decodeConfig(options))
+    // Reserved names: the provider itself emits `_file_row` and the
+    // per-file `Proyecto` literal. A sheet whose resolved headers (or
+    // ensure list) already carry one of these would otherwise produce a
+    // schema with duplicate field names, and the per-row projection in
+    // planInputPartitions would bind the literal for both. Dropping the
+    // sheet's own column mirrors `RawSheetReader.readSheet`, whose
+    // `withColumn("Proyecto", lit(...))` replaces any existing column.
+    val reserved = Set("_file_row", "Proyecto")
     StructType(
       StructField("_file_row", LongType, nullable = false) +:
-        cols.map(c => StructField(c.name, StringType)) :+
+        cols.filterNot(c => reserved(c.name))
+          .map(c => StructField(c.name, StringType)) :+
         StructField("Proyecto", StringType))
   }
 

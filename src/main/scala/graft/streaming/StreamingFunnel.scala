@@ -63,6 +63,40 @@ object StreamingFunnel {
     }
   }
 
+  /** Batch twin of [[funnelProgress]] under event-time-ordered replay:
+    * the per-user `StepDone` rows the tracker emits when fed the whole
+    * history in event-time order. Step 1 counts at the user's earliest
+    * step-1 event; step k at the earliest step-k event STRICTLY after
+    * the counted step-(k−1) time — the same greedy-earliest rule, so
+    * the equivalence is provable row-by-row (pinned in
+    * `StreamingFunnelSpec`) and replayable as a chained-CTE SQL oracle.
+    *
+    * Scale shape: one equi-join + map-side-combined min-aggregate per
+    * step, each shuffling on the user key only; the per-step frames
+    * shrink monotonically (funnel survivors), and no per-user event
+    * collection ever happens. Output: (`userCol`, step_idx, ts).
+    */
+  def progressReplay(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      // rename before the join: both sides descend from `events`, and a
+      // same-name predicate would collapse to one attribute (trivially
+      // true) — the self-join lineage trap
+      events.filter(col(typeCol) === step)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        .join(prev, col("__u") === col(userCol) && col("__ts") > col("__t"))
+        .groupBy(col(userCol)).agg(min(col("__ts")).as("__t"))
+    }
+    reached.zipWithIndex.map { case (stage, i) =>
+      stage.select(col(userCol), lit(i + 1).cast("int").as("step_idx"),
+        col("__t").as("ts"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** @param events  streaming DataFrame with `tsCol` (TimestampType)
     * @param delay   watermark delay the event-time column rides
     * @param steps   ordered step types (e.g. view, click, purchase)

@@ -231,7 +231,7 @@ class AnalyticsSpec extends SparkTestBase {
         col("l_quantity") + 1).otherwise(col("l_quantity")))
     val t = Analytics.tableChecksum(tampered, cols).head()
     assert(t.getLong(0) === base.getLong(0))
-    assert(t.getDecimal(1) !== base.getDecimal(1))
+    assert(t.getLong(1) !== base.getLong(1))
     assert(t.getLong(2) !== base.getLong(2))
   }
 

@@ -46,6 +46,23 @@ class Md5DedupFamilySpec extends SparkTestBase {
     }
   }
 
+  test("md5 minhash keep: null-text docs survive the decision grouped") {
+    import spark.implicits._
+    val withNulls = Seq((1L, "alpha beta gamma"), (2L, null),
+      (3L, "alpha beta gamma"), (4L, null)).toDF("doc_id", "text")
+    val kept = Dedup.minhashRepresentativesMd5(withNulls, "doc_id", "text",
+        numHashes = 32, bands = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the sentinel digest's all-null fallback signature keeps null-text
+    // docs in the output (inner-join on the exploded signature table
+    // used to drop them) and groups them as exact duplicates
+    assert(kept.keySet === Set(1L, 2L, 3L, 4L),
+      "every doc, null-text included, gets a keep/drop decision")
+    assert(kept(2L) === 2L && kept(4L) === 2L,
+      "null-text docs form one group represented by their min id")
+    assert(kept(3L) === 1L)
+  }
+
   test("corpus overlap: identity, disjointness, and estimator accuracy") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta"),

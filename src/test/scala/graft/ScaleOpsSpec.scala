@@ -50,6 +50,39 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(!got.contains(3L), "fully-deleted key drops out")
   }
 
+  test("maintainFull: delete of an extremum recomputes only touched keys") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    val rows = Seq((1L, 10.0), (1L, 20.0), (1L, 15.0), (2L, 5.0), (2L, 9.0),
+      (3L, 7.0)).toDF("k", "v")
+    val base = rows.groupBy("k").agg(count(lit(1)).as("cnt"),
+      sum("v").as("v_sum"), min("v").as("v_min"), max("v").as("v_max"))
+    // k=1: delete the MAX (20) -> extremum invalidated, recompute path;
+    // k=2: insert 12 (new max via pure delta) and update 5 -> 4 (the
+    //      MIN's old value removed -> invalidated, recompute path);
+    // k=3: untouched; k=4: brand-new key, insert-only delta path
+    val changes = Seq(
+      (1L, Some(20.0), Option.empty[Double]),
+      (2L, Option.empty[Double], Some(12.0)),
+      (2L, Some(5.0), Some(4.0)),
+      (4L, Option.empty[Double], Some(42.0)))
+      .toDF("k", "old_v", "new_v")
+    val detail = Seq((1L, 10.0), (1L, 15.0), (2L, 4.0), (2L, 9.0),
+      (2L, 12.0), (3L, 7.0), (4L, 42.0)).toDF("k", "v")
+    val got = IncrementalAgg.maintainFull(base, changes, detail,
+        "k", "v", "old_v", "new_v")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // every row equals the from-scratch recompute of `detail`
+    assert(got === Map(
+      1L -> (2L, 25.0, 10.0, 15.0),
+      2L -> (3L, 25.0, 4.0, 12.0),
+      3L -> (1L, 7.0, 7.0, 7.0),
+      4L -> (1L, 42.0, 42.0, 42.0)))
+  }
+
   test("foreachBatch + IncrementalAgg: streamed maintenance == recompute") {
     import graft.operators.IncrementalAgg
     import spark.implicits._

@@ -61,6 +61,29 @@ class StreamingFunnelSpec extends SparkTestBase {
     assert(got.toSeq === Seq(1, 2, 3))
   }
 
+  test("progressReplay is the exact batch twin of the streamed StepDone rows") {
+    // the full fixture zoo: completes, out-of-order stall, partial,
+    // duplicate + same-instant tie — split across two batches
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "click", ts(0)), (2L, "view", ts(10)), (2L, "purchase", ts(20)),
+      (3L, "view", ts(0)), (3L, "click", ts(5)),
+      (9L, "view", ts(0)), (9L, "view", ts(1)), (9L, "click", ts(0)))
+    runStream("sf_twin", Seq(
+      events.filter(_._3.getTime <= ts(5).getTime),
+      events.filter(_._3.getTime > ts(5).getTime)))
+    val got = spark.table("sf_twin").select("user", "step_idx", "ts")
+      .as[(Long, Int, java.sql.Timestamp)].collect()
+      .map(r => (r._1, r._2, r._3.getTime)).toSeq.sorted
+    val want = StreamingFunnel.progressReplay(
+        events.toDF("user_id", "event_type", "t"),
+        "user_id", "event_type", "t", steps)
+      .select("user_id", "step_idx", "ts")
+      .as[(Long, Int, java.sql.Timestamp)].collect()
+      .map(r => (r._1, r._2, r._3.getTime)).toSeq.sorted
+    assert(want.nonEmpty && got === want)
+  }
+
   test("each (user, step) emits at most once; equal times don't advance") {
     // duplicate views, and a click at the SAME instant as the view
     // (strictly-after rule: must not count)
