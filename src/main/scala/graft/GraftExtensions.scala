@@ -93,5 +93,78 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans graft.plans.TopKPerGroup as partial -> exchange -> final
     // bounded-buffer execs (never sorts more than k rows per group)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+
+    // ---- table-valued surface: the whole-relation curation operators ----
+    // SELECT * FROM graft_minhash_keep('docs', 'doc_id', 'text'): the TVF
+    // builder resolves the named table/view through the active session's
+    // catalog and returns the SAME logical plan the Scala builder method
+    // produces — SQL users get the operator, not a reimplementation
+    // (plan equality pinned in ExtensionsRegistrationSpec).
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.types.StringType
+    def strLit(fn: String, what: String, ex: Expression): String = ex match {
+      case l if l.foldable && l.dataType == StringType && l.eval() != null =>
+        l.eval().toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be a non-null string literal")
+    }
+    def numLit(fn: String, what: String, ex: Expression): Double = ex match {
+      case l if l.foldable && l.eval() != null =>
+        l.eval().toString.toDouble // decimal/double/int literals alike
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal")
+    }
+    e.injectTableFunction((
+      FunctionIdentifier("graft_exact_dedup"),
+      info("graft_exact_dedup",
+        "graft_exact_dedup(table, idCol, textCol) - word-set digest groups: (dedup_key, first_id, n_docs)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_exact_dedup expects 3 arguments")
+        val n = "graft_exact_dedup"
+        graft.dedup.Dedup.exactGroups(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_minhash_keep"),
+      info("graft_minhash_keep",
+        "graft_minhash_keep(table, idCol, textCol) - one-pass MinHash LSH dedup decision (md5 family): (id, rep_id, is_kept)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_minhash_keep expects 3 arguments")
+        val n = "graft_minhash_keep"
+        graft.dedup.Dedup.minhashRepresentativesMd5(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_containment_keep"),
+      info("graft_containment_keep",
+        "graft_containment_keep(table, idCol, textCol, t) - one-pass containment dedup decision: (id, rep_id, is_kept)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_containment_keep expects 4 arguments")
+        val n = "graft_containment_keep"
+        graft.dedup.Dedup.containmentRepresentatives(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "threshold", args(3)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_split"),
+      info("graft_split",
+        "graft_split(table, keyCol, wTrain, wVal, wTest) - deterministic md5 train/val/test split"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_split expects 5 arguments")
+        val n = "graft_split"
+        graft.operators.DeterministicSplit(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            Seq(strLit(n, "keyCol", args(1))),
+            Seq("train" -> numLit(n, "wTrain", args(2)),
+              "val" -> numLit(n, "wVal", args(3)),
+              "test" -> numLit(n, "wTest", args(4))))
+          .queryExecution.logical
+      }))
   }
 }

@@ -663,17 +663,24 @@ object Dedup {
     * quadratic in corpus size; the windowed variant remains only as the
     * oracle-verification shape.
     */
-  def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
-                          threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0,1], got $threshold")
-    // digest collapse (as in [[minhashNearDups]]): the prefix join and
-    // verification run once per UNIQUE word-set; duplicate-heavy corpora
-    // pay candidate cost per template, not per copy
-    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
-    val uniq = df.select(wordSetKey(col(textCol)).as("__dig"),
-        wordSet(col(textCol)).as("__ws"))
-      .dropDuplicates("__dig")
+  /** Digest-level verified containment pairs — the shared core of the
+    * production containment family. `uniq` = one row per unique
+    * word-set (`__dig`, `__ws`). Returns (`__dig_a`, `__dig_b`,
+    * `c_ab`, `c_ba`) for every unordered digest pair whose larger
+    * DIRECTIONAL containment (rounded to 3 dp) meets `threshold` —
+    * c_ab is always a's containment in b (|A∩B|/|A|).
+    *
+    * AllPairs/PPJoin-family prefix filter: each set's candidate prefix
+    * is its |S| − ceil(t′·|S|) + 1 RAREST tokens (document-frequency
+    * order — rare-first minimizes candidate fan-out), joined against
+    * the full token index, so every pair with containment ≥ t′ in
+    * EITHER direction shares at least one prefix-vs-index token — full
+    * recall, nothing quadratic in corpus size. t′ carries half-ulp-of-
+    * round-3 slack because the kept-set predicate compares the ROUNDED
+    * containment (a pair at c = t − 0.0004 rounds up into the kept set
+    * and must be recalled). */
+  private def containmentVerifiedDigests(uniq: DataFrame,
+                                         threshold: Double): DataFrame = {
     val toks = uniq.select(col("__dig"), size(col("__ws")).as("__sz"),
       explode(col("__ws")).as("__w"))
     val dfreq = toks.groupBy("__w").agg(count(lit(1)).as("__df"))
@@ -681,11 +688,6 @@ object Dedup {
       .partitionBy("__dig").orderBy(col("__df"), col("__w"))
     val ranked = toks.join(dfreq, Seq("__w"))
       .withColumn("__pos", row_number().over(w))
-    // prefix of the POTENTIALLY-CONTAINED side: |S| - ceil(t'|S|) + 1
-    // rarest tokens; every set also serves as containing side via the
-    // full token index. t' carries half-ulp-of-round-3 slack because the
-    // kept-set predicate compares the ROUNDED containment (a pair at
-    // c = t - 0.0004 rounds up into the kept set and must be recalled)
     val tSlack = threshold - 5e-4
     val prefixes = ranked
       .filter(col("__pos") <= col("__sz") - ceil(lit(tSlack) * col("__sz"))
@@ -699,7 +701,7 @@ object Dedup {
       .distinct()
     val inter = size(array_intersect(col("__set_a"), col("__set_b")))
       .cast("double")
-    val verified = cand
+    cand
       .join(uniq.select(col("__dig").as("__dig_a"), col("__ws").as("__set_a")),
         Seq("__dig_a"))
       .join(uniq.select(col("__dig").as("__dig_b"), col("__ws").as("__set_b")),
@@ -708,6 +710,20 @@ object Dedup {
       .withColumn("c_ba", round(inter / size(col("__set_b")), 3))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select("__dig_a", "__dig_b", "c_ab", "c_ba")
+  }
+
+  def containmentNearDups(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    // digest collapse (as in [[minhashNearDups]]): the prefix join and
+    // verification run once per UNIQUE word-set; duplicate-heavy corpora
+    // pay candidate cost per template, not per copy
+    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
+    val uniq = df.select(wordSetKey(col(textCol)).as("__dig"),
+        wordSet(col(textCol)).as("__ws"))
+      .dropDuplicates("__dig")
+    val verified = containmentVerifiedDigests(uniq, threshold)
     // expand digest pairs to id pairs; the directional scores follow the
     // id order (c_ab is always the smaller-ID side's containment)
     val cross = verified
@@ -726,5 +742,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         lit(1.0).as("c_ab"), lit(1.0).as("c_ba"))
     cross.unionByName(within)
+  }
+
+  /** Single-pass containment dedup DECISION — the O(n)-output
+    * [[minhashRepresentatives]] analogue of [[containmentNearDups]]:
+    * document i is dropped iff some document with a smaller id contains
+    * ≥ `threshold` of i's word-set (exact-duplicate groups keep their
+    * min id; rounded-to-3-dp containment, matching the pair operator).
+    * Returns (`idCol`, rep_id, is_kept) with rep_id = the smallest such
+    * container (self when kept).
+    *
+    * Like the MinHash keep decision it is one-pass, not
+    * greedy-sequential: the container that drops a document need not
+    * itself be kept (a chain a⊇b⊇c may drop both b and c where the
+    * sequential greedy would re-keep c) — the standard trade for a
+    * decision computable in a bounded number of shuffles at corpus
+    * scale. Cost: the digest-collapsed prefix join of the pair
+    * operator, then two key-grouped aggregations — candidate work per
+    * unique TEMPLATE, membership expansion per document; nothing
+    * quadratic in corpus size, and exact replication of the corpus
+    * leaves the candidate join's input invariant (rehearsed in
+    * `ScaleRehearsal`). */
+  def containmentRepresentatives(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    // null-text sentinel digest, as in [[minhashRepresentatives]]: the
+    // equi-joins below would otherwise drop null-text docs entirely
+    val dig = coalesce(wordSetKey(col(textCol)), lit(""))
+    val members = df.select(col(idCol), dig.as("__dig"))
+    val digMin = members.groupBy("__dig").agg(min(idCol).as("__dmin"))
+    val uniq = df.select(dig.as("__dig"), wordSet(col(textCol)).as("__ws"))
+      .dropDuplicates("__dig")
+    val verified = containmentVerifiedDigests(uniq, threshold)
+    // directional containment edges: child digest -> containing digest
+    // (c_ab is a's containment in b, so c_ab >= t makes b a's parent)
+    val edges = verified.filter(col("c_ab") >= threshold)
+      .select(col("__dig_a").as("__dig"), col("__dig_b").as("__par"))
+      .unionAll(verified.filter(col("c_ba") >= threshold)
+        .select(col("__dig_b").as("__dig"), col("__dig_a").as("__par")))
+    // smallest id holding any containing digest; a parent with only
+    // LARGER ids than the child's own min cannot drop it (least below)
+    val parentMin = edges
+      .join(digMin.toDF("__par", "__pmin"), Seq("__par"))
+      .groupBy("__dig").agg(min("__pmin").as("__par_min"))
+    val repDig = digMin.join(parentMin, Seq("__dig"), "left")
+      .select(col("__dig"),
+        least(col("__dmin"), coalesce(col("__par_min"), col("__dmin")))
+          .as("rep_id"))
+    members.join(repDig, Seq("__dig"))
+      .select(col(idCol), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("is_kept"))
   }
 }

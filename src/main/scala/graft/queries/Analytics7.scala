@@ -358,6 +358,16 @@ object Analytics7 {
         "doc_id", "text", threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
+    // the O(n) containment DECISION (keep/drop, not pairs): doc i drops
+    // iff a smaller-id doc contains >= t of its word-set; the oracle
+    // recomputes every doc's smallest container by brute force (same
+    // deterministic 10% subset as dedup_containment_scale, same reason)
+    "dedup_containment_keep" -> ((s, dir) =>
+      graft.dedup.Dedup.containmentRepresentatives(
+        tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.9)
+        .orderBy("doc_id")),
+
     // PER-GROUP quantile buckets: quartile cutpoints per status
     // broadcast back, bucket assignment a pure map (the grouped variant
     // of agg_quantile_bucket's scale-safe ntile replacement)
@@ -967,6 +977,22 @@ object Analytics7 {
            round(i / lb, 3) AS c_ba
          FROM p WHERE greatest(round(i / la, 3), round(i / lb, 3)) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "dedup_containment_keep" ->
+      """WITH sets AS (SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+           FROM documents WHERE doc_id % 10 = 0),
+         par AS (SELECT a.doc_id AS doc_id, min(b.doc_id) AS pmin
+           FROM sets a JOIN sets b ON b.doc_id <> a.doc_id
+           WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(a.s), 3) >= 0.9
+           GROUP BY a.doc_id)
+         SELECT s.doc_id,
+           least(s.doc_id, coalesce(p.pmin, s.doc_id)) AS rep_id,
+           least(s.doc_id, coalesce(p.pmin, s.doc_id)) = s.doc_id
+             AS is_kept
+         FROM sets s LEFT JOIN par p ON s.doc_id = p.doc_id
+         ORDER BY s.doc_id""",
 
     "agg_quantile_bucket_grouped" ->
       """WITH c AS (SELECT o_orderstatus,

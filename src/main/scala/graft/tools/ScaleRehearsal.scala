@@ -74,6 +74,17 @@ object ScaleRehearsal {
         f"every replica pair IS a containment pair)")
       c
     }
+    // The DECISION operator has O(n) output even where the pair output
+    // is k^2-in-cluster: under exact replication the digest-collapsed
+    // candidate join is invariant in k, so its cost should stay flat
+    // (per-doc membership expansion aside) where the pair dump above
+    // grows with its own answer size
+    time("containment keep (decision)") {
+      Dedup.containmentRepresentatives(base, "doc_id", "text", 0.9).count()
+    }
+    time(s"containment keep (decision, ${k}x)") {
+      Dedup.containmentRepresentatives(corpus, "doc_id", "text", 0.9).count()
+    }
 
     // Hot-bucket rehearsal: the same row count, but every doc is a
     // DISTINCT single-word mutation of one 30-word template — digest

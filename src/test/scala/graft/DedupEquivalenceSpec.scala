@@ -140,6 +140,54 @@ class DedupEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("containment keep decision == brute force on randomized mini-corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll")
+    Seq(0.6, 0.9).foreach { t =>
+      val docs = (0 until 80).map { i =>
+        val base = Vector.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        val words = if (i % 5 == 0 && i > 0) base.take(2) else base
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      // brute per-doc smallest container (ANY other doc, identical sets
+      // included, containing >= t of the doc's words)
+      val sets = docs.select(col("doc_id"), Dedup.wordSet(col("text")).as("s"))
+      val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+      val pmin = sets.toDF("id", "__sa")
+        .crossJoin(sets.toDF("other", "__sb"))
+        .filter(col("id") =!= col("other") &&
+          round(inter / size(col("__sa")), 3) >= t)
+        .groupBy("id").agg(min("other").as("__pmin"))
+      val brute = sets.select(col("doc_id")).join(pmin,
+          col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          least(col("doc_id"), coalesce(col("__pmin"), col("doc_id")))
+            .as("rep_id"))
+        .withColumn("is_kept", col("doc_id") === col("rep_id"))
+      val fast = Dedup.containmentRepresentatives(docs, "doc_id", "text", t)
+      assert(fast.exceptAll(brute).count() === 0L, s"t=$t fast-only")
+      assert(brute.exceptAll(fast).count() === 0L, s"t=$t brute-only")
+    }
+  }
+
+  test("containment keep: quoted docs drop, null-text group keeps min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma"), // contained in 1 -> dropped
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), // exact dup of 3 -> dropped
+      (5L, "unrelated content entirely")).toDF("doc_id", "text")
+    val got = Dedup.containmentRepresentatives(docs, "doc_id", "text", 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got === Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (3L, true),
+      4L -> (3L, false), 5L -> (5L, true)))
+  }
+
   test("containment catches a short doc quoted inside a long one") {
     import spark.implicits._
     val docs = Seq(

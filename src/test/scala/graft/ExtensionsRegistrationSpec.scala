@@ -73,6 +73,78 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
     }
   }
 
+  test("table-valued functions plan to the same operators as the builders") {
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-tvf-test")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import spark.implicits._
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma"),
+        (3L, "alpha beta gamma delta epsilon"),
+        (4L, "unrelated content entirely"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tvf_docs")
+      val docs = spark.table("tvf_docs")
+
+      // the SQL call must be the SAME plan the builder method produces
+      val sqlKeep = spark.sql(
+        "SELECT * FROM graft_minhash_keep('tvf_docs', 'doc_id', 'text')")
+      val apiKeep = graft.dedup.Dedup.minhashRepresentativesMd5(
+        docs, "doc_id", "text")
+      assert(sqlKeep.queryExecution.optimizedPlan
+        .sameResult(apiKeep.queryExecution.optimizedPlan),
+        "graft_minhash_keep must plan to minhashRepresentativesMd5")
+
+      val sqlContain = spark.sql(
+        "SELECT * FROM graft_containment_keep('tvf_docs','doc_id','text',0.9)")
+      val apiContain = graft.dedup.Dedup.containmentRepresentatives(
+        docs, "doc_id", "text", 0.9)
+      assert(sqlContain.queryExecution.optimizedPlan
+        .sameResult(apiContain.queryExecution.optimizedPlan),
+        "graft_containment_keep must plan to containmentRepresentatives")
+      // and the decision itself is right: 3 is 1's exact dup, 2 is
+      // contained in 1, 4 stands alone
+      val kept = sqlContain.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(kept === Map(1L -> (1L, true), 2L -> (1L, false),
+        3L -> (1L, false), 4L -> (4L, true)))
+
+      val sqlDedup = spark.sql(
+        "SELECT * FROM graft_exact_dedup('tvf_docs', 'doc_id', 'text')")
+      val apiDedup = graft.dedup.Dedup.exactGroups(docs, "doc_id", "text")
+      assert(sqlDedup.queryExecution.optimizedPlan
+        .sameResult(apiDedup.queryExecution.optimizedPlan))
+      assert(sqlDedup.count() === 3) // {1,3} collapse
+
+      val sqlSplit = spark.sql(
+        "SELECT * FROM graft_split('tvf_docs','doc_id',0.8,0.1,0.1)")
+      val apiSplit = graft.operators.DeterministicSplit(docs,
+        Seq("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      assert(sqlSplit.queryExecution.optimizedPlan
+        .sameResult(apiSplit.queryExecution.optimizedPlan))
+
+      // misuse: non-literal / wrong-arity calls fail at analysis with
+      // the builder's message, not a planner crash
+      intercept[Exception] {
+        spark.sql("SELECT * FROM graft_minhash_keep('tvf_docs','doc_id')")
+          .head()
+      }
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      if (prevActive.isEmpty) SparkSession.clearActiveSession()
+      if (prevDefault.isEmpty) SparkSession.clearDefaultSession()
+    }
+  }
+
   // Note: the `spark.sql.extensions` CONFIG-string route cannot be
   // exercised under the shared test context — getOrCreate resolves that
   // static conf from the SparkContext created by the first suite, not
