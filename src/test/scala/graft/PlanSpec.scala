@@ -287,6 +287,51 @@ class PlanSpec extends SparkTestBase {
       s"the rank window must partition by digest:\n$p")
   }
 
+  test("containment keep decision: equi-joins only, digest-bounded window") {
+    val df = graft.dedup.Dedup.containmentRepresentatives(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 0.9)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"the decision path must stay on equi-joins:\n$p")
+    assert(!p.contains("windowspecdefinition()") &&
+      (!p.contains("Window [") || p.contains("windowspecdefinition(__dig")),
+      s"the only window is the per-digest token rank:\n$p")
+  }
+
+  test("maintainFull: detail recompute is semi-join-pruned, no window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq((1L, 10.0), (2L, 5.0)).toDF("k", "v")
+    val base = rows.groupBy("k").agg(count(lit(1)).as("cnt"),
+      sum("v").as("v_sum"), min("v").as("v_min"), max("v").as("v_max"))
+    val changes = Seq((1L, Some(10.0), Option.empty[Double]))
+      .toDF("k", "old_v", "new_v")
+    val df = graft.operators.IncrementalAgg.maintainFull(
+      base, changes, rows, "k", "v", "old_v", "new_v")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"invalidated-key recompute must prune detail via a semi join:\n$p")
+    assert(!p.contains("Window"),
+      s"IVM must be aggregation + joins, never a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"all joins key on the aggregate key:\n$p")
+  }
+
+  test("funnel replay: per-step key joins, no window, no event collection") {
+    import org.apache.spark.sql.functions.expr
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts_us", expr("CAST(ts AS LONG) div 1000"))
+    val df = graft.streaming.StreamingFunnel.progressReplay(
+      ev, "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"greedy advance must be min-aggregates, never a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"step joins must stay equi-joins on the user key:\n$p")
+    assert(!p.contains("collect_list"),
+      s"no per-user event collection:\n$p")
+  }
+
   test("duplicated spans: two partial-agg shuffles + a key join, no window") {
     val df = graft.textanalysis.TextAnalysis.duplicatedSpans(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 8)
