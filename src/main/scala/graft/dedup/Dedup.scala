@@ -744,6 +744,89 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Incremental batch-vs-index NEAR-dup decision (md5 replayable
+    * family) — the near-dup sibling of [[incrementalExact]]: one row
+    * per batch document with
+    *
+    *  - `dup_of_index`: the smallest index id whose word-set Jaccard
+    *    with the batch doc meets `threshold` (exact duplicates,
+    *    including the null-text sentinel group, count at 1.0); null
+    *    when the index holds no near-dup;
+    *  - `best_jaccard`: the highest verifying similarity (3 dp);
+    *  - `keep`: no verifying index doc — the admission decision an
+    *    incrementally-grown corpus applies to every new shard.
+    *
+    * Candidates come from an LSH band-bucket join between the batch's
+    * and the index's signatures — recall is the standard (1−t^r)^b LSH
+    * curve, NOT exhaustive; a production store would persist the
+    * index's banded form once and join each day's batch against it,
+    * which is exactly the shape here (the index side is
+    * digest-collapsed and bucket-keyed; nothing rescans old batches).
+    * Verification fuses into the join condition
+    * (size-ratio bound → first-colliding-band dedup → exact merge
+    * Jaccard), as in [[minhashNearDupsMd5]]. Batch docs expand from
+    * digests AFTER the decision, so exact-duplicate-heavy batches pay
+    * candidate cost per unique template. */
+  def incrementalNearDupMd5(batch: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double, numHashes: Int = 64,
+                            bands: Int = 8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val rows = numHashes / bands
+    val dig = coalesce(wordSetKey(col(textCol)), lit(""))
+    val bMembers = batch.select(col(idCol), dig.as("__dig"))
+    val iDigMin = index.select(col(idCol), dig.as("__dig"))
+      .groupBy("__dig").agg(min(idCol).as("__exact_min"))
+
+    // banded reps per side (non-null sets only: the sentinel group is
+    // decided by the exact digest join below, where "jaccard of two
+    // empty sets" has no meaningful LSH answer)
+    def bandedReps(df: DataFrame): DataFrame = {
+      val uniq = df
+        .select(dig.as("__dig"), wordSet(col(textCol)).as("__set"))
+        .filter(col("__set").isNotNull)
+        .dropDuplicates("__dig")
+      uniq.join(md5SigTable(uniq, "__set", numHashes), Seq("__dig"))
+        .withColumn("__hset",
+          array_sort(transform(col("__set"), w => xxhash64(w))))
+        .withColumn("__bands", md5BandHashes(col("__sig"), bands, rows))
+        .select(col("__dig"), col("__hset"), col("__bands"),
+          posexplode(col("__bands")).as(Seq("band", "bucket")))
+    }
+    val b = bandedReps(batch)
+      .toDF("__dig_b", "__hset_b", "__bands_b", "band", "bucket")
+    val ix = bandedReps(index)
+      .toDF("__dig_i", "__hset_i", "__bands_i", "band_i", "bucket_i")
+    val jac = graft.functions.SortedJaccard(col("__hset_b"), col("__hset_i"))
+    // cheap-to-expensive join condition, as in bandedVerifyExpand:
+    // bucket equality → size-ratio bound → exactly-once via the first
+    // colliding band → fused merge Jaccard
+    val verified = b.join(ix,
+        col("band") === col("band_i") && col("bucket") === col("bucket_i")
+          && least(size(col("__hset_b")), size(col("__hset_i"))).cast("double")
+            >= lit(threshold) * greatest(size(col("__hset_b")),
+              size(col("__hset_i")))
+          && graft.functions.FirstEqualIndex(col("__bands_b"),
+            col("__bands_i")) === col("band")
+          && jac >= threshold)
+      .select(col("__dig_b"), col("__dig_i"), round(jac, 3).as("__j"))
+    val nearByDig = verified
+      .join(iDigMin.toDF("__dig_i", "__imin"), Seq("__dig_i"))
+      .groupBy("__dig_b")
+      .agg(min("__imin").as("__near_min"), max("__j").as("__near_j"))
+
+    bMembers
+      .join(iDigMin, Seq("__dig"), "left")
+      .join(nearByDig.toDF("__dig", "__near_min", "__near_j"),
+        Seq("__dig"), "left")
+      .select(col(idCol),
+        least(col("__exact_min"), col("__near_min")).as("dup_of_index"),
+        greatest(col("__near_j"),
+          when(col("__exact_min").isNotNull, lit(1.0))).as("best_jaccard"),
+        least(col("__exact_min"), col("__near_min")).isNull.as("keep"))
+  }
+
   /** Single-pass containment dedup DECISION — the O(n)-output
     * [[minhashRepresentatives]] analogue of [[containmentNearDups]]:
     * document i is dropped iff some document with a smaller id contains

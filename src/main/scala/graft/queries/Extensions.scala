@@ -137,6 +137,19 @@ object Extensions {
         "text")
         .orderBy("doc_id")),
 
+    // incremental batch-vs-index NEAR-dup admission (the near-dup
+    // sibling of dedup_incremental): doc_id<250 is the standing index,
+    // the rest arrives as the new batch; the oracle recomputes the md5
+    // band buckets from the same constants and brute-verifies Jaccard
+    "dedup_incremental_near" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.incrementalNearDupMd5(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupsMd5(tbl(s, dir, "documents"), "doc_id", "text",
         maxHamming = 16)
@@ -673,6 +686,38 @@ object Extensions {
            GROUP BY a.doc_id)
          SELECT doc_id, rep_id, doc_id = rep_id AS is_kept
          FROM rep ORDER BY doc_id""",
+    "dedup_incremental_near" ->
+      s"""WITH ${md5MinhashCtes(64, 8)},
+         bk AS (SELECT doc_id, ws,
+             md5(array_to_string(list_sort(ws), ' ')) AS dk FROM sets),
+         ex AS (SELECT b.doc_id AS bid, min(i.doc_id) AS exact_min
+           FROM bk b JOIN bk i ON b.dk = i.dk AND i.doc_id < 250
+           WHERE b.doc_id >= 250 GROUP BY b.doc_id),
+         cand AS (SELECT DISTINCT b.doc_id AS bid, i.doc_id AS iid
+           FROM bands b JOIN bands i
+             ON b.b = i.b AND b.bucket = i.bucket AND i.doc_id < 250
+           WHERE b.doc_id >= 250),
+         ver AS (SELECT bid, min(iid) AS near_min, max(jr) AS near_j
+           FROM (SELECT c.bid, c.iid,
+               len(list_intersect(bb.ws, ii.ws))::DOUBLE
+                 / len(list_distinct(bb.ws || ii.ws)) AS j,
+               round(len(list_intersect(bb.ws, ii.ws))::DOUBLE
+                 / len(list_distinct(bb.ws || ii.ws)), 3) AS jr
+             FROM cand c JOIN sets bb ON c.bid = bb.doc_id
+               JOIN sets ii ON c.iid = ii.doc_id) t
+           WHERE j >= 0.8 GROUP BY bid),
+         outp AS (SELECT s.doc_id,
+             CASE WHEN ex.exact_min IS NULL THEN v.near_min
+                  WHEN v.near_min IS NULL THEN ex.exact_min
+                  ELSE least(ex.exact_min, v.near_min) END AS dup_of_index,
+             CASE WHEN ex.exact_min IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                  ELSE v.near_j END AS best_jaccard
+           FROM sets s LEFT JOIN ex ON s.doc_id = ex.bid
+             LEFT JOIN ver v ON s.doc_id = v.bid
+           WHERE s.doc_id >= 250)
+         SELECT doc_id, dup_of_index, best_jaccard,
+           dup_of_index IS NULL AS keep
+         FROM outp ORDER BY doc_id""",
     "dedup_simhash" ->
       s"""WITH $md5SimhashCtes
          SELECT doc_id, simhash, simhash >> 44 AS block

@@ -63,6 +63,58 @@ class Md5DedupFamilySpec extends SparkTestBase {
     assert(kept(3L) === 1L)
   }
 
+  test("incremental near-dup == banded brute force on the corpus split") {
+    val batch = docs.filter(col("doc_id") >= 250)
+    val index = docs.filter(col("doc_id") < 250)
+    val t = 0.8
+    val got = Dedup.incrementalNearDupMd5(batch, index, "doc_id", "text", t)
+    // expected: band-bucket candidates (same md5 family), brute-verified
+    // on the word sets, aggregated to (min index id, max jaccard)
+    val bb = Dedup.md5BandedDocs(batch, "doc_id", "text")
+      .toDF("bid", "band", "bucket")
+    val ib = Dedup.md5BandedDocs(index, "doc_id", "text")
+      .toDF("iid", "band", "bucket")
+    val bSets = batch.select(col("doc_id").as("bid"),
+      Dedup.wordSet(col("text")).as("bs"))
+    val iSets = index.select(col("doc_id").as("iid"),
+      Dedup.wordSet(col("text")).as("is"))
+    val jraw = size(array_intersect(col("bs"), col("is"))).cast("double") /
+      size(array_union(col("bs"), col("is")))
+    val ver = bb.join(ib, Seq("band", "bucket"))
+      .select("bid", "iid").distinct()
+      .join(bSets, Seq("bid")).join(iSets, Seq("iid"))
+      .filter(jraw >= t)
+      .groupBy("bid")
+      .agg(min("iid").as("dup_of_index"), max(round(jraw, 3)).as("best_jaccard"))
+    val want = batch.select(col("doc_id"))
+      .join(ver, col("doc_id") === col("bid"), "left")
+      .select(col("doc_id"), col("dup_of_index"), col("best_jaccard"),
+        col("dup_of_index").isNull.as("keep"))
+    assert(got.exceptAll(want).count() === 0L, "operator-only rows")
+    assert(want.exceptAll(got).count() === 0L, "brute-only rows")
+    // the decision is doing real work: both outcomes occur
+    val kept = got.filter(col("keep")).count()
+    assert(kept > 0 && kept < batch.count())
+  }
+
+  test("incremental near-dup: null-text docs admit against the sentinel") {
+    import spark.implicits._
+    val index = Seq((1L, "alpha beta gamma"), (2L, null))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, null.asInstanceOf[String]),
+      (11L, "omega psi chi"), (12L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupMd5(batch, index, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(3)))
+      .toMap
+    assert(got === Map(
+      10L -> (Some(2L), false), // sentinel group matches the index's null doc
+      11L -> (None, true),
+      12L -> (Some(1L), false)))
+  }
+
   test("corpus overlap: identity, disjointness, and estimator accuracy") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta"),

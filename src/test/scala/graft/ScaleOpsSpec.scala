@@ -117,6 +117,52 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch + maintainFull: streamed min/max maintenance == recompute") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the maintainFull loop folds each micro-batch into BOTH the detail
+    // table (CDC apply) and the aggregate table; the extremum-recompute
+    // path reads the post-batch detail, exactly as a table-format
+    // pipeline would read the just-committed snapshot
+    val input = MemoryStream[(Long, Option[Double], Option[Double])]
+    var detail = Seq.empty[(Long, Double)].toDF("k", "v")
+    var state = Seq.empty[(Long, Long, Double, Double, Double)]
+      .toDF("k", "cnt", "v_sum", "v_min", "v_max")
+    val q = input.toDF().toDF("k", "old_v", "new_v")
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        // apply the feed to the detail table: drop old values, add new
+        val removed = b.filter(col("old_v").isNotNull)
+          .select(col("k"), col("old_v").as("v"))
+        detail = detail.exceptAll(removed)
+          .unionAll(b.filter(col("new_v").isNotNull)
+            .select(col("k"), col("new_v").as("v")))
+          .localCheckpoint()
+        state = IncrementalAgg.maintainFull(state, b, detail,
+          "k", "v", "old_v", "new_v").localCheckpoint()
+      }.start()
+    try {
+      // batch 1: k=1 {10, 20, 15}, k=2 {5}
+      input.addData((1L, None, Some(10.0)), (1L, None, Some(20.0)),
+        (1L, None, Some(15.0)), (2L, None, Some(5.0)))
+      q.processAllAvailable()
+      // batch 2: delete k=1's MAX (20) -> extremum recompute; insert 3
+      input.addData((1L, Some(20.0), None), (1L, None, Some(3.0)))
+      q.processAllAvailable()
+      // batch 3: update k=2's only row 5 -> 7 (min AND max move)
+      input.addData((2L, Some(5.0), Some(7.0)))
+      q.processAllAvailable()
+      val got = state.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      // recompute oracle over the final detail {1:{10,15,3}, 2:{7}}
+      assert(got === Map(
+        1L -> (3L, 28.0, 3.0, 15.0),
+        2L -> (1L, 7.0, 7.0, 7.0)))
+    } finally q.stop()
+  }
+
   test("winsorize: clipped values stay inside the band, interior untouched") {
     import graft.operators.Analytics
     val e = queries.tbl(spark, sf, "events")
