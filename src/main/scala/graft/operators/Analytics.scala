@@ -352,4 +352,80 @@ object Analytics {
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("v_sum"))
   }
+
+  /** Count-min sketch over `keyCol`: `depth` hash rows × `width`
+    * buckets, bucket_r(k) = first-32-md5-bits("cms{r}:" ++ k) mod width
+    * — a replayable family any engine recomputes bit-for-bit. The
+    * sketch IS the aggregation state: one pure-map pass emits `depth`
+    * (row, bucket) pairs per input row, a map-side-combined groupBy
+    * reduces them to ≤ depth·width cells — a FIXED-size summary
+    * regardless of corpus size, and cells from disjoint shards merge by
+    * addition (the property that lets 1000 executors sketch 100 TB and
+    * union the results). Frequency estimates from [[cmsEstimate]] are
+    * upper bounds: est ≥ true always, est ≤ true + εN with prob 1−δ for
+    * width = e/ε, depth = ln(1/δ). */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int,
+                width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"need depth,width > 0: $depth, $width")
+    val buckets = array((0 until depth).map { r =>
+      conv(substring(md5(concat(lit(s"cms$r:"),
+        col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long") % width
+    }: _*)
+    df.select(posexplode(buckets).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsSketch]]: min over the
+    * sketch's `depth` rows of the probed cell. The sketch (≤ depth·width
+    * rows) broadcasts; probing any number of keys is a pure map + one
+    * broadcast join — the heavy-hitter read path never touches the
+    * corpus again. `probes` must carry distinct `keyCol` values. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val buckets = array((0 until depth).map { r =>
+      conv(substring(md5(concat(lit(s"cms$r:"),
+        col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long") % width
+    }: _*)
+    probes.select(col(keyCol), posexplode(buckets).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(keyCol)
+      .agg(min("cnt").as("cms_est"))
+  }
+
+  /** Mergeable-histogram percentile estimates: one map pass bins
+    * `valueCol` into `nBins` fixed-width buckets (clamped at the
+    * edges), the partial-agg shuffle carries ≤ nBins cells, and each
+    * requested percentile linearly interpolates inside the bin whose
+    * cumulative count crosses p·N. Error is bounded by one bin width —
+    * the single-pass, merge-friendly percentile for 100 TB, where the
+    * exact-sort `percentile()` (see [[quantileCutpoints]]) costs a full
+    * shuffle of the data. The cumulative window runs on the ≤ nBins-row
+    * bin table, never on raw rows. */
+  def histogramPercentiles(df: DataFrame, valueCol: String, lo: Double,
+                           width: Double, nBins: Int,
+                           ps: Seq[Double]): DataFrame = {
+    require(width > 0 && nBins > 0, s"need width,nBins > 0: $width, $nBins")
+    require(ps.forall(p => p > 0 && p < 1), s"percentiles in (0,1): $ps")
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)),
+      lit(0L)), lit((nBins - 1).toLong))
+    val bins = df.select(bin.as("__bin"))
+      .groupBy("__bin").agg(count(lit(1)).as("__cnt"))
+    // both windows run on the ≤ nBins-row bin table — single-partition
+    // by construction, not by accident
+    val cum = bins
+      .withColumn("__cum", sum("__cnt").over(
+        Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__total", sum("__cnt").over(
+        Window.partitionBy()))
+    val probes = df.sparkSession.createDataFrame(
+      ps.map(Tuple1.apply)).toDF("p")
+    val target = col("p") * col("__total")
+    probes.join(cum,
+        col("__cum") >= target && col("__cum") - col("__cnt") < target)
+      .select(col("p"), round(lit(lo) + lit(width) * (col("__bin") +
+        (target - (col("__cum") - col("__cnt"))) / col("__cnt")), 6)
+        .as("est"))
+  }
 }

@@ -50,6 +50,32 @@ object Analytics7 {
         .orderBy(col("o_orderstatus"), col("o_totalprice").desc,
           col("o_orderkey"))),
 
+    // fixed-size mergeable count-min sketch (4×512 cells) built in one
+    // pure-map pass + one partial-agg shuffle; probe estimates are
+    // min-over-rows cell counts, always >= the true count — the
+    // bounded-memory frequency summary for a 100 TB key stream
+    "agg_cms_estimate" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sketch = Analytics.cmsSketch(ev, "user_id", depth = 4, width = 512)
+      val probes = ev.select("user_id").filter(col("user_id") < 20).distinct()
+      val tru = ev.filter(col("user_id") < 20).groupBy("user_id")
+        .agg(count(lit(1)).as("true_cnt"))
+      Analytics.cmsEstimate(sketch, probes, "user_id", depth = 4, width = 512)
+        .join(tru, Seq("user_id"))
+        .select(col("user_id"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overestimate"))
+        .orderBy("user_id")
+    }),
+
+    // single-pass approximate percentiles from a 100-bin mergeable
+    // histogram (error <= one bin width): the cumulative window runs on
+    // the bin table, the corpus is touched exactly once
+    "agg_hist_percentile" -> ((s, dir) =>
+      Analytics.histogramPercentiles(tbl(s, dir, "events"), "value",
+          lo = 0.0, width = 5.0, nBins = 100,
+          ps = Seq(0.5, 0.9, 0.95, 0.99))
+        .orderBy("p")),
+
     // most frequent priority per status, ties to the smallest value;
     // the rank window runs on the counted table, never raw rows
     "agg_mode" -> ((s, dir) =>
@@ -694,6 +720,39 @@ object Analytics7 {
   }
 
   val oracles: Map[String, String] = Map(
+    "agg_cms_estimate" ->
+      """WITH ev AS (SELECT user_id FROM events),
+         sk AS (SELECT r,
+             CAST(('0x' || substr(md5('cms' || r || ':' || user_id), 1, 8))
+               AS BIGINT) % 512 AS bucket,
+             count(*) AS cnt
+           FROM ev CROSS JOIN generate_series(0, 3) AS t(r) GROUP BY 1, 2),
+         pr AS (SELECT DISTINCT user_id FROM ev WHERE user_id < 20),
+         pb AS (SELECT user_id, r,
+             CAST(('0x' || substr(md5('cms' || r || ':' || user_id), 1, 8))
+               AS BIGINT) % 512 AS bucket
+           FROM pr CROSS JOIN generate_series(0, 3) AS t(r)),
+         est AS (SELECT user_id, min(cnt) AS cms_est
+           FROM pb JOIN sk USING (r, bucket) GROUP BY 1),
+         tru AS (SELECT user_id, count(*) AS true_cnt
+           FROM ev WHERE user_id < 20 GROUP BY 1)
+         SELECT t.user_id, true_cnt, cms_est,
+           cms_est - true_cnt AS overestimate
+         FROM tru t JOIN est e ON t.user_id = e.user_id
+         ORDER BY t.user_id""",
+    "agg_hist_percentile" ->
+      """WITH b AS (SELECT
+             least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 99)
+               AS bin,
+             count(*) AS cnt FROM events GROUP BY 1),
+         c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS total FROM b),
+         p AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.95::DOUBLE,
+             0.99::DOUBLE]) AS p)
+         SELECT p, round(0.0 + 5.0 * (bin + (p * total - (cum - cnt)) / cnt),
+             6) AS est
+         FROM p JOIN c ON cum >= p * total AND cum - cnt < p * total
+         ORDER BY p""",
     "agg_salted_skew" ->
       """SELECT event_type, count(*) AS n, min(value) AS v_min,
          max(value) AS v_max, round(sum(value), 2) AS v_sum,

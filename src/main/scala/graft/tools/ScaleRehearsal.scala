@@ -185,6 +185,14 @@ object ScaleRehearsal {
     time(s"incremental dedup (${k}x batch vs fixed index)") {
       Dedup.incrementalExact(corpus, bench, "doc_id", "text").count()
     }
+    // incremental NEAR-dup admission: same contract — the index's banded
+    // signature table is fixed, the k-replicated batch collapses to the
+    // base corpus's unique digests before signing, so the band-bucket
+    // join is invariant in k and only the decision join-back grows
+    time(s"incremental near-dup (${k}x batch vs fixed index)") {
+      Dedup.incrementalNearDupMd5(corpus, bench, "doc_id", "text",
+        threshold = 0.8).count()
+    }
     // SemDeDup: nlist scales with n (occupancy ~constant at 64), so the
     // within-cell self-join stays ~linear where a fixed nlist would be
     // quadratic in n/nlist

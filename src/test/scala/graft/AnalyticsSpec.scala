@@ -175,6 +175,44 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.toSeq === direct.toSeq)
   }
 
+  test("count-min estimates upper-bound every true count") {
+    val sketch = Analytics.cmsSketch(events, "user_id", depth = 4, width = 512)
+    assert(sketch.count() <= 4L * 512)
+    val probes = events.select("user_id").distinct()
+    val est = Analytics.cmsEstimate(sketch, probes, "user_id", 4, 512)
+    val tru = events.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+    val bad = est.join(tru, Seq("user_id"))
+      .filter(col("cms_est") < col("true_cnt")).count()
+    assert(bad === 0L, "CMS must never underestimate")
+  }
+
+  test("count-min sketches of disjoint shards merge by cell addition") {
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 === 1)
+    val merged = Analytics.cmsSketch(a, "user_id", 4, 512)
+      .unionByName(Analytics.cmsSketch(b, "user_id", 4, 512))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val full = Analytics.cmsSketch(events, "user_id", 4, 512)
+    assert(merged.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(merged).count() === 0L)
+  }
+
+  test("histogram percentiles land within one bin width of exact") {
+    val ps = Seq(0.5, 0.9, 0.95, 0.99)
+    val got = Analytics.histogramPercentiles(events, "value",
+        lo = 0.0, width = 5.0, nBins = 100, ps = ps)
+      .orderBy("p").as[(Double, Double)].collect()
+    assert(got.map(_._1).toSeq === ps)
+    // monotone in p
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    val exact = events.select(
+      ps.map(p => percentile(col("value"), lit(p))): _*).head()
+    ps.indices.foreach { i =>
+      assert(math.abs(got(i)._2 - exact.getDouble(i)) <= 5.0,
+        s"p=${ps(i)}: est ${got(i)._2} vs exact ${exact.getDouble(i)}")
+    }
+  }
+
   // ---------------- char entropy ----------------
 
   test("char entropy unit values") {
