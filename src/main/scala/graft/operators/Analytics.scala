@@ -428,4 +428,54 @@ object Analytics {
         (target - (col("__cum") - col("__cnt"))) / col("__cnt")), 6)
         .as("est"))
   }
+
+  /** HyperLogLog registers over `keyCol`: `2^p` buckets addressed by the
+    * top `p` bits of a 60-bit md5-prefix hash, each holding the max
+    * leading-zero rank ρ of the remaining `60-p` bits. The register
+    * table (≤ 2^p rows, whatever the corpus size) is the whole sketch
+    * state, built by one pure-map pass + one max-combine shuffle;
+    * registers from disjoint shards merge by per-bucket `max` — the
+    * property that lets every executor sketch its split and a single
+    * small reduce union a 100 TB scan. The md5 family (vs the
+    * production `approx_count_distinct` HLL) is chosen precisely so any
+    * engine can replay the sketch bit-for-bit: ρ is derived from
+    * integer `bin()`-length arithmetic, never floating point. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16]: $p")
+    val wBits = 60 - p
+    val hash = conv(substring(md5(col(keyCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val w = hash.bitwiseAND(lit((1L << wBits) - 1))
+    val rho = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.select(shiftright(hash, wBits).as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("m_reg"))
+  }
+
+  /** Cardinality estimate from [[hllRegisters]]: the standard
+    * alpha·m²/Z harmonic mean with linear-counting small-range
+    * correction. Z is accumulated in EXACT integer arithmetic
+    * (Σ 2^(maxρ−ρ_j) as BIGINT — every term a power of two, so the sum
+    * is order-independent where a double accumulation would depend on
+    * reduce order); the single float division happens once at the end,
+    * making the estimate bit-identical on any engine that replays the
+    * registers. One row out: `hll_est`, rounded to 4 dp. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16]: $p")
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = alpha * m * m * math.pow(2.0, maxRho)
+    registers
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - m_reg)"))
+          .as("__zp"),
+        count(lit(1)).as("__nonempty"))
+      .select((lit(m.toLong) - col("__nonempty")).as("__v"),
+        (col("__zp") + (lit(m.toLong) - col("__nonempty")) *
+          lit(1L << maxRho)).as("__z"))
+      .select(round(when(
+          lit(numer) / col("__z") <= lit(2.5 * m) && col("__v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+        .otherwise(lit(numer) / col("__z")), 4).as("hll_est"))
+  }
 }

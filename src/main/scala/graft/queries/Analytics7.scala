@@ -23,6 +23,14 @@ object Analytics7 {
   /** The funnel gate's ordered steps. */
   private[graft] val FunnelSteps = Seq("view", "click", "purchase")
 
+  /** HLL gate parameters — shared by the Spark query and the generated
+    * oracle SQL so the two sides cannot drift. */
+  private val HllP = 12
+  private val HllKeys = Seq("event_id", "user_id")
+
+  /** Per-source quota for the curate_source_cap gate. */
+  private val SourceCapK = 10
+
   val defs: Map[String, Q] = Map(
     // skewed low-cardinality key (5 event types): two-stage salted agg,
     // result row-identical to the direct groupBy the oracle computes
@@ -75,6 +83,34 @@ object Analytics7 {
           lo = 0.0, width = 5.0, nBins = 100,
           ps = Seq(0.5, 0.9, 0.95, 0.99))
         .orderBy("p")),
+
+    // fully REPLAYABLE HyperLogLog (md5 family, 2^12 registers, exact
+    // integer Z accumulation): the hash-green sibling of the inherently
+    // rows-only built-in `agg_approx_distinct` — DuckDB rebuilds the
+    // identical register table and lands on the identical estimate.
+    // user_id exercises linear counting, event_id the raw harmonic path
+    "agg_hll_replayable" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      HllKeys.map { k =>
+        Analytics.hllEstimate(Analytics.hllRegisters(ev, k, HllP), HllP)
+          .crossJoin(broadcast(
+            ev.agg(countDistinct(col(k)).as("true_distinct"))))
+          .select(lit(k).as("key"), col("true_distinct"), col("hll_est"))
+      }.reduce(_ unionByName _).orderBy("key")
+    }),
+
+    // per-source document quota (the "cap every domain" curation pass):
+    // keep the k highest-quality docs per source, deterministic ties —
+    // the salted two-level top-k, so one hot domain never sorts on a
+    // single task
+    "curate_source_cap" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        col("source"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      Analytics.topKPerGroup(docs, Seq("source"), "quality",
+          k = SourceCapK, tieCols = Seq("doc_id"), salts = 8)
+        .select("source", "doc_id", "quality", "rk")
+        .orderBy("source", "rk")
+    }),
 
     // most frequent priority per status, ties to the smallest value;
     // the rank window runs on the counted table, never raw rows
@@ -679,6 +715,35 @@ object Analytics7 {
            AS quality
          FROM t)"""
 
+  /** DuckDB replay of [[Analytics.hllRegisters]] + [[Analytics.hllEstimate]]
+    * for one key column, generated from the same constants as the Spark
+    * query: same md5 hash family, same `bin()`-length ρ, same
+    * exact-integer Z accumulation, same float literals — so the engines
+    * can only agree or both be wrong the same way. */
+  private def hllOracleSql(keyCol: String, p: Int): String = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val mask = (1L << wBits) - 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = alpha * m * m * math.pow(2.0, wBits + 1)
+    s"""SELECT '$keyCol' AS key,
+       (SELECT count(DISTINCT $keyCol) FROM events)::BIGINT AS true_distinct,
+       round(CASE WHEN $numer / z <= ${2.5 * m} AND v > 0
+           THEN ${m.toDouble} * ln(${m.toDouble} / v)
+           ELSE $numer / z END, 4) AS hll_est
+       FROM (SELECT ($m - nonempty) AS v,
+           zp + ($m - nonempty) * (1::BIGINT << ${wBits + 1}) AS z
+         FROM (SELECT sum(1::BIGINT << (${wBits + 1} - m_reg))::BIGINT AS zp,
+             count(*)::BIGINT AS nonempty
+           FROM (SELECT hash >> $wBits AS bucket,
+               max(CASE WHEN (hash & $mask) = 0 THEN ${wBits + 1}
+                   ELSE ${wBits + 1} - length(bin(hash & $mask))::INT
+                   END) AS m_reg
+             FROM (SELECT CAST(('0x' || substr(md5(CAST($keyCol AS VARCHAR)),
+                 1, 15)) AS BIGINT) AS hash FROM events)
+             GROUP BY 1)))"""
+  }
+
   /** Funnel oracle CTE chain generated from [[FunnelSteps]] so the two
     * sides cannot drift. */
   private def funnelOracleSql(steps: Seq[String]): String = {
@@ -720,6 +785,17 @@ object Analytics7 {
   }
 
   val oracles: Map[String, String] = Map(
+    "agg_hll_replayable" -> HllKeys.map(k => hllOracleSql(k, HllP))
+      .mkString("(", ") UNION ALL (", ") ORDER BY key"),
+    "curate_source_cap" ->
+      s"""WITH $QualitySql,
+         d AS (SELECT s.source, q.doc_id, q.quality
+           FROM q JOIN documents s ON q.doc_id = s.doc_id),
+         r AS (SELECT source, doc_id, quality,
+           row_number() OVER (PARTITION BY source
+             ORDER BY quality DESC, doc_id)::INT AS rk FROM d)
+         SELECT source, doc_id, quality, rk FROM r
+         WHERE rk <= $SourceCapK ORDER BY source, rk""",
     "agg_cms_estimate" ->
       """WITH ev AS (SELECT user_id FROM events),
          sk AS (SELECT r,

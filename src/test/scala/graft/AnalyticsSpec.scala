@@ -213,6 +213,30 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("hll registers stay under 2^p and merge by per-bucket max") {
+    val p = 10
+    val full = Analytics.hllRegisters(events, "event_id", p)
+    assert(full.count() <= (1L << p))
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 === 1)
+    val merged = Analytics.hllRegisters(a, "event_id", p)
+      .unionByName(Analytics.hllRegisters(b, "event_id", p))
+      .groupBy("bucket").agg(max("m_reg").as("m_reg"))
+    assert(merged.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(merged).count() === 0L)
+  }
+
+  test("hll estimate lands within 5% of the true cardinality") {
+    Seq("event_id", "user_id").foreach { k =>
+      val est = Analytics.hllEstimate(
+        Analytics.hllRegisters(events, k, 12), 12)
+        .head().getDouble(0)
+      val tru = events.select(countDistinct(col(k))).head().getLong(0)
+      assert(math.abs(est - tru) <= 0.05 * tru + 1,
+        s"$k: est $est vs true $tru")
+    }
+  }
+
   // ---------------- char entropy ----------------
 
   test("char entropy unit values") {
