@@ -429,6 +429,23 @@ object Analytics {
         .as("est"))
   }
 
+  /** Equi-join output-size estimate from two [[cmsSketch]]es built with
+    * the same (depth, width): per hash row the inner product
+    * Σ_b cntA·cntB over the ≤ width shared cells, then the min across
+    * rows — the AMS/CMS estimator of Σ_k f_A(k)·f_B(k), which IS the
+    * join cardinality. Always an upper bound; expected slack per row is
+    * |A|·|B|/width. The whole estimate touches only the two fixed-size
+    * sketches (≤ depth·width rows each) — the cost of sizing a 100 TB ⋈
+    * 100 TB join drops to a sketch pass per side, which is how a
+    * planner decides broadcast-vs-shuffle without running the join. */
+  def cmsJoinSizeEstimate(sketchA: DataFrame,
+                          sketchB: DataFrame): DataFrame =
+    sketchA.withColumnRenamed("cnt", "cnt_a")
+      .join(sketchB.withColumnRenamed("cnt", "cnt_b"),
+        Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("cnt_a") * col("cnt_b")).as("z"))
+      .agg(min("z").as("join_size_est"))
+
   /** HyperLogLog registers over `keyCol`: `2^p` buckets addressed by the
     * top `p` bits of a 60-bit md5-prefix hash, each holding the max
     * leading-zero rank ρ of the remaining `60-p` bits. The register

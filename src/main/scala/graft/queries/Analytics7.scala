@@ -84,6 +84,27 @@ object Analytics7 {
           ps = Seq(0.5, 0.9, 0.95, 0.99))
         .orderBy("p")),
 
+    // sketch-based join cardinality: min-over-rows inner product of two
+    // CMS sketches estimates |clicks ⋈ purchases| on user_id — an upper
+    // bound computed from two fixed-size summaries, never the join
+    // itself; how a planner sizes a 100TB x 100TB join for
+    // broadcast-vs-shuffle without running it
+    "agg_cms_join_size" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click")
+      val b = ev.filter(col("event_type") === "purchase")
+      val est = Analytics.cmsJoinSizeEstimate(
+        Analytics.cmsSketch(a, "user_id", depth = 4, width = 512),
+        Analytics.cmsSketch(b, "user_id", depth = 4, width = 512))
+      val tru = a.groupBy("user_id").agg(count(lit(1)).as("na"))
+        .join(b.groupBy("user_id").agg(count(lit(1)).as("nb")),
+          Seq("user_id"))
+        .agg(sum(col("na") * col("nb")).as("true_size"))
+      est.crossJoin(broadcast(tru))
+        .select(col("true_size"), col("join_size_est"),
+          (col("join_size_est") - col("true_size")).as("overestimate"))
+    }),
+
     // fully REPLAYABLE HyperLogLog (md5 family, 2^12 registers, exact
     // integer Z accumulation): the hash-green sibling of the inherently
     // rows-only built-in `agg_approx_distinct` — DuckDB rebuilds the
@@ -787,6 +808,29 @@ object Analytics7 {
   val oracles: Map[String, String] = Map(
     "agg_hll_replayable" -> HllKeys.map(k => hllOracleSql(k, HllP))
       .mkString("(", ") UNION ALL (", ") ORDER BY key"),
+    "agg_cms_join_size" ->
+      """WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+         ska AS (SELECT r,
+             CAST(('0x' || substr(md5('cms' || r || ':' || user_id), 1, 8))
+               AS BIGINT) % 512 AS bucket,
+             count(*) AS cnt_a
+           FROM a CROSS JOIN generate_series(0, 3) AS t(r) GROUP BY 1, 2),
+         skb AS (SELECT r,
+             CAST(('0x' || substr(md5('cms' || r || ':' || user_id), 1, 8))
+               AS BIGINT) % 512 AS bucket,
+             count(*) AS cnt_b
+           FROM b CROSS JOIN generate_series(0, 3) AS t(r) GROUP BY 1, 2),
+         z AS (SELECT r, sum(cnt_a * cnt_b) AS z
+           FROM ska JOIN skb USING (r, bucket) GROUP BY 1),
+         est AS (SELECT min(z)::BIGINT AS join_size_est FROM z),
+         tru AS (SELECT sum(na * nb)::BIGINT AS true_size FROM
+           (SELECT user_id, count(*) AS na FROM a GROUP BY 1) x JOIN
+           (SELECT user_id, count(*) AS nb FROM b GROUP BY 1) y
+           USING (user_id))
+         SELECT true_size, join_size_est,
+           join_size_est - true_size AS overestimate
+         FROM tru, est""",
     "curate_source_cap" ->
       s"""WITH $QualitySql,
          d AS (SELECT s.source, q.doc_id, q.quality

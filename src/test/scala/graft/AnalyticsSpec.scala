@@ -197,6 +197,21 @@ class AnalyticsSpec extends SparkTestBase {
     assert(full.exceptAll(merged).count() === 0L)
   }
 
+  test("cms join-size estimate upper-bounds the true join cardinality") {
+    val a = events.filter(col("event_type") === "click")
+    val b = events.filter(col("event_type") === "purchase")
+    val est = Analytics.cmsJoinSizeEstimate(
+        Analytics.cmsSketch(a, "user_id", 4, 512),
+        Analytics.cmsSketch(b, "user_id", 4, 512))
+      .head().getLong(0)
+    val tru = a.groupBy("user_id").agg(count(lit(1)).as("na"))
+      .join(b.groupBy("user_id").agg(count(lit(1)).as("nb")), Seq("user_id"))
+      .agg(sum(col("na") * col("nb"))).head().getLong(0)
+    assert(est >= tru, s"CMS inner product must never underestimate")
+    val slack = 8.0 * a.count() * b.count() / 512.0
+    assert(est - tru <= slack, s"est $est vs true $tru: slack over $slack")
+  }
+
   test("histogram percentiles land within one bin width of exact") {
     val ps = Seq(0.5, 0.9, 0.95, 0.99)
     val got = Analytics.histogramPercentiles(events, "value",
