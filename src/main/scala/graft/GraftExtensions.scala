@@ -152,6 +152,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_hll_distinct"),
+      info("graft_hll_distinct",
+        "graft_hll_distinct(table, keyCol, p) - replayable md5 HyperLogLog cardinality estimate: (hll_est)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_hll_distinct expects 3 arguments")
+        val n = "graft_hll_distinct"
+        val p = numLit(n, "p", args(2)).toInt
+        graft.operators.Analytics.hllEstimate(
+            graft.operators.Analytics.hllRegisters(
+              SparkSession.active.table(strLit(n, "table", args.head)),
+              strLit(n, "keyCol", args(1)), p), p)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_topk_group"),
+      info("graft_topk_group",
+        "graft_topk_group(table, groupCol, orderCol, k, tieCol) - salted per-group top-k (rk column appended)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_topk_group expects 5 arguments")
+        val n = "graft_topk_group"
+        graft.operators.Analytics.topKPerGroup(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            Seq(strLit(n, "groupCol", args(1))),
+            strLit(n, "orderCol", args(2)),
+            numLit(n, "k", args(3)).toInt,
+            Seq(strLit(n, "tieCol", args(4))), salts = 8)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_split"),
       info("graft_split",
         "graft_split(table, keyCol, wTrain, wVal, wTest) - deterministic md5 train/val/test split"),

@@ -131,6 +131,23 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(sqlSplit.queryExecution.optimizedPlan
         .sameResult(apiSplit.queryExecution.optimizedPlan))
 
+      val sqlHll = spark.sql(
+        "SELECT * FROM graft_hll_distinct('tvf_docs','doc_id',10)")
+      val apiHll = graft.operators.Analytics.hllEstimate(
+        graft.operators.Analytics.hllRegisters(docs, "doc_id", 10), 10)
+      assert(sqlHll.queryExecution.optimizedPlan
+        .sameResult(apiHll.queryExecution.optimizedPlan),
+        "graft_hll_distinct must plan to hllRegisters+hllEstimate")
+      assert(math.abs(sqlHll.head().getDouble(0) - 4.0) < 1.0)
+
+      val sqlTopk = spark.sql(
+        "SELECT * FROM graft_topk_group('tvf_docs','text','doc_id',1,'doc_id')")
+      val apiTopk = graft.operators.Analytics.topKPerGroup(docs,
+        Seq("text"), "doc_id", 1, Seq("doc_id"), salts = 8)
+      assert(sqlTopk.queryExecution.optimizedPlan
+        .sameResult(apiTopk.queryExecution.optimizedPlan),
+        "graft_topk_group must plan to topKPerGroup")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
