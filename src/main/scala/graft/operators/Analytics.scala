@@ -429,6 +429,36 @@ object Analytics {
         .as("est"))
   }
 
+  /** Per-group [[histogramPercentiles]]: the bin pass groups by
+    * (`groupCol`, bin), and the cumulative windows partition by
+    * `groupCol` — still running on the ≤ |groups|·nBins bin table, so
+    * no group ever sorts its raw rows. One output row per (group, p). */
+  def histogramPercentilesGrouped(df: DataFrame, groupCol: String,
+                                  valueCol: String, lo: Double,
+                                  width: Double, nBins: Int,
+                                  ps: Seq[Double]): DataFrame = {
+    require(width > 0 && nBins > 0, s"need width,nBins > 0: $width, $nBins")
+    require(ps.forall(p => p > 0 && p < 1), s"percentiles in (0,1): $ps")
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)),
+      lit(0L)), lit((nBins - 1).toLong))
+    val bins = df.select(col(groupCol), bin.as("__bin"))
+      .groupBy(groupCol, "__bin").agg(count(lit(1)).as("__cnt"))
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = bins
+      .withColumn("__cum", sum("__cnt").over(
+        byGroup.orderBy("__bin").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__total", sum("__cnt").over(byGroup))
+    val probes = df.sparkSession.createDataFrame(
+      ps.map(Tuple1.apply)).toDF("p")
+    val target = col("p") * col("__total")
+    probes.join(cum,
+        col("__cum") >= target && col("__cum") - col("__cnt") < target)
+      .select(col(groupCol), col("p"), round(lit(lo) + lit(width) *
+        (col("__bin") + (target - (col("__cum") - col("__cnt"))) /
+          col("__cnt")), 6).as("est"))
+  }
+
   /** Equi-join output-size estimate from two [[cmsSketch]]es built with
     * the same (depth, width): per hash row the inner product
     * Σ_b cntA·cntB over the ≤ width shared cells, then the min across
@@ -457,7 +487,16 @@ object Analytics {
     * production `approx_count_distinct` HLL) is chosen precisely so any
     * engine can replay the sketch bit-for-bit: ρ is derived from
     * integer `bin()`-length arithmetic, never floating point. */
-  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame =
+    hllRegistersGrouped(df, Nil, keyCol, p)
+
+  /** [[hllRegisters]] keyed by `groupCols`: one independent register
+    * set per group (≤ |groups|·2^p rows total) from the same single
+    * pass — the scale answer to `COUNT(DISTINCT x) GROUP BY g`, whose
+    * exact form shuffles every (g, x) pair. Same per-bucket-max merge
+    * across shards, now within each group. */
+  def hllRegistersGrouped(df: DataFrame, groupCols: Seq[String],
+                          keyCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16]: $p")
     val wBits = 60 - p
     val hash = conv(substring(md5(col(keyCol).cast("string")), 1, 15),
@@ -465,8 +504,10 @@ object Analytics {
     val w = hash.bitwiseAND(lit((1L << wBits) - 1))
     val rho = when(w === 0, lit(wBits + 1))
       .otherwise(lit(wBits + 1) - length(bin(w)))
-    df.select(shiftright(hash, wBits).as("bucket"), rho.as("rho"))
-      .groupBy("bucket").agg(max("rho").as("m_reg"))
+    df.select(groupCols.map(col) ++
+        Seq(shiftright(hash, wBits).as("bucket"), rho.as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("m_reg"))
   }
 
   /** Cardinality estimate from [[hllRegisters]]: the standard
@@ -477,22 +518,32 @@ object Analytics {
     * reduce order); the single float division happens once at the end,
     * making the estimate bit-identical on any engine that replays the
     * registers. One row out: `hll_est`, rounded to 4 dp. */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    hllEstimateGrouped(registers, Nil, p)
+
+  /** Per-group estimates from [[hllRegistersGrouped]] — same exact
+    * integer Z + single trailing division per group, over a table of
+    * register cells, never raw rows. */
+  def hllEstimateGrouped(registers: DataFrame, groupCols: Seq[String],
+                         p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16]: $p")
     val m = 1 << p
     val maxRho = 60 - p + 1
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val numer = alpha * m * m * math.pow(2.0, maxRho)
-    registers
+    val partials = registers
+      .groupBy(groupCols.map(col): _*)
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - m_reg)"))
           .as("__zp"),
         count(lit(1)).as("__nonempty"))
-      .select((lit(m.toLong) - col("__nonempty")).as("__v"),
+      .select(groupCols.map(col) ++ Seq(
+        (lit(m.toLong) - col("__nonempty")).as("__v"),
         (col("__zp") + (lit(m.toLong) - col("__nonempty")) *
-          lit(1L << maxRho)).as("__z"))
-      .select(round(when(
+          lit(1L << maxRho)).as("__z")): _*)
+    partials.select(groupCols.map(col) :+
+      round(when(
           lit(numer) / col("__z") <= lit(2.5 * m) && col("__v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
-        .otherwise(lit(numer) / col("__z")), 4).as("hll_est"))
+        .otherwise(lit(numer) / col("__z")), 4).as("hll_est"): _*)
   }
 }

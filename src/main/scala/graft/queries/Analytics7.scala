@@ -28,6 +28,10 @@ object Analytics7 {
   private val HllP = 12
   private val HllKeys = Seq("event_id", "user_id")
 
+  /** Register width for the grouped HLL gate (smaller m: per-group
+    * cardinalities are per-group, not corpus-wide). */
+  private val HllGroupP = 10
+
   /** Per-source quota for the curate_source_cap gate. */
   private val SourceCapK = 10
 
@@ -119,6 +123,29 @@ object Analytics7 {
           .select(lit(k).as("key"), col("true_distinct"), col("hll_est"))
       }.reduce(_ unionByName _).orderBy("key")
     }),
+
+    // grouped HLL: COUNT(DISTINCT user) per event type from one
+    // register pass (<= |groups|*2^p cells) — the scale answer to
+    // exact grouped count-distinct, which shuffles every (g, x) pair
+    "agg_hll_grouped" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val est = Analytics.hllEstimateGrouped(
+        Analytics.hllRegistersGrouped(ev, Seq("event_type"), "user_id",
+          HllGroupP), Seq("event_type"), HllGroupP)
+      val tru = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("true_distinct"))
+      est.join(tru, Seq("event_type"))
+        .select(col("event_type"), col("true_distinct"), col("hll_est"))
+        .orderBy("event_type")
+    }),
+
+    // per-group single-pass percentiles: the cumulative windows run on
+    // the |groups| x nBins bin table, never on raw rows
+    "agg_hist_percentile_grouped" -> ((s, dir) =>
+      Analytics.histogramPercentilesGrouped(tbl(s, dir, "events"),
+          "event_type", "value", lo = 0.0, width = 5.0, nBins = 100,
+          ps = Seq(0.5, 0.9, 0.95, 0.99))
+        .orderBy("event_type", "p")),
 
     // per-source document quota (the "cap every domain" curation pass):
     // keep the k highest-quality docs per source, deterministic ties —
@@ -765,6 +792,38 @@ object Analytics7 {
              GROUP BY 1)))"""
   }
 
+  /** Grouped variant of [[hllOracleSql]], generated from the same
+    * constants. */
+  private def hllGroupedOracleSql(groupCol: String, keyCol: String,
+                                  p: Int): String = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val mask = (1L << wBits) - 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = alpha * m * m * math.pow(2.0, wBits + 1)
+    s"""WITH h AS (SELECT $groupCol,
+         CAST(('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15))
+           AS BIGINT) AS hash FROM events),
+       reg AS (SELECT $groupCol, hash >> $wBits AS bucket,
+           max(CASE WHEN (hash & $mask) = 0 THEN ${wBits + 1}
+               ELSE ${wBits + 1} - length(bin(hash & $mask))::INT
+               END) AS m_reg
+         FROM h GROUP BY 1, 2),
+       s AS (SELECT $groupCol,
+           sum(1::BIGINT << (${wBits + 1} - m_reg))::BIGINT AS zp,
+           count(*)::BIGINT AS nonempty FROM reg GROUP BY 1),
+       z AS (SELECT $groupCol, ($m - nonempty) AS v,
+           zp + ($m - nonempty) * (1::BIGINT << ${wBits + 1}) AS z FROM s),
+       tru AS (SELECT $groupCol,
+           count(DISTINCT $keyCol)::BIGINT AS true_distinct
+         FROM events GROUP BY 1)
+       SELECT $groupCol, true_distinct,
+         round(CASE WHEN $numer / z.z <= ${2.5 * m} AND v > 0
+             THEN ${m.toDouble} * ln(${m.toDouble} / v)
+             ELSE $numer / z.z END, 4) AS hll_est
+       FROM z JOIN tru USING ($groupCol) ORDER BY $groupCol"""
+  }
+
   /** Funnel oracle CTE chain generated from [[FunnelSteps]] so the two
     * sides cannot drift. */
   private def funnelOracleSql(steps: Seq[String]): String = {
@@ -808,6 +867,23 @@ object Analytics7 {
   val oracles: Map[String, String] = Map(
     "agg_hll_replayable" -> HllKeys.map(k => hllOracleSql(k, HllP))
       .mkString("(", ") UNION ALL (", ") ORDER BY key"),
+    "agg_hll_grouped" ->
+      hllGroupedOracleSql("event_type", "user_id", HllGroupP),
+    "agg_hist_percentile_grouped" ->
+      """WITH b AS (SELECT event_type,
+             least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 99)
+               AS bin,
+             count(*) AS cnt FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total FROM b),
+         p AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.95::DOUBLE,
+             0.99::DOUBLE]) AS p)
+         SELECT event_type, p,
+           round(0.0 + 5.0 * (bin + (p * total - (cum - cnt)) / cnt), 6)
+             AS est
+         FROM p JOIN c ON cum >= p * total AND cum - cnt < p * total
+         ORDER BY event_type, p""",
     "agg_cms_join_size" ->
       """WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
          b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),

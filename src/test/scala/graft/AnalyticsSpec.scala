@@ -252,6 +252,28 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("grouped hll registers equal per-group ungrouped registers") {
+    val grouped = Analytics.hllRegistersGrouped(events, Seq("event_type"),
+        "user_id", 10)
+      .filter(col("event_type") === "click").drop("event_type")
+    val single = Analytics.hllRegisters(
+      events.filter(col("event_type") === "click"), "user_id", 10)
+    assert(grouped.exceptAll(single).count() === 0L)
+    assert(single.exceptAll(grouped).count() === 0L)
+  }
+
+  test("grouped hist percentiles equal the per-group ungrouped run") {
+    val ps = Seq(0.5, 0.9)
+    val grouped = Analytics.histogramPercentilesGrouped(events,
+        "event_type", "value", 0.0, 5.0, 100, ps)
+      .filter(col("event_type") === "view").select("p", "est")
+    val single = Analytics.histogramPercentiles(
+      events.filter(col("event_type") === "view"), "value",
+      0.0, 5.0, 100, ps)
+    assert(grouped.orderBy("p").collect().toSeq ===
+      single.orderBy("p").collect().toSeq)
+  }
+
   // ---------------- char entropy ----------------
 
   test("char entropy unit values") {
