@@ -370,6 +370,30 @@ object ScaleRehearsal {
     time(s"fuzzy join (${fz1 * 10} names, scaled vocab)") {
       FuzzyJoin.selfPairs(synthNames(fz1 * 10), "name", maxDist = 3).count()
     }
+
+    // ---- sketches: build ~linear, summary size FIXED in n ----
+    // CMS cells <= depth*width and HLL registers <= 2^p no matter the
+    // corpus; the partial agg combines map-side, so the shuffle carries
+    // the sketch, not the rows. Estimate paths read only the sketch.
+    def synthKeys(rows: Long) = spark.range(rows).select(
+      pmod(xxhash64(col("id")), lit(rows / 8 + 1)).as("k"))
+    def cmsTime(rows: Long): Double = {
+      val t0 = System.nanoTime()
+      Analytics.cmsSketch(synthKeys(rows), "k", 4, 1024).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def hllTime(rows: Long): Double = {
+      val t0 = System.nanoTime()
+      Analytics.hllRegisters(synthKeys(rows), "k", 12).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sn = 2000000L
+    val (c1, c10) = (cmsTime(sn), cmsTime(sn * 10))
+    val (h1, h10) = (hllTime(sn), hllTime(sn * 10))
+    println(f"[rehearsal] cms sketch: $sn rows ${c1}%.2f s; ${sn * 10} rows " +
+      f"${c10}%.2f s (${c10 / c1}%.1fx, ~linear target, 4x1024 cells out)")
+    println(f"[rehearsal] hll registers: $sn rows ${h1}%.2f s; ${sn * 10} " +
+      f"rows ${h10}%.2f s (${h10 / h1}%.1fx, ~linear target, <=4096 cells out)")
     spark.stop()
   }
 }

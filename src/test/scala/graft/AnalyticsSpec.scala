@@ -274,6 +274,45 @@ class AnalyticsSpec extends SparkTestBase {
       single.orderBy("p").collect().toSeq)
   }
 
+  test("sketches run as streaming aggregations (complete-mode twins)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1L to 500L).map(i => i * i % 997)
+    val (first, second) = data.splitAt(200)
+
+    val cmsIn = MemoryStream[Long]
+    val cmsQ = Analytics.cmsSketch(cmsIn.toDF().toDF("k"), "k", 4, 64)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_cms_twin").start()
+    try {
+      cmsIn.addData(first: _*)
+      cmsQ.processAllAvailable()
+      cmsIn.addData(second: _*) // state carries across micro-batches
+      cmsQ.processAllAvailable()
+      val streamed = spark.table("stream_cms_twin")
+        .collect().map(_.toSeq).toSet
+      val batch = Analytics.cmsSketch(data.toDF("k"), "k", 4, 64)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally cmsQ.stop()
+
+    val hllIn = MemoryStream[Long]
+    val hllQ = Analytics.hllRegisters(hllIn.toDF().toDF("k"), "k", 8)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_hll_twin").start()
+    try {
+      hllIn.addData(first: _*)
+      hllQ.processAllAvailable()
+      hllIn.addData(second: _*)
+      hllQ.processAllAvailable()
+      val streamed = spark.table("stream_hll_twin")
+        .collect().map(_.toSeq).toSet
+      val batch = Analytics.hllRegisters(data.toDF("k"), "k", 8)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally hllQ.stop()
+  }
+
   // ---------------- char entropy ----------------
 
   test("char entropy unit values") {
