@@ -340,6 +340,90 @@ object Analytics {
         expr("bit_xor(__k60)").as("content_xor"))
   }
 
+  /** Per-bucket Merkle-style checksums: rows route to `buckets` lanes
+    * by a hash of `keyCols`, and each lane carries [[tableChecksum]]'s
+    * three channels (count, 32-bit-md5 sum, 60-bit xor) over `cols`.
+    * One map pass + a `buckets`-row partial-agg shuffle — the summary
+    * of a 100 TB table is a fixed-size table, and lanes from disjoint
+    * shards merge by (+, +, xor). */
+  def bucketChecksum(df: DataFrame, keyCols: Seq[String],
+                     cols: Seq[String], buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val keyHex = md5(concat_ws("|", keyCols.map(col(_).cast("string")): _*))
+    val rowHex = md5(concat_ws("|", cols.map(col(_).cast("string")): _*))
+    df.select(
+        pmod(conv(substring(keyHex, 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"),
+        conv(substring(rowHex, 1, 8), 16, 10).cast("long").as("__k32"),
+        conv(substring(rowHex, 1, 15), 16, 10).cast("long").as("__k60"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("__k32").as("content_sum"),
+        expr("bit_xor(__k60)").as("content_xor"))
+  }
+
+  /** Merkle diff, pass 1 — WHICH buckets differ between two table
+    * versions: full-outer join of the two `buckets`-row checksum
+    * tables, keep lanes where any channel disagrees (null-safe: a
+    * bucket present on one side only is a diff). "Did anything change,
+    * and where" for a 10^12-row replica costs two aggregating scans
+    * and a tiny join — never a row-level comparison. */
+  def bucketDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+                 cols: Seq[String], buckets: Int): DataFrame = {
+    val b = bucketChecksum(before, keyCols, cols, buckets)
+      .select(col("bucket"), col("n_rows").as("n_before"),
+        col("content_sum").as("sum_before"),
+        col("content_xor").as("xor_before"))
+    val a = bucketChecksum(after, keyCols, cols, buckets)
+      .select(col("bucket"), col("n_rows").as("n_after"),
+        col("content_sum").as("sum_after"),
+        col("content_xor").as("xor_after"))
+    b.join(a, Seq("bucket"), "full_outer")
+      .where(!(col("n_before") <=> col("n_after")) ||
+        !(col("sum_before") <=> col("sum_after")) ||
+        !(col("xor_before") <=> col("xor_after")))
+      .select(col("bucket"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("sum_before"), lit(0L)).as("sum_before"),
+        coalesce(col("sum_after"), lit(0L)).as("sum_after"),
+        coalesce(col("xor_before"), lit(0L)).as("xor_before"),
+        coalesce(col("xor_after"), lit(0L)).as("xor_after"))
+  }
+
+  /** Merkle diff, pass 2 — WHICH keys differ, touching only the dirty
+    * buckets pass 1 found: both sides filter to those buckets BEFORE
+    * the row-digest full-outer join (a broadcast of the ≤ `buckets`-row
+    * dirty list; on a store partitioned by the bucket column this is
+    * static partition pruning, so the drill-down reads only changed
+    * shards). Emits one row per differing key: added / removed /
+    * changed. */
+  def bucketDiffKeys(before: DataFrame, after: DataFrame,
+                     keyCols: Seq[String], cols: Seq[String],
+                     buckets: Int): DataFrame = {
+    val dirty = bucketDiff(before, after, keyCols, cols, buckets)
+      .select("bucket")
+    def digests(df: DataFrame, side: String): DataFrame = {
+      val keyHex = md5(concat_ws("|",
+        keyCols.map(col(_).cast("string")): _*))
+      val rowHex = md5(concat_ws("|", cols.map(col(_).cast("string")): _*))
+      df.select(keyCols.map(col) ++ Seq(
+          pmod(conv(substring(keyHex, 1, 8), 16, 10).cast("long"),
+            lit(buckets.toLong)).as("bucket"),
+          conv(substring(rowHex, 1, 15), 16, 10).cast("long")
+            .as(s"__d_$side")): _*)
+        .join(broadcast(dirty), Seq("bucket"), "left_semi")
+    }
+    digests(before, "b").join(digests(after, "a")
+        .withColumnRenamed("bucket", "__bucket_a"),
+        keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__d_a").isNull, lit("removed"))
+          .when(col("__d_b").isNull, lit("added"))
+          .when(col("__d_b") =!= col("__d_a"), lit("changed"))
+          .as("status"): _*)
+      .where(col("status").isNotNull)
+  }
+
   /** Fixed-width histogram of `valueCol`: bin = floor((v − lo) / width),
     * plus each bin's row count and 2-dp value sum. Bin id is a pure map
     * over the scan; the groupBy combines map-side. Constant (lo, width)
@@ -545,5 +629,112 @@ object Analytics {
           lit(numer) / col("__z") <= lit(2.5 * m) && col("__v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
         .otherwise(lit(numer) / col("__z")), 4).as("hll_est"): _*)
+  }
+
+  /** Truncated exponentially-weighted moving average per key: over the
+    * last `span` rows (frame order = `orderCols`), weight (1−α)^j at
+    * lag j, normalized over the rows actually present (so early rows
+    * use their shorter history, matching pandas `ewm(adjust=True)`
+    * truncated to `span`). Implemented as `span` fixed `lag()` terms
+    * over ONE window pass — a fixed left-to-right expression tree, so
+    * the float arithmetic is order-deterministic and replays
+    * bit-identically from the generated SQL twin; an array-collect
+    * formulation would instead depend on aggregation order. The
+    * truncation is what makes the operator scale-safe: the exact
+    * infinite-history EWMA needs (1−α)^(−rowid) factors that overflow
+    * doubles after ~700 rows, while a bounded frame is O(span) state
+    * per key at any corpus size. Weights below ~1e-3·max (span 20,
+    * α 0.3) are dropped by construction — within round-6 display
+    * precision of the untruncated series. */
+  def ewma(df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
+           valueCol: String, alpha: Double, span: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    require(span > 0, s"span must be positive, got $span")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val terms = (0 until span).map { j =>
+      val wj = math.pow(1.0 - alpha, j)
+      val lv = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+      (coalesce(lv * lit(wj), lit(0.0)),
+        when(lv.isNotNull, lit(wj)).otherwise(lit(0.0)))
+    }
+    df.withColumn("ewma",
+      round(terms.map(_._1).reduce(_ + _) /
+        terms.map(_._2).reduce(_ + _), 6))
+  }
+
+  /** The KMV hash domain: 15 hex md5 digits = 60 uniform bits. 2^60 is
+    * a power of two, hence exactly representable as a double — the
+    * normalization `h / 2^60` is one exact-operand IEEE division on any
+    * engine. */
+  private val KmvDomain = 1152921504606846976.0 // 16^15 = 2^60
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketch of `keyCol`:
+    * the `k` smallest DISTINCT 60-bit md5-prefix hashes. Where
+    * [[hllRegisters]] answers only cardinality, a KMV sketch is a
+    * uniform sample of the key's hash domain, so two sketches support
+    * SET operations (union, Jaccard, intersection — [[kmvSetOps]]),
+    * which HLL cannot express without inclusion-exclusion error
+    * stacking. Shape at scale: the `distinct` shuffles only unique
+    * hashes (map-side combine collapses repeats per task), and the
+    * ordered `limit(k)` plans as TakeOrderedAndProject — per-partition
+    * bottom-k buffers merged once, never a global sort. The sketch
+    * merges by "union then keep k smallest" ([[kmvSetOps]] relies on
+    * exactly that), so 1000 executors sketch their shards and a k-row
+    * reduce combines them. */
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    df.select(conv(substring(md5(col(keyCol).cast("string")), 1, 15),
+        16, 10).cast("long").as("h"))
+      .where(col("h").isNotNull)
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: with fewer than `k`
+    * observed hashes the sketch IS the distinct set (exact count);
+    * otherwise the classic unbiased (k−1)/u_k where u_k is the k-th
+    * smallest hash normalized to (0,1). One aggregation over ≤ k rows;
+    * the only float op is a single division, so the estimate replays
+    * bit-identically on any engine. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("__n"), max(col("h")).as("__vk"))
+      .select(round(when(col("__n") < k, col("__n").cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (col("__vk").cast("double") / lit(KmvDomain))), 4).as("kmv_est"))
+
+  /** Set-operation estimates between two keyed slices from their KMV
+    * sketches alone: build bottom-k sketches of each side, merge them
+    * into the union's bottom-k (the KMV merge property), and read off
+    *  - est_union  — (k−1)/u_k on the merged sketch,
+    *  - jaccard    — the fraction of the union's k smallest hashes
+    *                 present in BOTH sides (the standard KMV Jaccard
+    *                 estimator; exact when both sides fit under k),
+    *  - est_intersect — jaccard · est_union.
+    * Everything after the two corpus scans runs on ≤ 2k rows. This is
+    * the 100 TB overlap audit: "how many users/documents do these two
+    * pipelines share" costs two sketch scans and a k-row merge, never
+    * a join of the corpora. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String,
+                k: Int): DataFrame = {
+    val sa = kmvSketch(a, keyCol, k)
+    val sb = kmvSketch(b, keyCol, k)
+    val merged = sa.select(col("h"), lit(1).as("ina"), lit(0).as("inb"))
+      .unionByName(sb.select(col("h"), lit(0).as("ina"), lit(1).as("inb")))
+      .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
+      .orderBy("h").limit(k)
+    val u = merged.agg(count(lit(1)).as("__n"), max(col("h")).as("__vk"),
+      sum(col("ina") * col("inb")).as("__nboth"))
+    val estU = when(col("__n") < k, col("__n").cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (col("__vk").cast("double") / lit(KmvDomain)))
+    u.select(lit(k).as("k"),
+        round(estU, 4).as("est_union"),
+        round(col("__nboth").cast("double") / col("__n"), 6).as("jaccard"),
+        round(estU * (col("__nboth").cast("double") / col("__n")), 4)
+          .as("est_intersect"))
+      .crossJoin(broadcast(kmvEstimate(sa, k)
+        .withColumnRenamed("kmv_est", "est_a")))
+      .crossJoin(broadcast(kmvEstimate(sb, k)
+        .withColumnRenamed("kmv_est", "est_b")))
   }
 }

@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.similarity.Similarity
+import graft.textanalysis.TextAnalysis
+
+/** Round-10 gates. Each Spark query here has a DuckDB oracle generated
+  * from the same constants so the two sides cannot drift.
+  *
+  * Derivation: the reference's aggregation/audit surface
+  * (`Actualizar_Precios_de_Nexo.py` resumen counts, the KPI JSON's
+  * distinct-by-state cards) generalized to the sketch/set-estimate
+  * layer a 100 TB corpus needs — overlap audits between pipelines
+  * without joining the corpora.
+  */
+object Round10 {
+  type Q = (org.apache.spark.sql.SparkSession, String) =>
+    org.apache.spark.sql.DataFrame
+
+  /** Bottom-k size shared by the Spark queries and the generated
+    * oracles. */
+  private val KmvK = 128
+
+  /** Keys for the distinct gate: user_id exercises the exact
+    * (n < k) path, event_id the (k−1)/u_k estimator path. */
+  private val KmvKeys = Seq("user_id", "event_id")
+
+  /** The two overlapping event slices for the set-operation gate. */
+  private val SliceASql = "event_type IN ('click', 'view')"
+  private val SliceBSql = "value >= 30.0"
+
+  /** Hybrid-retrieval constants shared by the Spark query and the
+    * generated oracle: candidate-list depth, RRF constant, fused top-k. */
+  private val RrfN = 50
+  private val RrfC = 60
+  private val RrfK = 20
+
+  /** EWMA constants; the weight literals are emitted into the oracle
+    * via Double.toString (shortest round-trip form), so both engines
+    * compute with bit-identical coefficients. */
+  private val EwmaAlpha = 0.3
+  private val EwmaSpan = 20
+
+  /** Merkle-diff constants: the deterministic "after" version of orders
+    * (modify / delete / insert by key residue) and the lane count.
+    * BOTH the Spark query and the oracle derive from these. */
+  private val DiffBuckets = 1024
+  private val DiffCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+  private val ModifyMod = 101L
+  private val DeleteMod = 103L
+  private val InsertMod = 107L
+  private val InsertOffset = 5000000L
+
+  /** The simulated after-migration orders table (Spark side). */
+  private def ordersAfter(before: org.apache.spark.sql.DataFrame) = {
+    val base = before
+      .where(col("o_orderkey") % DeleteMod =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % ModifyMod === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice"))
+          .as("o_totalprice"))
+    val inserted = before.where(col("o_orderkey") % InsertMod === 0)
+      .select((col("o_orderkey") + InsertOffset).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    base.unionByName(inserted)
+  }
+
+  /** The same after-table as a DuckDB CTE body. */
+  private def ordersAfterSql: String =
+    s"""SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % $ModifyMod = 0 THEN o_totalprice + 1.0
+           ELSE o_totalprice END AS o_totalprice
+       FROM orders WHERE o_orderkey % $DeleteMod <> 0
+       UNION ALL
+       SELECT o_orderkey + $InsertOffset, o_orderstatus, o_totalprice
+       FROM orders WHERE o_orderkey % $InsertMod = 0"""
+
+  val defs: Map[String, Q] = Map(
+    // replayable bottom-k distinct sketch: the estimate is one
+    // TakeOrderedAndProject over unique hashes + one k-row reduce;
+    // user_id lands under k (sketch == the distinct set, exact),
+    // event_id takes the (k-1)/u_k path
+    "agg_kmv_distinct" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      KmvKeys.map { k =>
+        Analytics.kmvEstimate(Analytics.kmvSketch(ev, k, KmvK), KmvK)
+          .crossJoin(broadcast(
+            ev.agg(countDistinct(col(k)).as("true_distinct"))))
+          .select(lit(k).as("key"), col("true_distinct"), col("kmv_est"))
+      }.reduce(_ unionByName _).orderBy("key")
+    }),
+
+    // union/Jaccard/intersection across two pipeline slices from their
+    // bottom-k sketches alone — the overlap audit that never joins the
+    // corpora; truths ride along from exact distincts for calibration
+    "agg_kmv_setops" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val a = ev.where(expr(SliceASql))
+      val b = ev.where(expr(SliceBSql))
+      val tru = a.select("event_id")
+        .unionByName(b.select("event_id")).distinct()
+        .agg(count(lit(1)).as("true_union"))
+        .crossJoin(broadcast(
+          a.agg(countDistinct(col("event_id")).as("true_a"))))
+        .crossJoin(broadcast(
+          b.agg(countDistinct(col("event_id")).as("true_b"))))
+        .crossJoin(broadcast(a.select("event_id")
+          .intersect(b.select("event_id"))
+          .agg(count(lit(1)).as("true_intersect"))))
+      Analytics.kmvSetOps(a, b, "event_id", KmvK)
+        .crossJoin(broadcast(tru))
+        .select("k", "true_a", "est_a", "true_b", "est_b",
+          "true_union", "est_union", "jaccard",
+          "true_intersect", "est_intersect")
+    }),
+
+    // hybrid retrieval: BM25 candidate list + dense-cosine candidate
+    // list (the documents/embeddings tables share the 0..499 id space),
+    // fused by reciprocal-rank fusion. Each scorer is one corpus scan +
+    // a bounded top-n; the fusion runs on 2n rows whatever the corpus
+    // size — the RAG retrieval stack as one declarative plan
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val sparse = Similarity.rankByScore(
+        TextAnalysis.bm25(tbl(s, dir, "documents"), "doc_id", "text",
+          Round7.Bm25Terms),
+        "doc_id", "bm25", RrfN)
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val dense = Similarity.rankByScore(
+        Similarity.cosineToQuery(emb, "vec_id", "embedding", q, "qvec")
+          .withColumn("sim", round(col("sim"), 4))
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "sim", RrfN)
+      Similarity.rrfFuse(sparse, dense, "doc_id", RrfC, RrfK)
+    }),
+
+    // per-user EWMA smoothing of the event value series: span fixed
+    // lag() terms over ONE window pass (fixed expression tree — float
+    // order identical on both engines); bounded O(span) state per key
+    "window_ewma" -> ((s, dir) =>
+      Analytics.ewma(tbl(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value", EwmaAlpha, EwmaSpan)
+        .select("event_id", "user_id", "value", "ewma")
+        .orderBy("event_id")),
+
+    // Merkle diff pass 1: which of the 1024 checksum lanes disagree
+    // between orders and its simulated migration — two aggregating
+    // scans + a lane-count-row join, never a row comparison
+    "audit_bucket_diff" -> ((s, dir) => {
+      val before = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Analytics.bucketDiff(before, ordersAfter(before),
+          Seq("o_orderkey"), DiffCols, DiffBuckets)
+        .orderBy("bucket")
+    }),
+
+    // Merkle diff pass 2: the differing keys, computed ONLY inside the
+    // dirty lanes (broadcast bucket prune before the row-digest join)
+    "audit_bucket_diff_keys" -> ((s, dir) => {
+      val before = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Analytics.bucketDiffKeys(before, ordersAfter(before),
+          Seq("o_orderkey"), DiffCols, DiffBuckets)
+        .orderBy("o_orderkey")
+    }))
+
+  /** DuckDB bottom-k CTE over the same md5 hash family (15 hex digits
+    * = 60 bits; 2^60 is exactly double-representable so the single
+    * normalizing division replays bit-for-bit). */
+  private def kmvSketchSql(src: String, keyCol: String): String =
+    s"""SELECT CAST(('0x' || substr(md5($keyCol::VARCHAR), 1, 15))
+          AS BIGINT) AS h
+        FROM $src WHERE $keyCol IS NOT NULL
+        GROUP BY 1 ORDER BY h LIMIT $KmvK"""
+
+  private def kmvEstSql(agg: String): String =
+    s"""CASE WHEN $agg.n < $KmvK THEN $agg.n::DOUBLE
+        ELSE ${KmvK - 1}.0 / ($agg.vk / 1152921504606846976.0) END"""
+
+  /** The row-digest string both Merkle-diff oracles hash (must mirror
+    * the Spark side's `concat_ws("|", DiffCols…)`). */
+  private val rowHexExpr: String =
+    "md5(o_orderkey::VARCHAR || '|' || o_orderstatus || '|' || " +
+      "o_totalprice::VARCHAR)"
+
+  private val bucketExpr: String =
+    s"CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT)" +
+      s" % $DiffBuckets"
+
+  /** Per-bucket three-channel checksum CTE over `src`. */
+  private def bucketCkSql(src: String): String =
+    s"""SELECT $bucketExpr AS bucket, count(*) AS n_rows,
+         sum(CAST(('0x' || substr($rowHexExpr, 1, 8)) AS BIGINT))::BIGINT
+           AS content_sum,
+         bit_xor(CAST(('0x' || substr($rowHexExpr, 1, 15)) AS BIGINT))
+           AS content_xor
+       FROM $src GROUP BY 1"""
+
+  /** Row-digest selection over `src`, left open for the dirty-bucket
+    * predicate (`… AND bucket IN (…)`). */
+  private def digestSql(src: String): String =
+    s"""SELECT o_orderkey,
+         CAST(('0x' || substr($rowHexExpr, 1, 15)) AS BIGINT) AS d
+       FROM $src WHERE 1 = 1"""
+
+  val oracles: Map[String, String] = Map(
+    "agg_kmv_distinct" -> KmvKeys.map { k =>
+      s"""(WITH s AS (${kmvSketchSql("events", k)}),
+           a AS (SELECT count(*) AS n, max(h) AS vk FROM s)
+         SELECT '$k' AS key,
+           (SELECT count(DISTINCT $k) FROM events) AS true_distinct,
+           round(${kmvEstSql("a")}, 4) AS kmv_est
+         FROM a)"""
+    }.mkString("", " UNION ALL ", " ORDER BY key"),
+
+    "agg_kmv_setops" ->
+      s"""WITH a AS (SELECT event_id FROM events WHERE $SliceASql),
+           b AS (SELECT event_id FROM events WHERE $SliceBSql),
+           sa AS (${kmvSketchSql("a", "event_id")}),
+           sb AS (${kmvSketchSql("b", "event_id")}),
+           m AS (SELECT h, max(ina) AS ina, max(inb) AS inb
+             FROM (SELECT h, 1 AS ina, 0 AS inb FROM sa
+                   UNION ALL SELECT h, 0, 1 FROM sb) t
+             GROUP BY h ORDER BY h LIMIT $KmvK),
+           ua AS (SELECT count(*) AS n, max(h) AS vk,
+               sum(ina * inb) AS nboth FROM m),
+           aa AS (SELECT count(*) AS n, max(h) AS vk FROM sa),
+           ba AS (SELECT count(*) AS n, max(h) AS vk FROM sb)
+         SELECT $KmvK AS k,
+           (SELECT count(DISTINCT event_id) FROM a) AS true_a,
+           round(${kmvEstSql("aa")}, 4) AS est_a,
+           (SELECT count(DISTINCT event_id) FROM b) AS true_b,
+           round(${kmvEstSql("ba")}, 4) AS est_b,
+           (SELECT count(*) FROM (SELECT event_id FROM a
+             UNION SELECT event_id FROM b) u) AS true_union,
+           round(${kmvEstSql("ua")}, 4) AS est_union,
+           round(ua.nboth::DOUBLE / ua.n, 6) AS jaccard,
+           (SELECT count(*) FROM (SELECT event_id FROM a
+             INTERSECT SELECT event_id FROM b) i) AS true_intersect,
+           round((${kmvEstSql("ua")}) * (ua.nboth::DOUBLE / ua.n), 4)
+             AS est_intersect
+         FROM ua, aa, ba""",
+
+    "sim_hybrid_rrf" ->
+      s"""WITH ${Round7.bm25Ctes(Round7.Bm25Terms)},
+           bm AS (SELECT doc_id,
+               round(${Round7.bm25ScoreExpr(Round7.Bm25Terms)}, 4) + 0.0
+                 AS bm25
+             FROM f, s),
+           sr AS (SELECT doc_id, row_number()
+               OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS rank_sparse
+             FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id
+               LIMIT $RrfN) t),
+           q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id = 0),
+           dn AS (SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 4)
+                 + 0.0 AS sim
+             FROM embeddings, q),
+           dr AS (SELECT doc_id, row_number()
+               OVER (ORDER BY sim DESC, doc_id)::BIGINT AS rank_dense
+             FROM (SELECT * FROM dn ORDER BY sim DESC, doc_id
+               LIMIT $RrfN) t)
+         SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+           rank_sparse, rank_dense,
+           round(coalesce(1.0 / ($RrfC + rank_sparse), 0.0) +
+             coalesce(1.0 / ($RrfC + rank_dense), 0.0), 6) AS rrf
+         FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT $RrfK""",
+
+    "audit_bucket_diff" ->
+      s"""WITH after AS ($ordersAfterSql),
+           cb AS (${bucketCkSql("orders")}),
+           ca AS (${bucketCkSql("after")})
+         SELECT coalesce(cb.bucket, ca.bucket) AS bucket,
+           coalesce(cb.n_rows, 0) AS n_before,
+           coalesce(ca.n_rows, 0) AS n_after,
+           coalesce(cb.content_sum, 0) AS sum_before,
+           coalesce(ca.content_sum, 0) AS sum_after,
+           coalesce(cb.content_xor, 0) AS xor_before,
+           coalesce(ca.content_xor, 0) AS xor_after
+         FROM cb FULL OUTER JOIN ca ON cb.bucket = ca.bucket
+         WHERE cb.n_rows IS DISTINCT FROM ca.n_rows
+           OR cb.content_sum IS DISTINCT FROM ca.content_sum
+           OR cb.content_xor IS DISTINCT FROM ca.content_xor
+         ORDER BY bucket""",
+
+    "audit_bucket_diff_keys" ->
+      s"""WITH after AS ($ordersAfterSql),
+           cb AS (${bucketCkSql("orders")}),
+           ca AS (${bucketCkSql("after")}),
+           dirty AS (SELECT coalesce(cb.bucket, ca.bucket) AS bucket
+             FROM cb FULL OUTER JOIN ca ON cb.bucket = ca.bucket
+             WHERE cb.n_rows IS DISTINCT FROM ca.n_rows
+               OR cb.content_sum IS DISTINCT FROM ca.content_sum
+               OR cb.content_xor IS DISTINCT FROM ca.content_xor),
+           db AS (${digestSql("orders")}
+             AND ${bucketExpr} IN (SELECT bucket FROM dirty)),
+           da AS (${digestSql("after")}
+             AND ${bucketExpr} IN (SELECT bucket FROM dirty))
+         SELECT coalesce(db.o_orderkey, da.o_orderkey) AS o_orderkey,
+           CASE WHEN da.d IS NULL THEN 'removed'
+                WHEN db.d IS NULL THEN 'added'
+                WHEN db.d <> da.d THEN 'changed' END AS status
+         FROM db FULL OUTER JOIN da ON db.o_orderkey = da.o_orderkey
+         WHERE (CASE WHEN da.d IS NULL THEN 'removed'
+                WHEN db.d IS NULL THEN 'added'
+                WHEN db.d <> da.d THEN 'changed' END) IS NOT NULL
+         ORDER BY o_orderkey""",
+
+    "window_ewma" -> {
+      val num = (0 until EwmaSpan).map { j =>
+        val wj = java.lang.Double.toString(math.pow(1.0 - EwmaAlpha, j))
+        if (j == 0) s"coalesce(value * $wj, 0.0)"
+        else s"coalesce(lag(value, $j) OVER w * $wj, 0.0)"
+      }.mkString(" + ")
+      val den = (0 until EwmaSpan).map { j =>
+        val wj = java.lang.Double.toString(math.pow(1.0 - EwmaAlpha, j))
+        if (j == 0) s"CASE WHEN value IS NOT NULL THEN $wj ELSE 0.0 END"
+        else s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $wj" +
+          " ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id, value,
+           round(($num) / ($den), 6) AS ewma
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id"""
+    })
+}

@@ -131,9 +131,11 @@ object Round7 {
   private[graft] val OrdersCols = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
-  /** DuckDB BM25 oracle generated from [[Bm25Terms]] so the two sides
-    * cannot drift. k1 = 1.2, b = 0.75 (the bm25() defaults). */
-  private def bm25OracleSql(terms: Seq[String]): String = {
+  /** The BM25 oracle's CTE body (`f` per-doc tf/dl, `s` corpus stats)
+    * — shared with Round10's hybrid-retrieval oracle so the formula
+    * cannot drift between gates. k1 = 1.2, b = 0.75 (the bm25()
+    * defaults). */
+  private[queries] def bm25Ctes(terms: Seq[String]): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"""CASE WHEN trim(text) = '' THEN 0.0
          ELSE len(list_filter(list_transform(
@@ -143,19 +145,27 @@ object Round7 {
     val dfCols = terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i")
       .mkString(", ")
-    val score = terms.indices.map(i =>
-      s"""ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2)
-         / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))""").mkString(" + ")
-    s"""WITH f AS (
+    s"""f AS (
          SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0.0
              ELSE len(string_split_regex(trim(text), '\\s+'))::DOUBLE END AS dl,
            $tfCols
          FROM documents),
-       s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfCols FROM f)
-       SELECT doc_id, round($score, 4) + 0.0 AS bm25
-       FROM f, s ORDER BY doc_id"""
+       s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfCols FROM f)"""
   }
+
+  /** The BM25 score select-expression over the [[bm25Ctes]] columns. */
+  private[queries] def bm25ScoreExpr(terms: Seq[String]): String =
+    terms.indices.map(i =>
+      s"""ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2)
+         / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))""").mkString(" + ")
+
+  /** DuckDB BM25 oracle generated from [[Bm25Terms]] so the two sides
+    * cannot drift. */
+  private def bm25OracleSql(terms: Seq[String]): String =
+    s"""WITH ${bm25Ctes(terms)}
+       SELECT doc_id, round(${bm25ScoreExpr(terms)}, 4) + 0.0 AS bm25
+       FROM f, s ORDER BY doc_id"""
 
   /** DuckDB per-column profile oracle generated from [[OrdersCols]]. */
   private def profileOracleSql(cols: Seq[String]): String =

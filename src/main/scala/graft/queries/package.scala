@@ -7,10 +7,14 @@ package object queries {
   type Q = (SparkSession, String) => DataFrame
 
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table carries parquet TIMESTAMP(NANOS) which Spark only
-    // reads via the legacy long mapping (ns since epoch as BIGINT).
+    // Older testdata drops carry events.ts as parquet TIMESTAMP(NANOS),
+    // which Spark only reads via the legacy long mapping (ns since
+    // epoch as BIGINT); newer drops use TIMESTAMP(MICROS). Normalize
+    // both to the BIGINT-ns domain the operators compute in.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.streaming.EventWindows.tsToNs(
+      spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** events.ts read under nanosAsLong: BIGINT ns since epoch -> whole

@@ -60,6 +60,47 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
+  /** Top-`n` of a scored table with an explicit 1-based `rank` column
+    * (score desc, id asc ties — deterministic). The ordered limit plans
+    * as TakeOrderedAndProject (per-partition bounded buffers, one k-row
+    * merge); the unpartitioned rank window then runs on the ≤ n-row
+    * result, never on the corpus — the standard two-step that keeps
+    * "rank the top 50 of 100 TB" off a single task. */
+  def rankByScore(scored: DataFrame, idCol: String, scoreCol: String,
+                  n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col(scoreCol).desc, col(idCol)).limit(n)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col(scoreCol).desc, col(idCol)))
+        .cast("long"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (the standard hybrid
+    * sparse+dense retrieval combiner): fused(d) = Σ_lists 1/(c + rank),
+    * a document missing from one list contributes 0 from it. Takes the
+    * [[rankByScore]] outputs (idCol + `rank`), full-outer-joins the two
+    * ≤ n-row lists, and returns the top-`k` by fused score (id-asc
+    * ties). The corpus is touched only by the upstream scorers; fusion
+    * itself runs on 2n rows however large the corpus. The score is a
+    * FIXED two-term expression (never a float reduction), so it replays
+    * bit-identically on any engine. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, idCol: String,
+              c: Int = 60, k: Int = 10): DataFrame = {
+    require(c >= 0 && k > 0, s"need c >= 0, k > 0: $c, $k")
+    val a = sparse.select(col(idCol), col("rank").as("rank_sparse"))
+    val b = dense.select(col(idCol), col("rank").as("rank_dense"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_sparse"), col("rank_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_sparse")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_dense")),
+            lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Random-hyperplane-style bucket id from the signs of selected
     * dimensions (axis-aligned planes chosen by `dims`, data-independent —
     * every writer/reader derives the same bucket without coordination). */

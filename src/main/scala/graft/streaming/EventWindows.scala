@@ -30,6 +30,22 @@ object EventWindows {
   /** BIGINT nanoseconds -> TimestampType (microsecond precision). */
   def nsToTs(ns: Column): Column = timestamp_micros(nsDiv(ns, 1000L))
 
+  /** Normalize an events frame's `ts` to the BIGINT-nanoseconds domain
+    * every graft operator computes in. Testdata drops have carried the
+    * column as TIMESTAMP(NANOS) (read as BIGINT ns under
+    * `nanosAsLong`) and, since the round-10 regeneration, as
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ): accept both — and the
+    * TZ-typed variant — and return ns. The conversion is exact integer
+    * µs→ns arithmetic (the cast NTZ→TIMESTAMP is instant-preserving
+    * under the UTC session timezone all graft entry points set). */
+  def tsToNs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+
   def epochSec(ts: Column): Column = unix_timestamp(ts)
 
   /** Tumbling windows: one row per (window, event_type). */
@@ -75,10 +91,11 @@ object EventWindows {
         col(rightTime) <= col(leftTime))
   }
 
-  /** The events schema as stored (ts already BIGINT nanoseconds). */
+  /** The events schema as stored (ts as parquet TIMESTAMP(MICROS),
+    * surfacing as TIMESTAMP_NTZ; [[tsToNs]] maps it to BIGINT ns). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -92,8 +109,8 @@ object EventWindows {
   def streamingTumbling(spark: SparkSession, eventsDir: String, every: String,
                         watermark: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
-      .parquet(eventsDir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tsToNs(spark.readStream.schema(eventsSchema).parquet(eventsDir))
       .withColumn("__ts", nsToTs(col("ts")))
       .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), every).as("w"), col("event_type"))

@@ -279,7 +279,8 @@ object ScaleRehearsal {
     // funnel at kx events: a chain of same-key joins — linear in corpus
     val evPath = s"$dir/events.parquet"
     if (new java.io.File(evPath).exists()) {
-      val ev = spark.read.parquet(evPath)
+      val ev = graft.streaming.EventWindows.tsToNs(
+          spark.read.parquet(evPath))
         .select("user_id", "event_type", "ts")
       val evK = (0 until k).map(i => ev.select(
         (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),

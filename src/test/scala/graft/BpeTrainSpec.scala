@@ -35,10 +35,9 @@ class BpeTrainSpec extends SparkTestBase {
         Seq(("a", "a")))
       .select("bpe_tokens").head().getSeq[String](0)
     assert(seg === Seq("aa", "aa", "aa", "a"))
-    // chained merges compose in learned order: (a,b) then (ab,c)
-    val seg2 = BpeTrain.segment(Seq("a b c abc cab").toDF("text")
-        .select(regexp_replace(col("text"), " ", "Z").as("t0"))
-        .select(regexp_replace(col("t0"), "Z", " ").as("text")),
+    // chained merges compose in learned order: (a,b) then (ab,c);
+    // merging never crosses word boundaries ('c ab' stays two tokens)
+    val seg2 = BpeTrain.segment(Seq("ab c abc cab").toDF("text"),
         "text", Seq(("a", "b"), ("ab", "c")))
       .select("bpe_tokens").head().getSeq[String](0)
     assert(seg2 === Seq("ab", "c", "abc", "c", "ab"))

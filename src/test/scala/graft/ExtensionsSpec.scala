@@ -179,7 +179,7 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming tumbling agg equals the batch twin (memory sink)") {
     val batch = EventWindows
-      .tumbling(spark.read.parquet(s"$sf/events.parquet"), "1 hour")
+      .tumbling(queries.tbl(spark, sf, "events"), "1 hour")
       .collect().map(_.toSeq).toSet
 
     // file-stream sources need a directory: stage the events file into one

@@ -319,7 +319,7 @@ class PlanSpec extends SparkTestBase {
 
   test("funnel replay: per-step key joins, no window, no event collection") {
     import org.apache.spark.sql.functions.expr
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = queries.tbl(spark, sf, "events")
       .withColumn("ts_us", expr("CAST(ts AS LONG) div 1000"))
     val df = graft.streaming.StreamingFunnel.progressReplay(
       ev, "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))

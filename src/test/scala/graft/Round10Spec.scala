@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.similarity.Similarity
+
+/** Behavioral + plan-shape specs for the round-10 operators (the DuckDB
+  * gates check cross-engine values; these pin semantics and the
+  * scale-critical plan shapes). */
+class Round10Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val events = queries.tbl(spark, sf, "events")
+
+  // ---------------- KMV bottom-k sketch ----------------
+
+  test("kmv sketch merges: bottom-k of union == merge of sketches") {
+    val a = events.where(col("event_type") === "click")
+    val b = events.where(col("event_type") === "view")
+    val k = 64
+    val direct = Analytics.kmvSketch(a.unionByName(b), "event_id", k)
+      .collect().map(_.getLong(0)).toSeq
+    val merged = Analytics.kmvSketch(a, "event_id", k)
+      .unionByName(Analytics.kmvSketch(b, "event_id", k))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(direct === merged,
+      "KMV must merge by union-then-keep-k-smallest")
+  }
+
+  test("kmv under-k path is the exact distinct count") {
+    val est = Analytics.kmvEstimate(
+      Analytics.kmvSketch(events, "user_id", 128), 128)
+      .collect()(0).getDouble(0)
+    val tru = events.agg(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(est === tru.toDouble,
+      "fewer distincts than k: the sketch IS the set, estimate exact")
+  }
+
+  test("kmv estimator lands near the true cardinality over k") {
+    val est = Analytics.kmvEstimate(
+      Analytics.kmvSketch(events, "event_id", 128), 128)
+      .collect()(0).getDouble(0)
+    val tru = events.agg(countDistinct("event_id")).collect()(0).getLong(0)
+    assert(math.abs(est - tru) / tru < 0.25,
+      s"(k-1)/u_k estimate $est vs true $tru drifted past 25%")
+  }
+
+  test("kmv sketch plans a bounded top-k, never a global sort") {
+    val p = Analytics.kmvSketch(events, "event_id", 128)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ordered limit must plan as per-partition bottom-k:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a KMV sketch must never range-shuffle the corpus:\n$p")
+  }
+
+  // ---------------- reciprocal-rank fusion ----------------
+
+  test("rrf fusion on crafted ranks: shared docs outrank single-list") {
+    val sparse = Seq((10L, 1L), (11L, 2L), (12L, 3L))
+      .toDF("doc_id", "rank")
+    val dense = Seq((12L, 1L), (13L, 2L), (10L, 3L))
+      .toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(sparse, dense, "doc_id", c = 60, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // doc 10: 1/61 + 1/63; doc 12: 1/63 + 1/61 — tie, id asc;
+    // doc 11: 1/62; doc 13: 1/62 — tie, id asc
+    assert(got.map(_._1) === Seq(10L, 12L, 11L, 13L))
+    assert(got(0)._2 === got(1)._2, "symmetric rank pairs must tie")
+    val expect = math.rint((1.0 / 61 + 1.0 / 63) * 1e6) / 1e6
+    assert(math.abs(got(0)._2 - expect) < 1e-9)
+  }
+
+  test("rrf keeps docs present in only one list (outer fusion)") {
+    val sparse = Seq((1L, 1L)).toDF("doc_id", "rank")
+    val dense = Seq((2L, 1L)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(sparse, dense, "doc_id", c = 60, k = 10)
+      .collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r.isNullAt(1) ^ r.isNullAt(2)),
+      "each doc must carry its one-sided rank with the other null")
+  }
+
+  test("rankByScore plans a bounded top-n before the rank window") {
+    val scored = events.select(col("event_id"), col("value").as("s"))
+    val p = Similarity.rankByScore(scored, "event_id", "s", 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-n must be a bounded buffer merge, not a global sort:\n$p")
+  }
+
+  // ---------------- truncated EWMA ----------------
+
+  test("ewma on a crafted series matches the hand fold") {
+    // alpha 0.5, span 3: weights 1, .5, .25 over the last 3 rows
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 40.0),
+        (1L, 4L, 40.0))
+      .toDF("k", "t", "v")
+    val got = Analytics.ewma(df, Seq("k"), Seq("t"), "v",
+        alpha = 0.5, span = 3)
+      .orderBy("t").collect().map(_.getAs[Double]("ewma")).toSeq
+    val expect = Seq(
+      10.0,
+      (20.0 + 10.0 * 0.5) / 1.5,
+      (40.0 + 20.0 * 0.5 + 10.0 * 0.25) / 1.75,
+      (40.0 + 40.0 * 0.5 + 20.0 * 0.25) / 1.75)
+      .map(v => math.rint(v * 1e6) / 1e6)
+    assert(got === expect)
+  }
+
+  test("ewma truncation: row 21 ignores row 1 entirely") {
+    val rows = (1L to 21L).map(t => (1L, t, if (t == 1) 1e9 else 1.0))
+    val df = rows.toDF("k", "t", "v")
+    val last = Analytics.ewma(df, Seq("k"), Seq("t"), "v",
+        alpha = 0.3, span = 20)
+      .orderBy("t").collect().last.getAs[Double]("ewma")
+    assert(last === 1.0, s"the spike outside the span must not leak: $last")
+  }
+
+  test("ewma is one window pass (span lags share the frame)") {
+    val p = Analytics.ewma(events, Seq("user_id"), Seq("ts", "event_id"),
+        "value", alpha = 0.3, span = 20)
+      .queryExecution.executedPlan.toString
+    assert(p.sliding("Window [".length).count(_ == "Window [") === 1,
+      s"all lag terms must fold into one Window node:\n$p")
+  }
+
+  // ---------------- Merkle bucket diff ----------------
+
+  test("bucket diff flags exactly the touched lanes; identity is clean") {
+    val before = queries.tbl(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    assert(Analytics.bucketDiff(before, before, Seq("o_orderkey"), cols,
+      256).count() === 0L, "identical tables must produce zero diff rows")
+    val after = before.where(col("o_orderkey") =!= 7L)
+    val d = Analytics.bucketDiff(before, after, Seq("o_orderkey"), cols, 256)
+      .collect()
+    assert(d.length === 1, "one deleted key must dirty exactly one lane")
+    assert(d(0).getAs[Long]("n_before") === d(0).getAs[Long]("n_after") + 1)
+  }
+
+  test("bucket diff keys classifies added/removed/changed exactly") {
+    val before = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val after = Seq((1L, "A", 10.0), (2L, "B", 25.0), (4L, "D", 40.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val got = Analytics.bucketDiffKeys(before, after, Seq("o_orderkey"),
+        cols, 16)
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("kmv set ops are exact when both sides fit under k") {
+    val a = events.where(col("user_id") < 8)
+    val b = events.where(col("user_id") >= 4 && col("user_id") < 12)
+    val r = Analytics.kmvSetOps(a, b, "user_id", 128).collect()(0)
+    assert(r.getAs[Double]("est_a") === 8.0)
+    assert(r.getAs[Double]("est_b") === 8.0)
+    assert(r.getAs[Double]("est_union") === 12.0)
+    assert(r.getAs[Double]("est_intersect") === 4.0)
+    assert(math.abs(r.getAs[Double]("jaccard") - 4.0 / 12.0) < 1e-6)
+  }
+}
