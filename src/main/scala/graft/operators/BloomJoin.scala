@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Runtime-filter join pruning: the distributed analogue of Spark's own
+  * runtime row-level filtering / dynamic partition pruning, made
+  * explicit and deterministic.
+  *
+  * A fact ⋉ dim semi join at 100 TB shuffles the entire fact side on
+  * the join key before a single dim row is consulted. When the dim side
+  * is selective (a filtered dimension), a Bloom filter of its key set —
+  * n·ln(1/fpp)/ln²2 bits, fixed-size however wide the fact table — can
+  * ride to every executor and discard non-joining fact rows AT THE SCAN,
+  * so the shuffle carries only probable matches: true matches plus an
+  * fpp fraction of the stream. The exact join afterwards drops the
+  * false positives, so the result is IDENTICAL to the plain semi join —
+  * the filter buys plan shape (shuffle volume), never correctness; the
+  * same sketch-prefilter / exact-verify pattern as
+  * [[graft.textanalysis.Decontaminate.contaminationHitsBloom]].
+  *
+  * Derivation: the reference's membership-flag join
+  * (`Actualizar_Precios_de_Nexo.py` `isin`-style match marking)
+  * re-expressed as the shape that survives a fact table 10^6× the
+  * dimension.
+  */
+object BloomJoin {
+
+  /** `fact ⋉ dim` (left semi) with a Bloom prefilter on the fact scan.
+    * The dim key set aggregates to a fixed-size filter (only the bit
+    * array reaches the driver), re-broadcasts, and probes via the
+    * codegen'd [[graft.functions.BloomMightContain]] — the prune stays
+    * inside whole-stage codegen. Keys probe as canonical strings, so
+    * any key type with a stable string form works. */
+  def semiJoinBloom(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val keys = dim.select(col(dimKey).cast("string").as("__k"))
+      .where(col("__k").isNotNull).distinct()
+    // dim is small by contract (a filtered dimension); the sizing count
+    // costs nothing next to the fact scan it saves
+    val n = math.max(keys.count(), 1L)
+    val bcast = fact.sparkSession.sparkContext
+      .broadcast(keys.stat.bloomFilter("__k", n, fpp))
+    fact
+      .filter(graft.functions.BloomMightContain(
+        col(factKey).cast("string"), bcast))
+      .join(dim.select(col(dimKey).as("__dk")).distinct(),
+        col(factKey) === col("__dk"), "left_semi")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.operators.Analytics
 import graft.similarity.Similarity
-import graft.textanalysis.TextAnalysis
+import graft.textanalysis.{NaiveBayes, TextAnalysis}
 
 /** Round-10 gates. Each Spark query here has a DuckDB oracle generated
   * from the same constants so the two sides cannot drift.
@@ -51,6 +51,12 @@ object Round10 {
   private val DeleteMod = 103L
   private val InsertMod = 107L
   private val InsertOffset = 5000000L
+
+  /** NB classifier constants: positive class, train/holdout residue,
+    * Laplace alpha. */
+  private val NbPosLang = "en"
+  private val NbHoldoutMod = 3L
+  private val NbAlpha = 0.5
 
   /** The simulated after-migration orders table (Spark side). */
   private def ordersAfter(before: org.apache.spark.sql.DataFrame) = {
@@ -164,6 +170,44 @@ object Round10 {
       Analytics.bucketDiffKeys(before, ordersAfter(before),
           Seq("o_orderkey"), DiffCols, DiffBuckets)
         .orderBy("o_orderkey")
+    }),
+
+    // runtime-filter semi join: the dim key set rides as a broadcast
+    // Bloom filter pruning the fact scan BEFORE the shuffle; the exact
+    // semi join drops false positives, so the oracle is the plain semi
+    // join — the filter buys shuffle volume, never changes the answer
+    "join_bloom_prune" -> ((s, dir) =>
+      graft.operators.BloomJoin.semiJoinBloom(
+          tbl(s, dir, "lineitem"),
+          tbl(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // supervised quality/language classifier, training half: smoothed
+    // per-token class likelihood ratios on the non-holdout docs — the
+    // model IS a vocabulary-sized table (version it, broadcast it)
+    "text_classifier_train" -> ((s, dir) =>
+      NaiveBayes.train(
+          tbl(s, dir, "documents").where(col("doc_id") % NbHoldoutMod =!= 0),
+          "text", col("lang") === NbPosLang, NbAlpha)
+        .select(col("token"), col("c_pos"), col("c_neg"),
+          round(col("ratio"), 6).as("ratio"))
+        .orderBy("token")),
+
+    // scoring half: held-out docs against the trained model — one
+    // explode + one vocabulary join + a per-doc mean; log-free so the
+    // score replays bit-identically in the oracle
+    "text_classifier_score" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val model = NaiveBayes.train(
+        docs.where(col("doc_id") % NbHoldoutMod =!= 0),
+        "text", col("lang") === NbPosLang, NbAlpha)
+      val holdout = docs.where(col("doc_id") % NbHoldoutMod === 0)
+      NaiveBayes.score(model, holdout, "doc_id", "text")
+        .join(holdout.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "nb_score", "nb_pred")
+        .orderBy("doc_id")
     }))
 
   /** DuckDB bottom-k CTE over the same md5 hash family (15 hex digits
@@ -204,6 +248,28 @@ object Round10 {
     s"""SELECT o_orderkey,
          CAST(('0x' || substr($rowHexExpr, 1, 15)) AS BIGINT) AS d
        FROM $src WHERE 1 = 1"""
+
+  /** The NB model as a DuckDB CTE chain (mirrors [[NaiveBayes.train]]
+    * on the non-holdout slice; all probability arithmetic forced to
+    * DOUBLE so the division replays Spark's bit-for-bit). */
+  private def nbModelCtes: String =
+    s"""toks AS (SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+       FROM documents
+       WHERE text IS NOT NULL AND length(trim(text)) > 0),
+     tr AS (SELECT lang = '$NbPosLang' AS pos, unnest(t) AS token
+       FROM toks WHERE doc_id % $NbHoldoutMod <> 0),
+     cnt AS (SELECT token,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS c_neg
+       FROM tr GROUP BY 1),
+     tot AS (SELECT sum(c_pos)::DOUBLE AS np, sum(c_neg)::DOUBLE AS nn,
+         count(*)::DOUBLE AS v FROM cnt),
+     model AS (SELECT token, c_pos, c_neg,
+         ((c_pos::DOUBLE + $NbAlpha) / (np + $NbAlpha * v)) /
+         (((c_pos::DOUBLE + $NbAlpha) / (np + $NbAlpha * v)) +
+          ((c_neg::DOUBLE + $NbAlpha) / (nn + $NbAlpha * v))) AS ratio
+       FROM cnt, tot)"""
 
   val oracles: Map[String, String] = Map(
     "agg_kmv_distinct" -> KmvKeys.map { k =>
@@ -309,6 +375,35 @@ object Round10 {
                 WHEN db.d IS NULL THEN 'added'
                 WHEN db.d <> da.d THEN 'changed' END) IS NOT NULL
          ORDER BY o_orderkey""",
+
+    "join_bloom_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "text_classifier_train" ->
+      s"""WITH $nbModelCtes
+         SELECT token, c_pos, c_neg, round(ratio, 6) AS ratio
+         FROM model ORDER BY token""",
+
+    "text_classifier_score" ->
+      s"""WITH $nbModelCtes,
+           sc AS (SELECT doc_id, unnest(t) AS token FROM toks
+             WHERE doc_id % $NbHoldoutMod = 0),
+           joined AS (SELECT doc_id, coalesce(m.ratio, 0.5) AS r
+             FROM sc LEFT JOIN model m USING (token)),
+           scored AS (SELECT doc_id,
+               floor(avg(r) * 10000 + 0.5) / 10000 AS nb_score
+             FROM joined GROUP BY doc_id)
+         SELECT d.doc_id, d.lang,
+           coalesce(s.nb_score, 0.5) AS nb_score,
+           coalesce(s.nb_score, 0.5) > 0.5 AS nb_pred
+         FROM (SELECT doc_id, lang FROM documents
+           WHERE doc_id % $NbHoldoutMod = 0) d
+         LEFT JOIN scored s USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "window_ewma" -> {
       val num = (0 until EwmaSpan).map { j =>

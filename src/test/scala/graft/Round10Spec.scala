@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Analytics
 import graft.similarity.Similarity
+import graft.textanalysis.NaiveBayes
 
 /** Behavioral + plan-shape specs for the round-10 operators (the DuckDB
   * gates check cross-engine values; these pin semantics and the
@@ -152,6 +153,66 @@ class Round10Spec extends SparkTestBase {
       .orderBy("o_orderkey")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  // ---------------- bloom-pruned semi join ----------------
+
+  test("bloom-pruned semi join is row-identical to the plain semi join") {
+    val li = queries.tbl(spark, sf, "lineitem")
+    val dim = queries.tbl(spark, sf, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val pruned = graft.operators.BloomJoin
+      .semiJoinBloom(li, dim, "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    val plain = li.join(dim.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(pruned === plain)
+  }
+
+  test("bloom probe filters the fact side below the semi join") {
+    val li = queries.tbl(spark, sf, "lineitem")
+    val dim = queries.tbl(spark, sf, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val p = graft.operators.BloomJoin
+      .semiJoinBloom(li, dim, "l_orderkey", "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"),
+      s"the prune must be the codegen Bloom probe:\n$p")
+    // the tree prints root-first, so a child filter appears after its
+    // parent join in the string
+    assert(p.indexOf("bloom_might_contain") > p.indexOf("LeftSemi"),
+      s"the probe must sit below the LeftSemi join:\n$p")
+  }
+
+  // ---------------- naive-Bayes classifier ----------------
+
+  test("nb ratios order by class evidence; scoring separates classes") {
+    val docs = Seq(
+      (1L, "good good fine", true), (2L, "good nice", true),
+      (3L, "bad bad awful", false), (4L, "bad poor", false),
+      (5L, "good fine nice", true))
+      .toDF("id", "text", "pos")
+    val model = NaiveBayes.train(docs, "text", col("pos"))
+    val ratios = model.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("ratio")).toMap
+    assert(ratios("good") > 0.5 && ratios("bad") < 0.5)
+    assert(ratios("good") > ratios("fine"),
+      "more positive evidence must raise the ratio")
+    val scores = NaiveBayes.score(model,
+        Seq((10L, "good nice fine"), (11L, "bad awful poor"),
+          (12L, "zzz unseen"), (13L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("nb_score"), r.getAs[Boolean]("nb_pred"))).toMap
+    assert(scores(10L)._2 === true)
+    assert(scores(11L)._2 === false)
+    assert(scores(12L)._1 === 0.5 && scores(12L)._2 === false,
+      "unseen-only docs must land exactly neutral")
+    assert(scores(13L)._1 === 0.5, "null text must score neutral")
   }
 
   test("kmv set ops are exact when both sides fit under k") {
