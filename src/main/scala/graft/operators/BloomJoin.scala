@@ -48,4 +48,29 @@ object BloomJoin {
       .join(dim.select(col(dimKey).as("__dk")).distinct(),
         col(factKey) === col("__dk"), "left_semi")
   }
+
+  /** Skew-proof inner equi-join by salting: the fact side gets a
+    * deterministic salt in [0, salts) hashed from `saltCols` (never
+    * `rand()` — task retries and AQE re-plans must not move rows
+    * between lanes), the dim side replicates `salts`× via a literal
+    * explode, and the join keys on (key, salt). Row-identical to the
+    * plain inner join, but a fact key holding 20% of a 100 TB corpus
+    * now spreads over `salts` reducers instead of melting one task.
+    * The dim-side cost is bounded: |dim|·salts rows, each a copy of an
+    * already-small filtered dimension. AQE's skew-join split handles
+    * sort-merge skew adaptively; the explicit salt is the declarative
+    * form that also covers aggregate-after-join pipelines and engines
+    * without AQE, and it makes the two-level shape plan-assertable. */
+  def skewSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String, saltCols: Seq[String],
+                     salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(saltCols.map(col): _*), lit(salts)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+        col(factKey) === col(dimKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

@@ -153,6 +153,44 @@ object IncrementalAgg {
         when(col("__invalid"), col("__r_max"))
           .otherwise(greatest(col("v_max"), col("__ins_max"))).as("v_max"))
   }
+
+  /** Incremental maintenance of a materialized JOIN view
+    * `fact ⋈ dim` under a fact-side change batch — the other half of
+    * the IVM family next to the aggregate maintainers above.
+    *
+    * `changes` carries one row per touched fact primary key: `opCol`
+    * (anything but `deleteOp` means upsert) plus the NEW fact column
+    * values (ignored for deletes). Maintenance is two delta-sized
+    * joins around the view itself:
+    *
+    *  - surviving rows: `view ⟕̸ touched-pk` (left anti) — with the
+    *    touched-key set broadcast this is a map-side filter of the
+    *    view, and on a view store partitioned by the pk hash it prunes
+    *    at the scan;
+    *  - replacement rows: upserted fact rows ⋈ `dim` — |Δ|-sized, AQE
+    *    demotes to broadcast.
+    *
+    * Cost O(|view scan-filter| + |Δ|·fanout), never a recompute of
+    * `fact ⋈ dim`; the CORRECTNESS gate checks the result equals
+    * exactly that recompute. A dim-side delta is the symmetric call
+    * with roles swapped; slowly-changing dims are versioned upstream
+    * (see the SCD2 operator) so production dim changes arrive as new
+    * surrogate keys, i.e. fact-side changes. */
+  def maintainJoinView(view: DataFrame, dim: DataFrame, changes: DataFrame,
+                       pkCols: Seq[String], factCols: Seq[String],
+                       factKey: String, dimKey: String, opCol: String,
+                       deleteOp: String = "D"): DataFrame = {
+    require(pkCols.nonEmpty, "need at least one fact pk column")
+    require(pkCols.forall(factCols.contains),
+      "fact pk columns must be part of the fact columns")
+    val touched = changes.select(pkCols.map(col): _*).distinct()
+    val survivors = view.join(broadcast(touched), pkCols, "left_anti")
+    val replacements = changes.where(col(opCol) =!= deleteOp)
+      .select(factCols.map(col): _*)
+      .join(dim, col(factKey) === col(dimKey))
+      .select(view.columns.map(col): _*)
+    survivors.unionByName(replacements)
+  }
 }
 
 object CdcMerge {

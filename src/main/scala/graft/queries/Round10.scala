@@ -52,6 +52,14 @@ object Round10 {
   private val InsertMod = 107L
   private val InsertOffset = 5000000L
 
+  /** Join-IVM change-feed constants (disjoint by priority: delete
+    * beats update; inserts mint fresh keys). */
+  private val JDelMod = 89L
+  private val JUpdMod = 97L
+  private val JInsMod = 83L
+  private val JInsOffset = 7000000L
+  private val JRekeyMod = 100L
+
   /** NB classifier constants: positive class, train/holdout residue,
     * Laplace alpha. */
   private val NbPosLang = "en"
@@ -183,6 +191,51 @@ object Round10 {
           "l_orderkey", "o_orderkey")
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
+
+    // skew-proof salted join: lineitem concentrates on 10 supplier
+    // keys (worst-case hot keys); the deterministic fact-side salt +
+    // 8x dim replication spreads each over 8 reducers — row-identical
+    // to the plain join the oracle runs
+    "join_salted" -> ((s, dir) =>
+      graft.operators.BloomJoin.skewSaltedJoin(
+          tbl(s, dir, "lineitem"), tbl(s, dir, "supplier"),
+          "l_suppkey", "s_suppkey",
+          saltCols = Seq("l_orderkey", "l_linenumber"), salts = 8)
+        .select("l_orderkey", "l_linenumber", "s_name", "s_acctbal")
+        .orderBy("l_orderkey", "l_linenumber", "s_name")),
+
+    // incremental JOIN-view maintenance: the orders⋈customer view
+    // updates under a fact CDC batch via a broadcast-anti survivor
+    // filter + a delta-sized rejoin — O(delta), never a recompute;
+    // the oracle IS the from-scratch recompute
+    "cdc_incremental_join" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = tbl(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val view = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name",
+          "c_mktsegment")
+      val del = orders.where(col("o_orderkey") % JDelMod === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit("D").as("op"))
+      val upd = orders.where(col("o_orderkey") % JUpdMod === 0 &&
+          col("o_orderkey") % JDelMod =!= 0)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % JRekeyMod + 1L).as("o_custkey"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"),
+          lit("U").as("op"))
+      val ins = orders.where(col("o_orderkey") % JInsMod === 0)
+        .select((col("o_orderkey") + JInsOffset).as("o_orderkey"),
+          (col("o_custkey") % JRekeyMod + 1L).as("o_custkey"),
+          col("o_totalprice"), lit("I").as("op"))
+      graft.operators.IncrementalAgg.maintainJoinView(
+          view, cust, del.unionByName(upd).unionByName(ins),
+          pkCols = Seq("o_orderkey"),
+          factCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+          factKey = "o_custkey", dimKey = "c_custkey", opCol = "op")
+        .orderBy("o_orderkey")
+    }),
 
     // supervised quality/language classifier, training half: smoothed
     // per-token class likelihood ratios on the non-holdout docs — the
@@ -376,12 +429,34 @@ object Round10 {
                 WHEN db.d <> da.d THEN 'changed' END) IS NOT NULL
          ORDER BY o_orderkey""",
 
+    "join_salted" ->
+      """SELECT l_orderkey, l_linenumber, s_name, s_acctbal
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY l_orderkey, l_linenumber, s_name""",
+
     "join_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
            WHERE o_orderpriority = '1-URGENT')
          ORDER BY l_orderkey, l_linenumber""",
+
+    "cdc_incremental_join" ->
+      s"""WITH after AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           WHERE o_orderkey % $JDelMod <> 0 AND o_orderkey % $JUpdMod <> 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey % $JRekeyMod + 1,
+             o_totalprice + 10.0
+           FROM orders
+           WHERE o_orderkey % $JUpdMod = 0 AND o_orderkey % $JDelMod <> 0
+           UNION ALL
+           SELECT o_orderkey + $JInsOffset, o_custkey % $JRekeyMod + 1,
+             o_totalprice
+           FROM orders WHERE o_orderkey % $JInsMod = 0)
+         SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+         FROM after JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
 
     "text_classifier_train" ->
       s"""WITH $nbModelCtes

@@ -187,6 +187,72 @@ class Round10Spec extends SparkTestBase {
       s"the probe must sit below the LeftSemi join:\n$p")
   }
 
+  // ---------------- skew-salted join ----------------
+
+  test("salted join equals the plain join, any salt count") {
+    val li = queries.tbl(spark, sf, "lineitem")
+    val sup = queries.tbl(spark, sf, "supplier")
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select("l_orderkey", "l_linenumber", "s_name")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    Seq(1, 8).foreach { salts =>
+      val got = graft.operators.BloomJoin.skewSaltedJoin(li, sup,
+          "l_suppkey", "s_suppkey", Seq("l_orderkey", "l_linenumber"), salts)
+        .select("l_orderkey", "l_linenumber", "s_name")
+        .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+      assert(got === plain, s"salted ($salts lanes) must equal plain join")
+    }
+  }
+
+  test("salted join keys on (key, salt) — the two-level exchange") {
+    val p = graft.operators.BloomJoin.skewSaltedJoin(
+        queries.tbl(spark, sf, "lineitem"),
+        queries.tbl(spark, sf, "supplier"),
+        "l_suppkey", "s_suppkey", Seq("l_orderkey", "l_linenumber"), 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), "salt must be a deterministic hash")
+    assert(p.contains("__salt"),
+      s"the join must carry the salt lane as a key:\n$p")
+  }
+
+  // ---------------- incremental join-view maintenance ----------------
+
+  test("join-view maintenance equals the from-scratch recompute") {
+    val fact = Seq((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0))
+      .toDF("pk", "fk", "v")
+    val dim = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("dk", "name")
+    val view = fact.join(dim, col("fk") === col("dk"))
+      .select("pk", "fk", "v", "name")
+    // delete pk 2, re-key pk 3 to dim 30, insert pk 4
+    val changes = Seq((2L, 0L, 0.0, "D"), (3L, 30L, 7.5, "U"),
+        (4L, 20L, 8.0, "I"))
+      .toDF("pk", "fk", "v", "op")
+    val got = graft.operators.IncrementalAgg.maintainJoinView(
+        view, dim, changes, Seq("pk"), Seq("pk", "fk", "v"), "fk", "dk",
+        "op")
+      .orderBy("pk").collect().map(_.toSeq).toSeq
+    val factAfter = Seq((1L, 10L, 5.0), (3L, 30L, 7.5), (4L, 20L, 8.0))
+      .toDF("pk", "fk", "v")
+    val recompute = factAfter.join(dim, col("fk") === col("dk"))
+      .select("pk", "fk", "v", "name")
+      .orderBy("pk").collect().map(_.toSeq).toSeq
+    assert(got === recompute)
+  }
+
+  test("join-view maintenance prunes survivors with a broadcast anti") {
+    val fact = Seq((1L, 10L, 5.0)).toDF("pk", "fk", "v")
+    val dim = Seq((10L, "x")).toDF("dk", "name")
+    val view = fact.join(dim, col("fk") === col("dk"))
+      .select("pk", "fk", "v", "name")
+    val changes = Seq((1L, 10L, 9.0, "U")).toDF("pk", "fk", "v", "op")
+    val p = graft.operators.IncrementalAgg.maintainJoinView(
+        view, dim, changes, Seq("pk"), Seq("pk", "fk", "v"), "fk", "dk",
+        "op")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"survivor filter must be a broadcast anti join:\n$p")
+  }
+
   // ---------------- naive-Bayes classifier ----------------
 
   test("nb ratios order by class evidence; scoring separates classes") {
