@@ -150,6 +150,22 @@ object Round10 {
       Similarity.rrfFuse(sparse, dense, "doc_id", RrfC, RrfK)
     }),
 
+    // the O(1)-state streaming recursion s <- a*x + (1-a)*s, gated via
+    // its batch replay twin (bit-identical sequential fold); the
+    // DuckDB oracle steps the same recursion as a recursive CTE
+    "stream_ewma" -> ((s, dir) =>
+      graft.streaming.StreamingEwma.ewmaReplay(tbl(s, dir, "events"),
+          "user_id", "event_id", "ts", "value", EwmaAlpha)
+        .orderBy("event_id")),
+
+    // ExactSubstr-lite span removal: every cross-corpus duplicated
+    // 8-gram occurrence is cut except the canonical first — the
+    // REMOVAL sibling of the text_dup_spans report, linear shapes only
+    "text_strip_dup_spans" -> ((s, dir) =>
+      TextAnalysis.stripDuplicatedSpans(tbl(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
     // per-user EWMA smoothing of the event value series: span fixed
     // lag() terms over ONE window pass (fixed expression tree — float
     // order identical on both engines); bounded O(span) state per key
@@ -479,6 +495,62 @@ object Round10 {
            WHERE doc_id % $NbHoldoutMod = 0) d
          LEFT JOIN scored s USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "stream_ewma" -> {
+      val a = java.lang.Double.toString(EwmaAlpha)
+      val om = java.lang.Double.toString(1.0 - EwmaAlpha)
+      s"""WITH RECURSIVE e AS (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, value, rn, value AS s
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.value, e.rn,
+             $a * e.value + $om * r.s
+           FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, event_id, value, round(s, 6) AS ewma_rec
+         FROM r ORDER BY event_id"""
+    },
+
+    "text_strip_dup_spans" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         s AS (SELECT doc_id,
+             unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i, ws
+           FROM w),
+         sp AS (SELECT doc_id, i,
+             CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),
+               1, 15)) AS BIGINT) AS k
+           FROM s),
+         c AS (SELECT k, count(*) AS n FROM sp GROUP BY k),
+         firsts AS (SELECT k, doc_id, i FROM (
+             SELECT k, doc_id, i, row_number()
+               OVER (PARTITION BY k ORDER BY doc_id, i) AS rn FROM sp) t
+           WHERE rn = 1),
+         dup AS (SELECT sp.doc_id, sp.i
+           FROM sp JOIN c ON sp.k = c.k JOIN firsts f ON sp.k = f.k
+           WHERE c.n >= 2
+             AND NOT (sp.doc_id = f.doc_id AND sp.i = f.i)),
+         cov AS (SELECT DISTINCT doc_id, idx FROM (
+             SELECT doc_id, unnest(generate_series(i, i + 7)) AS idx
+             FROM dup) t),
+         tok AS (SELECT doc_id,
+             unnest(generate_series(1, len(ws))) AS idx, ws FROM w),
+         kept AS (SELECT t.doc_id, t.idx, t.ws[t.idx] AS tk
+           FROM tok t LEFT JOIN cov
+             ON t.doc_id = cov.doc_id AND t.idx = cov.idx
+           WHERE cov.doc_id IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(tk, ' ' ORDER BY idx) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, len(w.ws)::BIGINT AS n_tokens,
+           (len(w.ws) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(agg.clean_text, '') AS clean_text
+         FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""",
 
     "window_ewma" -> {
       val num = (0 until EwmaSpan).map { j =>

@@ -134,6 +134,66 @@ object TextAnalysis {
         round(col("n_dup").cast("double") / col("n_spans"), 3))
   }
 
+  /** Corpus-level duplicated-span REMOVAL (the surgical sibling of the
+    * [[duplicatedSpans]] report; the Lee et al. ExactSubstr policy at
+    * word-n-gram granularity): every occurrence of a cross-corpus
+    * duplicated n-gram span is cut from its document EXCEPT the
+    * canonical first occurrence (lexicographic min (doc, position) —
+    * content survives exactly once corpus-wide). A token is removed iff
+    * some non-canonical duplicated span covers it; the document
+    * reassembles from its surviving tokens in order.
+    *
+    * Shape at scale, all linear in corpus tokens: explode spans → one
+    * map-side-combined count per fingerprint carrying the struct-min
+    * canonical occurrence (an aggregate, never a window) → join back →
+    * explode covered indices → anti-join the token stream → per-doc
+    * ordered reassembly (array_sort over each doc's own tokens). No
+    * global sort, no per-key state beyond one doc's token list — the
+    * same bound as any per-doc text op. */
+  def stripDuplicatedSpans(df: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, "span length must be >= 2 words")
+    val toks = nonBlank(df, textCol)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    val spans = toks
+      .select(col(idCol), col("__t"),
+        explode(when(size(col("__t")) >= n,
+          sequence(lit(1), size(col("__t")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col(idCol), col("__i"),
+        conv(substring(md5(concat_ws(" ",
+          slice(col("__t"), col("__i"), lit(n)))), 1, 15), 16, 10)
+          .cast("long").as("__k"))
+    val counts = spans.groupBy("__k")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol).as("__fid"), col("__i").as("__fi")))
+          .as("__f"))
+    val dupOcc = spans.join(counts, Seq("__k"))
+      .where(col("__n") >= 2 &&
+        !(col(idCol) === col("__f.__fid") && col("__i") === col("__f.__fi")))
+    val covered = dupOcc
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__idx"))
+      .distinct()
+    val tokenStream = toks
+      .select(col(idCol), posexplode(col("__t")))
+      .select(col(idCol), (col("pos") + 1).as("__idx"), col("col").as("__tk"))
+    val keptAgg = tokenStream
+      .join(covered, Seq(idCol, "__idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__idx"), col("__tk")))),
+          s => s.getField("__tk"))).as("__clean"))
+    toks.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-level n-gram frequency: the k most frequent word n-grams
     * with deterministic (count desc, gram) tie-ordering. One explode +
     * one partial-aggregating groupBy (map-side combine shrinks the

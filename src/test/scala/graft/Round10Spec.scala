@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Analytics
 import graft.similarity.Similarity
-import graft.textanalysis.NaiveBayes
+import graft.textanalysis.{NaiveBayes, TextAnalysis}
 
 /** Behavioral + plan-shape specs for the round-10 operators (the DuckDB
   * gates check cross-engine values; these pin semantics and the
@@ -185,6 +185,79 @@ class Round10Spec extends SparkTestBase {
     // parent join in the string
     assert(p.indexOf("bloom_might_contain") > p.indexOf("LeftSemi"),
       s"the probe must sit below the LeftSemi join:\n$p")
+  }
+
+  // ---------------- streaming recursive EWMA ----------------
+
+  test("streaming ewma equals the batch replay across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEwma
+    import graft.streaming.StreamingEwma.EwmaEvent
+    val ts: Long => java.sql.Timestamp =
+      m => new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val batch1 = Seq(EwmaEvent(1L, 1L, ts(0), 10.0),
+      EwmaEvent(1L, 2L, ts(1), 20.0), EwmaEvent(2L, 3L, ts(0), 5.0))
+    val batch2 = Seq(EwmaEvent(1L, 4L, ts(2), 40.0),
+      EwmaEvent(2L, 5L, ts(3), 15.0), EwmaEvent(3L, 6L, ts(0), 7.0))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EwmaEvent]
+    val q = StreamingEwma.ewmaStream(input.toDS(), alpha = 0.3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_ewma_test").start()
+    val streamed = try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      spark.table("stream_ewma_test")
+        .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    } finally q.stop()
+    val replay = StreamingEwma.ewmaReplay(
+        (batch1 ++ batch2).toDF(), "user_id", "event_id", "ts", "value",
+        alpha = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("ewma_rec")))
+      .toMap
+    assert(streamed === replay,
+      "mid-stream batch split must not change the recursion")
+    // hand check: user 1 folds 10 -> .3*20+.7*10 = 13 -> .3*40+.7*13
+    assert(math.abs(replay(2L) - 13.0) < 1e-9)
+    assert(math.abs(replay(4L) - (0.3 * 40.0 + 0.7 * 13.0)) < 1e-6)
+  }
+
+  // ---------------- duplicated-span removal ----------------
+
+  test("strip spans: duplicated run survives only at its first home") {
+    // docs 1 and 2 share the 2-gram "x y"; doc 1 keeps it, doc 2 loses
+    // exactly the covered tokens; doc 3 is untouched
+    val docs = Seq(
+      (1L, "a x y b"), (2L, "c x y d"), (3L, "e f g h"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripDuplicatedSpans(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got(0) === ((1L, 0L, "a x y b")), "canonical home keeps the span")
+    assert(got(1) === ((2L, 2L, "c d")), "non-canonical occurrence is cut")
+    assert(got(2) === ((3L, 0L, "e f g h")))
+  }
+
+  test("strip spans: a fully duplicated doc empties out") {
+    val docs = Seq((1L, "p q r s"), (2L, "p q r s")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripDuplicatedSpans(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(got(0) === ((1L, "p q r s")))
+    assert(got(1) === ((2L, "")), "every token covered -> empty clean text")
+  }
+
+  test("strip spans: overlapping dup spans cover the union of indices") {
+    // 'x y z' duplicated as two overlapping 2-grams in doc 2
+    val docs = Seq((1L, "x y z"), (2L, "a x y z b")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripDuplicatedSpans(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(got(1) === ((2L, "a b")))
   }
 
   // ---------------- skew-salted join ----------------
