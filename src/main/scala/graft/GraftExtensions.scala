@@ -195,5 +195,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "test" -> numLit(n, "wTest", args(4))))
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_kmv_distinct"),
+      info("graft_kmv_distinct",
+        "graft_kmv_distinct(table, keyCol, k) - replayable bottom-k (KMV) distinct estimate: (kmv_est)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_kmv_distinct expects 3 arguments")
+        val n = "graft_kmv_distinct"
+        val k = numLit(n, "k", args(2)).toInt
+        graft.operators.Analytics.kmvEstimate(
+            graft.operators.Analytics.kmvSketch(
+              SparkSession.active.table(strLit(n, "table", args.head)),
+              strLit(n, "keyCol", args(1)), k), k)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_strip_dup_spans"),
+      info("graft_strip_dup_spans",
+        "graft_strip_dup_spans(table, idCol, textCol, n) - cut every non-canonical duplicated n-gram span: (id, n_tokens, n_removed, clean_text)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_strip_dup_spans expects 4 arguments")
+        val n = "graft_strip_dup_spans"
+        graft.textanalysis.TextAnalysis.stripDuplicatedSpans(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "n", args(3)).toInt)
+          .queryExecution.logical
+      }))
   }
 }

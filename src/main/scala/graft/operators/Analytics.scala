@@ -682,12 +682,22 @@ object Analytics {
     * merges by "union then keep k smallest" ([[kmvSetOps]] relies on
     * exactly that), so 1000 executors sketch their shards and a k-row
     * reduce combines them. */
-  def kmvSketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    require(k > 1, s"k must exceed 1, got $k")
+  /** The sketch's aggregation state: the distinct 60-bit hashes of
+    * `keyCol`. This stage is a plain streaming-compatible aggregation
+    * (complete-mode twin spec'd); [[kmvSketch]]'s bottom-k is the read
+    * path over it. */
+  def kmvHashes(df: DataFrame, keyCol: String): DataFrame =
     df.select(conv(substring(md5(col(keyCol).cast("string")), 1, 15),
         16, 10).cast("long").as("h"))
       .where(col("h").isNotNull)
-      .distinct().orderBy("h").limit(k)
+      // groupBy rather than distinct(): same batch plan family, but
+      // streaming-wise this is an Aggregate (complete-mode capable)
+      // where Deduplicate would be append/update-only
+      .groupBy("h").agg(count(lit(1)).as("__n")).select("h")
+
+  def kmvSketch(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    kmvHashes(df, keyCol).orderBy("h").limit(k)
   }
 
   /** Distinct-count estimate from a [[kmvSketch]]: with fewer than `k`

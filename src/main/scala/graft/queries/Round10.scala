@@ -166,6 +166,38 @@ object Round10 {
           "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
+    // RAG capstone: span-scrubbed corpus -> BM25 + dense candidate
+    // lists -> reciprocal-rank fusion -> greedy context packing under
+    // a 512-token budget; the oracle recomposes every stage from the
+    // same shared CTEs, so the pipeline is verified END TO END
+    "pipeline_rag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cleaned = TextAnalysis.stripDuplicatedSpans(
+        tbl(s, dir, "documents"), "doc_id", "text", n = 8)
+      val sparse = Similarity.rankByScore(
+        TextAnalysis.bm25(cleaned, "doc_id", "clean_text",
+          Round7.Bm25Terms),
+        "doc_id", "bm25", RrfN)
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val dense = Similarity.rankByScore(
+        Similarity.cosineToQuery(emb, "vec_id", "embedding", q, "qvec")
+          .withColumn("sim", round(col("sim"), 4))
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "sim", RrfN)
+      Similarity.rrfFuse(sparse, dense, "doc_id", RrfC, RrfK)
+        .join(cleaned.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("clean_text")).cast("long")
+            .as("n_tok")), Seq("doc_id"))
+        .withColumn("cum_tokens", sum(col("n_tok"))
+          .over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .where(col("cum_tokens") <= RagBudget)
+        .select("doc_id", "rank_sparse", "rank_dense", "rrf", "n_tok",
+          "cum_tokens")
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // per-user EWMA smoothing of the event value series: span fixed
     // lag() terms over ONE window pass (fixed expression tree — float
     // order identical on both engines); bounded O(span) state per key
@@ -317,6 +349,51 @@ object Round10 {
     s"""SELECT o_orderkey,
          CAST(('0x' || substr($rowHexExpr, 1, 15)) AS BIGINT) AS d
        FROM $src WHERE 1 = 1"""
+
+  /** The strip-duplicated-spans chain as a reusable CTE block ending in
+    * `cleanv(doc_id, n_tokens, n_removed, clean_text)` — shared by the
+    * standalone gate and the RAG pipeline capstone so the stages cannot
+    * drift. */
+  private val stripSpanCtes: String =
+    """w AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS ws
+         FROM documents
+         WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       sgen AS (SELECT doc_id,
+           unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i, ws
+         FROM w),
+       spn AS (SELECT doc_id, i,
+           CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),
+             1, 15)) AS BIGINT) AS k
+         FROM sgen),
+       spc AS (SELECT k, count(*) AS n FROM spn GROUP BY k),
+       firsts AS (SELECT k, doc_id, i FROM (
+           SELECT k, doc_id, i, row_number()
+             OVER (PARTITION BY k ORDER BY doc_id, i) AS rn FROM spn) t
+         WHERE rn = 1),
+       dup AS (SELECT spn.doc_id, spn.i
+         FROM spn JOIN spc ON spn.k = spc.k JOIN firsts f ON spn.k = f.k
+         WHERE spc.n >= 2
+           AND NOT (spn.doc_id = f.doc_id AND spn.i = f.i)),
+       cov AS (SELECT DISTINCT doc_id, idx FROM (
+           SELECT doc_id, unnest(generate_series(i, i + 7)) AS idx
+           FROM dup) t),
+       tok AS (SELECT doc_id,
+           unnest(generate_series(1, len(ws))) AS idx, ws FROM w),
+       kept AS (SELECT t.doc_id, t.idx, t.ws[t.idx] AS tk
+         FROM tok t LEFT JOIN cov
+           ON t.doc_id = cov.doc_id AND t.idx = cov.idx
+         WHERE cov.doc_id IS NULL),
+       cagg AS (SELECT doc_id, count(*) AS n_kept,
+           string_agg(tk, ' ' ORDER BY idx) AS clean_text
+         FROM kept GROUP BY doc_id),
+       cleanv AS (SELECT w.doc_id, len(w.ws)::BIGINT AS n_tokens,
+           (len(w.ws) - coalesce(cagg.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(cagg.clean_text, '') AS clean_text
+         FROM w LEFT JOIN cagg USING (doc_id))"""
+
+  /** RAG context token budget for `pipeline_rag`. */
+  private val RagBudget = 512
 
   /** The NB model as a DuckDB CTE chain (mirrors [[NaiveBayes.train]]
     * on the non-holdout slice; all probability arithmetic forced to
@@ -515,42 +592,50 @@ object Round10 {
     },
 
     "text_strip_dup_spans" ->
-      """WITH w AS (SELECT doc_id,
-             regexp_split_to_array(trim(text), '\s+') AS ws
-           FROM documents
-           WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         s AS (SELECT doc_id,
-             unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i, ws
-           FROM w),
-         sp AS (SELECT doc_id, i,
-             CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')),
-               1, 15)) AS BIGINT) AS k
-           FROM s),
-         c AS (SELECT k, count(*) AS n FROM sp GROUP BY k),
-         firsts AS (SELECT k, doc_id, i FROM (
-             SELECT k, doc_id, i, row_number()
-               OVER (PARTITION BY k ORDER BY doc_id, i) AS rn FROM sp) t
-           WHERE rn = 1),
-         dup AS (SELECT sp.doc_id, sp.i
-           FROM sp JOIN c ON sp.k = c.k JOIN firsts f ON sp.k = f.k
-           WHERE c.n >= 2
-             AND NOT (sp.doc_id = f.doc_id AND sp.i = f.i)),
-         cov AS (SELECT DISTINCT doc_id, idx FROM (
-             SELECT doc_id, unnest(generate_series(i, i + 7)) AS idx
-             FROM dup) t),
-         tok AS (SELECT doc_id,
-             unnest(generate_series(1, len(ws))) AS idx, ws FROM w),
-         kept AS (SELECT t.doc_id, t.idx, t.ws[t.idx] AS tk
-           FROM tok t LEFT JOIN cov
-             ON t.doc_id = cov.doc_id AND t.idx = cov.idx
-           WHERE cov.doc_id IS NULL),
-         agg AS (SELECT doc_id, count(*) AS n_kept,
-             string_agg(tk, ' ' ORDER BY idx) AS clean_text
-           FROM kept GROUP BY doc_id)
-         SELECT w.doc_id, len(w.ws)::BIGINT AS n_tokens,
-           (len(w.ws) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
-           coalesce(agg.clean_text, '') AS clean_text
-         FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""",
+      s"""WITH $stripSpanCtes
+         SELECT doc_id, n_tokens, n_removed, clean_text
+         FROM cleanv ORDER BY doc_id""",
+
+    "pipeline_rag" -> {
+      val fuse = s"""round(coalesce(1.0 / ($RrfC + rank_sparse), 0.0) +
+             coalesce(1.0 / ($RrfC + rank_dense), 0.0), 6)"""
+      s"""WITH $stripSpanCtes,
+           ${Round7.bm25Ctes(Round7.Bm25Terms, "cleanv", "clean_text")},
+           bm AS (SELECT doc_id,
+               round(${Round7.bm25ScoreExpr(Round7.Bm25Terms)}, 4) + 0.0
+                 AS bm25
+             FROM f, s),
+           sr AS (SELECT doc_id, row_number()
+               OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS rank_sparse
+             FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id
+               LIMIT $RrfN) t),
+           q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id = 0),
+           dn AS (SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 4)
+                 + 0.0 AS sim
+             FROM embeddings, q),
+           dr AS (SELECT doc_id, row_number()
+               OVER (ORDER BY sim DESC, doc_id)::BIGINT AS rank_dense
+             FROM (SELECT * FROM dn ORDER BY sim DESC, doc_id
+               LIMIT $RrfN) t),
+           fu AS (SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+               rank_sparse, rank_dense, $fuse AS rrf
+             FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+             ORDER BY rrf DESC, doc_id LIMIT $RrfK),
+           pk AS (SELECT fu.*,
+               CASE WHEN trim(cv.clean_text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(cv.clean_text), '\\s+'))
+                 END AS n_tok
+             FROM fu JOIN cleanv cv USING (doc_id)),
+           run AS (SELECT pk.*, sum(n_tok)
+               OVER (ORDER BY rrf DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM pk)
+         SELECT doc_id, rank_sparse, rank_dense, rrf,
+           n_tok::BIGINT AS n_tok, cum::BIGINT AS cum_tokens
+         FROM run WHERE cum <= $RagBudget
+         ORDER BY rrf DESC, doc_id"""
+    },
 
     "window_ewma" -> {
       val num = (0 until EwmaSpan).map { j =>

@@ -135,11 +135,13 @@ object Round7 {
     * — shared with Round10's hybrid-retrieval oracle so the formula
     * cannot drift between gates. k1 = 1.2, b = 0.75 (the bm25()
     * defaults). */
-  private[queries] def bm25Ctes(terms: Seq[String]): String = {
+  private[queries] def bm25Ctes(terms: Seq[String],
+                                src: String = "documents",
+                                textCol: String = "text"): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"""CASE WHEN trim(text) = '' THEN 0.0
+      s"""CASE WHEN trim($textCol) = '' THEN 0.0
          ELSE len(list_filter(list_transform(
-           string_split_regex(trim(text), '\\s+'), x -> lower(x)),
+           string_split_regex(trim($textCol), '\\s+'), x -> lower(x)),
            x -> x = '${t.toLowerCase}'))::DOUBLE END AS tf$i"""
     }.mkString(",\n         ")
     val dfCols = terms.indices.map(i =>
@@ -147,10 +149,11 @@ object Round7 {
       .mkString(", ")
     s"""f AS (
          SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0.0
-             ELSE len(string_split_regex(trim(text), '\\s+'))::DOUBLE END AS dl,
+           CASE WHEN trim($textCol) = '' THEN 0.0
+             ELSE len(string_split_regex(trim($textCol), '\\s+'))::DOUBLE
+             END AS dl,
            $tfCols
-         FROM documents),
+         FROM $src),
        s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfCols FROM f)"""
   }
 

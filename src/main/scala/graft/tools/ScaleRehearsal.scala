@@ -395,6 +395,55 @@ object ScaleRehearsal {
       f"${c10}%.2f s (${c10 / c1}%.1fx, ~linear target, 4x1024 cells out)")
     println(f"[rehearsal] hll registers: $sn rows ${h1}%.2f s; ${sn * 10} " +
       f"rows ${h10}%.2f s (${h10 / h1}%.1fx, ~linear target, <=4096 cells out)")
+
+    // ---- KMV bottom-k: same linear-build, fixed-summary contract ----
+    def kmvTime(rows: Long): Double = {
+      val t0 = System.nanoTime()
+      Analytics.kmvSketch(synthKeys(rows), "k", 256).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (v1, v10) = (kmvTime(sn), kmvTime(sn * 10))
+    println(f"[rehearsal] kmv sketch: $sn rows ${v1}%.2f s; ${sn * 10} " +
+      f"rows ${v10}%.2f s (${v10 / v1}%.1fx, ~linear target, 256 rows out)")
+
+    // ---- span removal: replication is its WORST case (every span
+    // duplicated, every non-canonical occurrence cut) — must stay
+    // ~linear in corpus tokens, never pairwise in replicas ----
+    time("strip dup spans (1x corpus)") {
+      TextAnalysis.stripDuplicatedSpans(base, "doc_id", "text", 8).count()
+    }
+    time(s"strip dup spans (${k}x corpus)") {
+      TextAnalysis.stripDuplicatedSpans(corpus, "doc_id", "text", 8).count()
+    }
+
+    // ---- Merkle diff: pass-2 cost follows DIRTY lanes, not table
+    // size — the kx table with the SAME absolute change set must keep
+    // the drill-down ~flat while pass 1 scans ~linearly ----
+    if (new java.io.File(s"$dir/orders.parquet").exists()) {
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      val obounds = ord.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val ostride = obounds.getLong(1) - obounds.getLong(0) + 1L
+      def ordK(kk: Int) = (0 until kk).map(i => ord.select(
+        (col("o_orderkey") + lit(i.toLong * ostride)).as("o_orderkey"),
+        col("o_totalprice"))).reduce(_.unionAll(_))
+      // the change set stays the ORIGINAL slice only: a fixed absolute
+      // number of dirty keys however large the table grows
+      def afterOf(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 1009L === 0 &&
+            col("o_orderkey") < obounds.getLong(0) + ostride,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice"))
+          .as("o_totalprice"))
+      val cols = Seq("o_orderkey", "o_totalprice")
+      Seq(1, k).foreach { kk =>
+        val b = ordK(kk)
+        time(s"merkle diff keys (${kk}x orders, fixed change set)") {
+          Analytics.bucketDiffKeys(b, afterOf(b), Seq("o_orderkey"),
+            cols, 4096).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

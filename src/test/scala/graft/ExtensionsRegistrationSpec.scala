@@ -148,6 +148,23 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         .sameResult(apiTopk.queryExecution.optimizedPlan),
         "graft_topk_group must plan to topKPerGroup")
 
+      val sqlKmv = spark.sql(
+        "SELECT * FROM graft_kmv_distinct('tvf_docs','doc_id',64)")
+      val apiKmv = graft.operators.Analytics.kmvEstimate(
+        graft.operators.Analytics.kmvSketch(docs, "doc_id", 64), 64)
+      assert(sqlKmv.queryExecution.optimizedPlan
+        .sameResult(apiKmv.queryExecution.optimizedPlan),
+        "graft_kmv_distinct must plan to kmvSketch+kmvEstimate")
+      assert(sqlKmv.head().getDouble(0) === 4.0) // under k: exact
+
+      val sqlStrip = spark.sql(
+        "SELECT * FROM graft_strip_dup_spans('tvf_docs','doc_id','text',3)")
+      val apiStrip = graft.textanalysis.TextAnalysis.stripDuplicatedSpans(
+        docs, "doc_id", "text", 3)
+      assert(sqlStrip.queryExecution.optimizedPlan
+        .sameResult(apiStrip.queryExecution.optimizedPlan),
+        "graft_strip_dup_spans must plan to stripDuplicatedSpans")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {

@@ -56,6 +56,32 @@ class Round10Spec extends SparkTestBase {
       s"a KMV sketch must never range-shuffle the corpus:\n$p")
   }
 
+  test("kmv sketch runs as a streaming aggregation (complete twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data = (1L to 500L).map(i => i * i % 997)
+    val (first, second) = data.splitAt(200)
+    // the sketch STATE (distinct hashes) is the streamable aggregation;
+    // bottom-k is the read path over it (limit is not a streaming op)
+    val in = MemoryStream[Long]
+    val q = Analytics.kmvHashes(in.toDF().toDF("k"), "k")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_kmv_twin").start()
+    try {
+      in.addData(first: _*)
+      q.processAllAvailable()
+      in.addData(second: _*) // distinct-hash state carries across batches
+      q.processAllAvailable()
+      val streamed = spark.table("stream_kmv_twin")
+        .orderBy("h").limit(64)
+        .collect().map(_.getLong(0)).toSeq
+      val batch = Analytics.kmvSketch(data.toDF("k"), "k", 64)
+        .collect().map(_.getLong(0)).toSeq
+      assert(streamed === batch,
+        "bottom-k over the streamed state must equal the batch sketch")
+    } finally q.stop()
+  }
+
   // ---------------- reciprocal-rank fusion ----------------
 
   test("rrf fusion on crafted ranks: shared docs outrank single-list") {
