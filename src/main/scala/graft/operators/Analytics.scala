@@ -658,9 +658,11 @@ object Analytics {
       (coalesce(lv * lit(wj), lit(0.0)),
         when(lv.isNotNull, lit(wj)).otherwise(lit(0.0)))
     }
+    // arithmetic 6-dp rounding (floor(x*1e6+0.5)/1e6): identical IEEE
+    // ops on any engine, where round() ties can differ cross-engine
     df.withColumn("ewma",
-      round(terms.map(_._1).reduce(_ + _) /
-        terms.map(_._2).reduce(_ + _), 6))
+      floor(terms.map(_._1).reduce(_ + _) /
+        terms.map(_._2).reduce(_ + _) * 1e6 + 0.5) / 1e6)
   }
 
   /** The KMV hash domain: 15 hex md5 digits = 60 uniform bits. 2^60 is

@@ -587,7 +587,8 @@ object Round10 {
            SELECT e.user_id, e.event_id, e.value, e.rn,
              $a * e.value + $om * r.s
            FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-         SELECT user_id, event_id, value, round(s, 6) AS ewma_rec
+         SELECT user_id, event_id, value,
+           floor(s * 1000000 + 0.5) / 1000000 AS ewma_rec
          FROM r ORDER BY event_id"""
     },
 
@@ -650,7 +651,7 @@ object Round10 {
           " ELSE 0.0 END"
       }.mkString(" + ")
       s"""SELECT event_id, user_id, value,
-           round(($num) / ($den), 6) AS ewma
+           floor(($num) / ($den) * 1000000 + 0.5) / 1000000 AS ewma
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id"""

@@ -105,6 +105,9 @@ object StreamingEwma {
         .as("__o"))
       .select(col("__u").as(userCol), col("__o.eid").as(idCol),
         col("__o.v").as(valueCol),
-        round(col("__o.s"), 6).as("ewma_rec"))
+        // arithmetic 6-dp rounding: floor(x*1e6+0.5)/1e6 is the same
+        // IEEE ops on any engine, where round() ties differ (Spark
+        // rounds the shortest decimal repr, DuckDB the binary double)
+        (floor(col("__o.s") * 1e6 + 0.5) / 1e6).as("ewma_rec"))
   }
 }
