@@ -665,6 +665,41 @@ object Analytics {
         terms.map(_._2).reduce(_ + _) * 1e6 + 0.5) / 1e6)
   }
 
+  /** Streaming-shaped anomaly flags from an EWMA forecast: a row is
+    * anomalous when |value − forecast| exceeds `k`·σ, with the
+    * forecast = the PREVIOUS row's [[ewma]] (what a monitor would have
+    * predicted before seeing the row) and σ the trailing sample stddev
+    * over the same span (current row excluded). σ comes from the
+    * explicit sum/sum-of-squares form — window sums both engines
+    * compute the same way — never an engine-native `stddev` whose
+    * accumulation order differs. Rows without a forecast or with fewer
+    * than `minN` trailing observations are never flagged (a cold key
+    * must not alarm). One window pass; O(span) state per key — the
+    * alerting layer over the smoothing layer, same shapes. */
+  def ewmaAnomaly(df: DataFrame, partCols: Seq[String],
+                  orderCols: Seq[String], valueCol: String, alpha: Double,
+                  span: Int, k: Double = 3.0, minN: Int = 5): DataFrame = {
+    require(k > 0 && minN >= 2, s"need k > 0, minN >= 2: $k, $minN")
+    val round6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val trail = w.rowsBetween(-span, -1)
+    val withE = ewma(df, partCols, orderCols, valueCol, alpha, span)
+    val forecast = lag(col("ewma"), 1).over(w)
+    val n = count(col(valueCol)).over(trail)
+    val s1 = sum(col(valueCol)).over(trail)
+    val s2 = sum(col(valueCol) * col(valueCol)).over(trail)
+    val sigma = sqrt(greatest(
+      (s2 - s1 * s1 / n) / (n - lit(1)), lit(0.0)))
+    val score = round6(abs(col(valueCol) - forecast) - lit(k) * sigma)
+    withE
+      .withColumn("forecast", round6(forecast))
+      .withColumn("anom_score",
+        when(forecast.isNotNull && n >= minN, score))
+      .withColumn("is_anomaly",
+        coalesce(col("anom_score") > 0, lit(false)))
+  }
+
   /** The KMV hash domain: 15 hex md5 digits = 60 uniform bits. 2^60 is
     * a power of two, hence exactly representable as a double — the
     * normalization `h / 2^60` is one exact-operand IEEE division on any

@@ -42,6 +42,29 @@ object Round10 {
   private val EwmaAlpha = 0.3
   private val EwmaSpan = 20
 
+  /** Anomaly-gate constants. */
+  private val AnomK = 3.0
+  private val AnomMinN = 5
+
+  /** The truncated-EWMA window expression (floor-6dp) over window `w`,
+    * shared by the window_ewma and window_anomaly oracles. Weight
+    * literals via Double.toString — bit-identical coefficients on both
+    * engines. */
+  private def ewmaExprSql: String = {
+    val num = (0 until EwmaSpan).map { j =>
+      val wj = java.lang.Double.toString(math.pow(1.0 - EwmaAlpha, j))
+      if (j == 0) s"coalesce(value * $wj, 0.0)"
+      else s"coalesce(lag(value, $j) OVER w * $wj, 0.0)"
+    }.mkString(" + ")
+    val den = (0 until EwmaSpan).map { j =>
+      val wj = java.lang.Double.toString(math.pow(1.0 - EwmaAlpha, j))
+      if (j == 0) s"CASE WHEN value IS NOT NULL THEN $wj ELSE 0.0 END"
+      else s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $wj" +
+        " ELSE 0.0 END"
+    }.mkString(" + ")
+    s"floor(($num) / ($den) * 1000000 + 0.5) / 1000000"
+  }
+
   /** Merkle-diff constants: the deterministic "after" version of orders
     * (modify / delete / insert by key residue) and the lane count.
     * BOTH the Spark query and the oracle derive from these. */
@@ -149,6 +172,18 @@ object Round10 {
         "doc_id", "sim", RrfN)
       Similarity.rrfFuse(sparse, dense, "doc_id", RrfC, RrfK)
     }),
+
+    // anomaly flags over the EWMA forecast: |value - prev ewma| vs
+    // k*sigma of the trailing span (explicit sum/sum-sq sigma — never
+    // an engine-native stddev whose accumulation order differs); cold
+    // keys (< minN trailing rows) never alarm
+    "window_anomaly" -> ((s, dir) =>
+      Analytics.ewmaAnomaly(tbl(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value", EwmaAlpha, EwmaSpan,
+          AnomK, AnomMinN)
+        .select("event_id", "user_id", "value", "ewma", "forecast",
+          "anom_score", "is_anomaly")
+        .orderBy("event_id")),
 
     // the O(1)-state streaming recursion s <- a*x + (1-a)*s, gated via
     // its batch replay twin (bit-identical sequential fold); the
@@ -638,22 +673,38 @@ object Round10 {
          ORDER BY rrf DESC, doc_id"""
     },
 
-    "window_ewma" -> {
-      val num = (0 until EwmaSpan).map { j =>
-        val wj = java.lang.Double.toString(math.pow(1.0 - EwmaAlpha, j))
-        if (j == 0) s"coalesce(value * $wj, 0.0)"
-        else s"coalesce(lag(value, $j) OVER w * $wj, 0.0)"
-      }.mkString(" + ")
-      val den = (0 until EwmaSpan).map { j =>
-        val wj = java.lang.Double.toString(math.pow(1.0 - EwmaAlpha, j))
-        if (j == 0) s"CASE WHEN value IS NOT NULL THEN $wj ELSE 0.0 END"
-        else s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $wj" +
-          " ELSE 0.0 END"
-      }.mkString(" + ")
-      s"""SELECT event_id, user_id, value,
-           floor(($num) / ($den) * 1000000 + 0.5) / 1000000 AS ewma
+    "window_ewma" ->
+      s"""SELECT event_id, user_id, value, $ewmaExprSql AS ewma
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    "window_anomaly" -> {
+      val k = java.lang.Double.toString(AnomK)
+      s"""WITH e AS (SELECT event_id, user_id, ts, value,
+             $ewmaExprSql AS ewma,
+             count(value) OVER t AS n,
+             sum(value) OVER t AS s1,
+             sum(value * value) OVER t AS s2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             t AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN $EwmaSpan PRECEDING AND 1 PRECEDING)),
+         f AS (SELECT event_id, user_id, value, ewma, n, s1, s2,
+             lag(ewma, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS fc
+           FROM e),
+         g AS (SELECT *,
+             sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sigma
+           FROM f)
+         SELECT event_id, user_id, value, ewma,
+           floor(fc * 1000000 + 0.5) / 1000000 AS forecast,
+           CASE WHEN fc IS NOT NULL AND n >= $AnomMinN THEN
+             floor((abs(value - fc) - $k * sigma) * 1000000 + 0.5)
+               / 1000000 END AS anom_score,
+           coalesce((CASE WHEN fc IS NOT NULL AND n >= $AnomMinN THEN
+             floor((abs(value - fc) - $k * sigma) * 1000000 + 0.5)
+               / 1000000 END) > 0, false) AS is_anomaly
+         FROM g ORDER BY event_id"""
     })
 }

@@ -168,6 +168,39 @@ class Round10Spec extends SparkTestBase {
     assert(d(0).getAs[Long]("n_before") === d(0).getAs[Long]("n_after") + 1)
   }
 
+  test("merkle drill-down statically prunes a bucket-partitioned store") {
+    // the production layout: both table versions stored partitioned by
+    // the checksum lane; the pass-2 key scan must read ONLY dirty lanes
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val buckets = 64
+    val bucketOf = pmod(conv(substring(
+      md5(col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val before = queries.tbl(spark, sf, "orders")
+      .select(cols.map(col): _*)
+    val after = before.where(col("o_orderkey") =!= 7L)
+    val dir = java.nio.file.Files.createTempDirectory("merkle-store")
+    before.withColumn("bucket", bucketOf).write
+      .partitionBy("bucket").parquet(s"$dir/before")
+    after.withColumn("bucket", bucketOf).write
+      .partitionBy("bucket").parquet(s"$dir/after")
+    // pass 1 on the summaries; the dirty list is lane-count bounded, so
+    // collecting it into a static isin literal is always driver-safe
+    val dirty = Analytics.bucketDiff(before, after, Seq("o_orderkey"),
+      cols, buckets).select("bucket").collect().map(_.getLong(0)).toSeq
+    assert(dirty.length === 1)
+    val pruned = spark.read.parquet(s"$dir/before")
+      .where(col("bucket").isin(dirty: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[", "")
+        .startsWith("]"),
+      s"the dirty-lane filter must reach PartitionFilters:\n$plan")
+    // and the pruned slice still finds exactly the differing key
+    assert(pruned.select("o_orderkey").collect().map(_.getLong(0))
+      .contains(7L))
+  }
+
   test("bucket diff keys classifies added/removed/changed exactly") {
     val before = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
       .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
