@@ -75,4 +75,56 @@ object ZOrder {
     withZValue(df, cols, bits)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
+
+  /** Hilbert-curve distance of a 2-D rank cell (x, y), each in
+    * [0, 2^bits) — the strictly-better-locality sibling of the Morton
+    * code: CONSECUTIVE curve positions are always grid neighbors
+    * (Manhattan distance 1; Morton jumps across the plane at power-of-
+    * two boundaries), so range-partitioned files cover even tighter
+    * per-column min/max boxes. The standard iterative quadrant
+    * transform (reflect+swap per bit level, high to low); every step is
+    * integer compare/arith on the two running coordinates, built here
+    * as chained column expressions — a pure map over the scan, same as
+    * [[interleave]]. */
+  def hilbertD2(x0: Column, y0: Column, bits: Int): Column = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits out of range: $bits")
+    var x = x0.cast("long"); var y = y0.cast("long"); var d = lit(0L)
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      d = d + lit(s) * lit(s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // quadrant rotation: in the lower half (ry=0) reflect when on
+      // the right (rx=1), then swap the axes
+      val nx = when(ry === 0,
+        when(rx === 1, lit(s - 1) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0,
+        when(rx === 1, lit(s - 1) - x).otherwise(x)).otherwise(y)
+      x = nx; y = ny
+    }
+    d
+  }
+
+  /** Add `hCol` = the Hilbert distance over two columns at 2^bits
+    * quantile ranks each — identical rank derivation to [[withZValue]]
+    * (one exact-percentile reduce per column, broadcast back; the
+    * transform is a pure map). */
+  def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
+                       bits: Int, hCol: String = "__h"): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits out of range: $bits")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+    val withRanks = Seq(xCol, yCol).zipWithIndex.foldLeft(df) {
+      case (d, (c, j)) =>
+        val cuts = Analytics.quantileCutpoints(df, c, probs)
+          .withColumnRenamed("__cuts", s"__cuts$j")
+        d.join(broadcast(cuts))
+          .withColumn(s"__rank$j",
+            aggregate(col(s"__cuts$j"), lit(0),
+              (acc, x) => acc + when(col(c) > round(x, 6), 1).otherwise(0)))
+          .drop(s"__cuts$j")
+    }
+    withRanks
+      .withColumn(hCol, hilbertD2(col("__rank0"), col("__rank1"), bits))
+      .drop("__rank0", "__rank1")
+  }
 }

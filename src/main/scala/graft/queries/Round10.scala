@@ -46,6 +46,42 @@ object Round10 {
   private val AnomK = 3.0
   private val AnomMinN = 5
 
+  /** Hilbert gate resolution (2^bits ranks per column). */
+  private val HilbertBits = 4
+
+  /** The Hilbert iterative quadrant transform as chained CTEs — one
+    * per bit level, high to low, generated from the same loop shape as
+    * `ZOrder.hilbertD2` so the two sides cannot drift. */
+  private def hilbertOracleSql(bits: Int): String = {
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map {
+      case (i, stepIdx) =>
+        val s = 1L << i
+        s"""h${stepIdx + 1} AS (SELECT o_orderkey,
+             CASE WHEN ((y >> $i) & 1) = 0 THEN
+               CASE WHEN ((x >> $i) & 1) = 1 THEN ${s - 1} - y ELSE y END
+             ELSE x END AS x,
+             CASE WHEN ((y >> $i) & 1) = 0 THEN
+               CASE WHEN ((x >> $i) & 1) = 1 THEN ${s - 1} - x ELSE x END
+             ELSE y END AS y,
+             d + ${s * s} * xor(3 * ((x >> $i) & 1), (y >> $i) & 1) AS d
+           FROM h$stepIdx)"""
+    }
+    s"""WITH c0 AS (SELECT quantile_cont(o_totalprice,
+           [${probs.mkString(", ")}]) AS cuts FROM orders),
+       c1 AS (SELECT quantile_cont(o_custkey,
+           [${probs.mkString(", ")}]) AS cuts FROM orders),
+       h0 AS (SELECT o_orderkey,
+           len(list_filter(c0.cuts, v -> o_totalprice > round(v, 6)))
+             AS x,
+           len(list_filter(c1.cuts, v -> o_custkey > round(v, 6))) AS y,
+           0 AS d
+         FROM orders, c0, c1),
+       ${steps.mkString(",\n       ")}
+       SELECT o_orderkey, d::BIGINT AS h FROM h$bits
+       ORDER BY o_orderkey"""
+  }
+
   /** The truncated-EWMA window expression (floor-6dp) over window `w`,
     * shared by the window_ewma and window_anomaly oracles. Weight
     * literals via Double.toString — bit-identical coefficients on both
@@ -172,6 +208,15 @@ object Round10 {
         "doc_id", "sim", RrfN)
       Similarity.rrfFuse(sparse, dense, "doc_id", RrfC, RrfK)
     }),
+
+    // Hilbert-curve clustering value: the better-locality sibling of
+    // scalar_zorder (consecutive curve cells are always grid
+    // neighbors); same exact-quantile ranks, pure-map transform
+    "scalar_hilbert" -> ((s, dir) =>
+      graft.operators.ZOrder.withHilbertValue(tbl(s, dir, "orders"),
+          "o_totalprice", "o_custkey", bits = HilbertBits, hCol = "h")
+        .select("o_orderkey", "h")
+        .orderBy("o_orderkey")),
 
     // anomaly flags over the EWMA forecast: |value - prev ewma| vs
     // k*sigma of the trailing span (explicit sum/sum-sq sigma — never
@@ -678,6 +723,8 @@ object Round10 {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id""",
+
+    "scalar_hilbert" -> hilbertOracleSql(HilbertBits),
 
     "window_anomaly" -> {
       val k = java.lang.Double.toString(AnomK)

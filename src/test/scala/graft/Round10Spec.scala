@@ -153,6 +153,28 @@ class Round10Spec extends SparkTestBase {
       s"all lag terms must fold into one Window node:\n$p")
   }
 
+  // ---------------- Hilbert curve ----------------
+
+  test("hilbert distance walks the full grid in unit steps") {
+    val bits = 3
+    val n = 1 << bits
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x, y)))
+      .toDF("x", "y")
+    val got = grid.withColumn("d",
+        graft.operators.ZOrder.hilbertD2(col("x"), col("y"), bits))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // d is a bijection onto [0, n^2)
+    assert(got.map(_._3).sorted === (0L until (n.toLong * n)).toArray,
+      "hilbert d must be a permutation of the grid")
+    // CONSECUTIVE curve positions are grid neighbors — the locality
+    // property Morton lacks (its jumps exceed 1 at power-of-two seams)
+    val byD = got.sortBy(_._3)
+    byD.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve step ($x1,$y1)->($x2,$y2) must be a unit move")
+    }
+  }
+
   // ---------------- Merkle bucket diff ----------------
 
   test("bucket diff flags exactly the touched lanes; identity is clean") {
