@@ -42,16 +42,14 @@ object ZOrder {
       shiftleft(shiftrightunsigned(z, i * n + j).bitwiseAND(lit(1L)), i)
     }.reduce(_ + _)
 
-  /** Add `zCol` = the z-value over `cols` at 2^bits quantile ranks per
-    * column. One exact-percentile reduce per column (broadcast back);
-    * rank + interleave are a pure map. */
-  def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
-                 zCol: String = "__z"): DataFrame = {
-    require(cols.size >= 2, "z-ordering needs at least two columns")
-    require(bits >= 1 && bits * cols.size <= 62,
-      s"bits=$bits x ${cols.size} cols exceeds a long")
+  /** Add `__rank{j}` = column j's 2^bits exact-quantile rank — the
+    * shared quantization under [[withZValue]], [[withHilbertValue]],
+    * and layout diagnostics. One exact-percentile reduce per column
+    * (broadcast back); assignment is a pure map. */
+  def withRanks(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+    require(bits >= 1, s"bits must be positive: $bits")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
-    val withRanks = cols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
       val cuts = Analytics.quantileCutpoints(df, c, probs)
         .withColumnRenamed("__cuts", s"__cuts$j")
       d.join(broadcast(cuts))
@@ -60,7 +58,17 @@ object ZOrder {
             (acc, x) => acc + when(col(c) > round(x, 6), 1).otherwise(0)))
         .drop(s"__cuts$j")
     }
-    withRanks
+  }
+
+  /** Add `zCol` = the z-value over `cols` at 2^bits quantile ranks per
+    * column. One exact-percentile reduce per column (broadcast back);
+    * rank + interleave are a pure map. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
+                 zCol: String = "__z"): DataFrame = {
+    require(cols.size >= 2, "z-ordering needs at least two columns")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits=$bits x ${cols.size} cols exceeds a long")
+    withRanks(df, cols, bits)
       .withColumn(zCol,
         interleave(cols.indices.map(j => col(s"__rank$j")), bits))
       .drop(cols.indices.map(j => s"__rank$j"): _*)
@@ -112,18 +120,7 @@ object ZOrder {
   def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
                        bits: Int, hCol: String = "__h"): DataFrame = {
     require(bits >= 1 && 2 * bits <= 62, s"bits out of range: $bits")
-    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
-    val withRanks = Seq(xCol, yCol).zipWithIndex.foldLeft(df) {
-      case (d, (c, j)) =>
-        val cuts = Analytics.quantileCutpoints(df, c, probs)
-          .withColumnRenamed("__cuts", s"__cuts$j")
-        d.join(broadcast(cuts))
-          .withColumn(s"__rank$j",
-            aggregate(col(s"__cuts$j"), lit(0),
-              (acc, x) => acc + when(col(c) > round(x, 6), 1).otherwise(0)))
-          .drop(s"__cuts$j")
-    }
-    withRanks
+    withRanks(df, Seq(xCol, yCol), bits)
       .withColumn(hCol, hilbertD2(col("__rank0"), col("__rank1"), bits))
       .drop("__rank0", "__rank1")
   }

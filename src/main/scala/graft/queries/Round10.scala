@@ -51,35 +51,77 @@ object Round10 {
 
   /** The Hilbert iterative quadrant transform as chained CTEs — one
     * per bit level, high to low, generated from the same loop shape as
-    * `ZOrder.hilbertD2` so the two sides cannot drift. */
-  private def hilbertOracleSql(bits: Int): String = {
+    * `ZOrder.hilbertD2` so the two sides cannot drift. `carry` columns
+    * pass through untouched. */
+  private def hilbertStepsSql(bits: Int, carry: Seq[String]): String = {
+    val cc = carry.map(c => s"$c, ").mkString
+    ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, stepIdx) =>
+      val s = 1L << i
+      s"""h${stepIdx + 1} AS (SELECT $cc
+           CASE WHEN ((y >> $i) & 1) = 0 THEN
+             CASE WHEN ((x >> $i) & 1) = 1 THEN ${s - 1} - y ELSE y END
+           ELSE x END AS x,
+           CASE WHEN ((y >> $i) & 1) = 0 THEN
+             CASE WHEN ((x >> $i) & 1) = 1 THEN ${s - 1} - x ELSE x END
+           ELSE y END AS y,
+           d + ${s * s} * xor(3 * ((x >> $i) & 1), (y >> $i) & 1) AS d
+         FROM h$stepIdx)"""
+    }.mkString(",\n       ")
+  }
+
+  /** The shared rank CTE over orders (o_totalprice → r0, o_custkey →
+    * r1), identical to the scalar_zorder oracle's derivation. */
+  private def rankCtesSql(bits: Int): String = {
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
-    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map {
-      case (i, stepIdx) =>
-        val s = 1L << i
-        s"""h${stepIdx + 1} AS (SELECT o_orderkey,
-             CASE WHEN ((y >> $i) & 1) = 0 THEN
-               CASE WHEN ((x >> $i) & 1) = 1 THEN ${s - 1} - y ELSE y END
-             ELSE x END AS x,
-             CASE WHEN ((y >> $i) & 1) = 0 THEN
-               CASE WHEN ((x >> $i) & 1) = 1 THEN ${s - 1} - x ELSE x END
-             ELSE y END AS y,
-             d + ${s * s} * xor(3 * ((x >> $i) & 1), (y >> $i) & 1) AS d
-           FROM h$stepIdx)"""
-    }
-    s"""WITH c0 AS (SELECT quantile_cont(o_totalprice,
+    s"""c0 AS (SELECT quantile_cont(o_totalprice,
            [${probs.mkString(", ")}]) AS cuts FROM orders),
        c1 AS (SELECT quantile_cont(o_custkey,
            [${probs.mkString(", ")}]) AS cuts FROM orders),
-       h0 AS (SELECT o_orderkey,
+       r AS (SELECT o_orderkey,
            len(list_filter(c0.cuts, v -> o_totalprice > round(v, 6)))
-             AS x,
-           len(list_filter(c1.cuts, v -> o_custkey > round(v, 6))) AS y,
-           0 AS d
-         FROM orders, c0, c1),
-       ${steps.mkString(",\n       ")}
+             AS r0,
+           len(list_filter(c1.cuts, v -> o_custkey > round(v, 6))) AS r1
+         FROM orders, c0, c1)"""
+  }
+
+  private def hilbertOracleSql(bits: Int): String =
+    s"""WITH ${rankCtesSql(bits)},
+       h0 AS (SELECT o_orderkey, r0 AS x, r1 AS y, 0 AS d FROM r),
+       ${hilbertStepsSql(bits, Seq("o_orderkey"))}
        SELECT o_orderkey, d::BIGINT AS h FROM h$bits
        ORDER BY o_orderkey"""
+
+  /** layout_boxes oracle: both curve values from the same rank table,
+    * 16 equal-population curve segments each, per-segment rank-space
+    * bounding boxes. */
+  private def layoutBoxesOracleSql(bits: Int): String = {
+    val segProbs = (1 until 16).map(_ / 16.0)
+    val morton = (0 until bits).flatMap { i =>
+      Seq(s"(((r0 >> $i) & 1) << ${i * 2})",
+        s"(((r1 >> $i) & 1) << ${i * 2 + 1})")
+    }.mkString(" + ")
+    def perCurve(name: String): String =
+      s"""SELECT '$name' AS curve,
+           (1 + len(list_filter(k_$name.cuts, v -> cv > round(v, 6))))::BIGINT
+             AS segment,
+           count(*) AS n,
+           (max(r0) - min(r0) + 1)::BIGINT AS dx,
+           (max(r1) - min(r1) + 1)::BIGINT AS dy,
+           ((max(r0) - min(r0) + 1) * (max(r1) - min(r1) + 1))::BIGINT
+             AS box_area
+         FROM cv_$name, k_$name GROUP BY 1, 2"""
+    s"""WITH ${rankCtesSql(bits)},
+       cv_morton AS (SELECT o_orderkey, r0, r1, ($morton) AS cv FROM r),
+       h0 AS (SELECT o_orderkey, r0, r1, r0 AS x, r1 AS y, 0 AS d FROM r),
+       ${hilbertStepsSql(bits, Seq("o_orderkey", "r0", "r1"))},
+       cv_hilbert AS (SELECT o_orderkey, r0, r1, d AS cv FROM h$bits),
+       k_morton AS (SELECT quantile_cont(cv,
+           [${segProbs.mkString(", ")}]) AS cuts FROM cv_morton),
+       k_hilbert AS (SELECT quantile_cont(cv,
+           [${segProbs.mkString(", ")}]) AS cuts FROM cv_hilbert)
+       (${perCurve("hilbert")})
+       UNION ALL (${perCurve("morton")})
+       ORDER BY curve, segment"""
   }
 
   /** The truncated-EWMA window expression (floor-6dp) over window `w`,
@@ -217,6 +259,39 @@ object Round10 {
           "o_totalprice", "o_custkey", bits = HilbertBits, hCol = "h")
         .select("o_orderkey", "h")
         .orderBy("o_orderkey")),
+
+    // the layout operators' empirical justification: per-segment
+    // rank-space bounding boxes for 16 equal-population segments of
+    // each curve — Hilbert's unit-step locality should show tighter
+    // (never pathologically wider) boxes than Morton's seam jumps
+    "layout_boxes" -> ((s, dir) => {
+      val ranked = graft.operators.ZOrder.withRanks(
+        tbl(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_custkey"),
+        Seq("o_totalprice", "o_custkey"), HilbertBits)
+      val segProbs = (1 until 16).map(_ / 16.0)
+      def boxes(name: String, cv: org.apache.spark.sql.Column) = {
+        val withCv = ranked.withColumn("__cv", cv)
+        val seg = Analytics.bucketByCutpoints(withCv, "__cv",
+          Analytics.quantileCutpoints(withCv, "__cv", segProbs))
+        seg.groupBy("bucket").agg(
+            count(lit(1)).as("n"),
+            min("__rank0").as("__l0"), max("__rank0").as("__h0"),
+            min("__rank1").as("__l1"), max("__rank1").as("__h1"))
+          .select(lit(name).as("curve"),
+            col("bucket").cast("long").as("segment"), col("n"),
+            (col("__h0") - col("__l0") + 1).cast("long").as("dx"),
+            (col("__h1") - col("__l1") + 1).cast("long").as("dy"),
+            ((col("__h0") - col("__l0") + 1) *
+              (col("__h1") - col("__l1") + 1)).cast("long").as("box_area"))
+      }
+      import graft.operators.ZOrder
+      boxes("hilbert", ZOrder.hilbertD2(col("__rank0"), col("__rank1"),
+          HilbertBits))
+        .unionByName(boxes("morton", ZOrder.interleave(
+          Seq(col("__rank0"), col("__rank1")), HilbertBits)))
+        .orderBy("curve", "segment")
+    }),
 
     // anomaly flags over the EWMA forecast: |value - prev ewma| vs
     // k*sigma of the trailing span (explicit sum/sum-sq sigma — never
@@ -725,6 +800,8 @@ object Round10 {
          ORDER BY event_id""",
 
     "scalar_hilbert" -> hilbertOracleSql(HilbertBits),
+
+    "layout_boxes" -> layoutBoxesOracleSql(HilbertBits),
 
     "window_anomaly" -> {
       val k = java.lang.Double.toString(AnomK)
