@@ -665,6 +665,42 @@ object Analytics {
         terms.map(_._2).reduce(_ + _) * 1e6 + 0.5) / 1e6)
   }
 
+  /** Population-stability-index drift report between two versions of a
+    * numeric column (the standard model-monitoring / data-drift gate):
+    * bucket BOTH versions by the BASELINE's exact decile cutpoints
+    * (one 1-row reduce broadcast back — never a second quantile pass
+    * on the comparison side), compare per-bucket population shares,
+    * and report each bucket's PSI contribution
+    * (p_cur − p_base)·ln(p_cur/p_base) plus the total. Shares are
+    * rounded to 6 dp BEFORE the ln so the report replays
+    * bit-identically cross-engine (the bm25 precedent: libm `ln` on
+    * identical inputs is correctly rounded everywhere; it is DIFFERING
+    * inputs that diverge). Two aggregating scans + bucket-count-sized
+    * arithmetic — the "did last week's corpus still look like
+    * training" check at any scale. */
+  def driftPsi(base: DataFrame, current: DataFrame, valueCol: String,
+               nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val round6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = quantileCutpoints(base, valueCol, probs)
+    def shares(df: DataFrame, share: String): DataFrame =
+      bucketByCutpoints(df, valueCol, cuts)
+        .groupBy("bucket").agg(count(lit(1)).as("__n"))
+        .withColumn(share,
+          round6(col("__n") / sum(col("__n")).over(Window.partitionBy())))
+        .drop("__n")
+    shares(base, "p_base")
+      .join(shares(current, "p_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket").cast("long").as("bucket"),
+        coalesce(col("p_base"), lit(0.0)).as("p_base"),
+        coalesce(col("p_cur"), lit(0.0)).as("p_cur"))
+      .withColumn("psi",
+        when(col("p_base") > 0 && col("p_cur") > 0,
+          round6((col("p_cur") - col("p_base")) *
+            log(col("p_cur") / col("p_base")))))
+  }
+
   /** Streaming-shaped anomaly flags from an EWMA forecast: a row is
     * anomalous when |value − forecast| exceeds `k`·σ, with the
     * forecast = the PREVIOUS row's [[ewma]] (what a monitor would have

@@ -260,6 +260,19 @@ object Round10 {
         .select("o_orderkey", "h")
         .orderBy("o_orderkey")),
 
+    // PSI drift report between two corpus versions: both bucketed by
+    // the BASELINE deciles (one broadcast cutpoint reduce), shares
+    // rounded before the ln so the report replays bit-identically —
+    // the "does serving still look like training" monitoring gate
+    "audit_drift_psi" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders").select("o_custkey", "o_totalprice")
+      val current = base.select(
+        when(col("o_custkey") % 4 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Analytics.driftPsi(base, current, "o_totalprice", nBuckets = 10)
+        .orderBy("bucket")
+    }),
+
     // the layout operators' empirical justification: per-segment
     // rank-space bounding boxes for 16 equal-population segments of
     // each curve — Hilbert's unit-step locality should show tighter
@@ -802,6 +815,35 @@ object Round10 {
     "scalar_hilbert" -> hilbertOracleSql(HilbertBits),
 
     "layout_boxes" -> layoutBoxesOracleSql(HilbertBits),
+
+    "audit_drift_psi" ->
+      """WITH c AS (SELECT quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+         FROM orders),
+         cur AS (SELECT CASE WHEN o_custkey % 4 = 0
+             THEN o_totalprice * 1.1 ELSE o_totalprice END AS v
+           FROM orders),
+         bb AS (SELECT 1 + len(list_filter(c.cuts,
+             x -> o_totalprice > round(x, 6))) AS bucket FROM orders, c),
+         cb AS (SELECT 1 + len(list_filter(c.cuts,
+             x -> v > round(x, 6))) AS bucket FROM cur, c),
+         pb AS (SELECT bucket, floor(count(*)::DOUBLE
+             / (SELECT count(*) FROM bb) * 1000000 + 0.5) / 1000000
+             AS p_base
+           FROM bb GROUP BY 1),
+         pc AS (SELECT bucket, floor(count(*)::DOUBLE
+             / (SELECT count(*) FROM cb) * 1000000 + 0.5) / 1000000
+             AS p_cur
+           FROM cb GROUP BY 1)
+         SELECT coalesce(pb.bucket, pc.bucket)::BIGINT AS bucket,
+           coalesce(p_base, 0.0) AS p_base,
+           coalesce(p_cur, 0.0) AS p_cur,
+           CASE WHEN coalesce(p_base, 0.0) > 0
+               AND coalesce(p_cur, 0.0) > 0 THEN
+             floor((p_cur - p_base) * ln(p_cur / p_base) * 1000000 + 0.5)
+               / 1000000 END AS psi
+         FROM pb FULL OUTER JOIN pc ON pb.bucket = pc.bucket
+         ORDER BY bucket""",
 
     "window_anomaly" -> {
       val k = java.lang.Double.toString(AnomK)

@@ -153,6 +153,21 @@ class Round10Spec extends SparkTestBase {
       s"all lag terms must fold into one Window node:\n$p")
   }
 
+  // ---------------- PSI drift ----------------
+
+  test("psi is ~0 on identical versions, positive under a shift") {
+    val base = queries.tbl(spark, sf, "orders")
+      .select("o_custkey", "o_totalprice")
+    val same = Analytics.driftPsi(base, base, "o_totalprice")
+      .agg(sum(abs(col("psi")))).collect()(0).getDouble(0)
+    assert(same < 1e-9, s"identical versions must score ~0 psi: $same")
+    val shifted = base.select(
+      (col("o_totalprice") * 1.5).as("o_totalprice"))
+    val drift = Analytics.driftPsi(base, shifted, "o_totalprice")
+      .agg(sum(col("psi"))).collect()(0).getDouble(0)
+    assert(drift > 0.1, s"a 1.5x scale shift must register drift: $drift")
+  }
+
   // ---------------- Hilbert curve ----------------
 
   test("hilbert distance walks the full grid in unit steps") {
