@@ -318,6 +318,17 @@ object Round10 {
           "anom_score", "is_anomaly")
         .orderBy("event_id")),
 
+    // Welford running z-score anomalies (the unbounded-history sibling
+    // of window_anomaly): each event scores against its key's PRIOR
+    // stats, then folds in — three doubles of state per key streaming;
+    // gated via the bit-identical batch replay, recursion stepped by
+    // the DuckDB oracle
+    "stream_anomaly" -> ((s, dir) =>
+      graft.streaming.StreamingAnomaly.anomalyReplay(
+          tbl(s, dir, "events"), "user_id", "event_id", "ts", "value",
+          k = AnomK, minN = AnomMinN)
+        .orderBy("event_id")),
+
     // the O(1)-state streaming recursion s <- a*x + (1-a)*s, gated via
     // its batch replay twin (bit-identical sequential fold); the
     // DuckDB oracle steps the same recursion as a recursive CTE
@@ -740,6 +751,34 @@ object Round10 {
            WHERE doc_id % $NbHoldoutMod = 0) d
          LEFT JOIN scored s USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "stream_anomaly" -> {
+      val k = java.lang.Double.toString(AnomK)
+      s"""WITH RECURSIVE e AS (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, value, rn,
+             1::BIGINT AS n, value AS mean, 0.0::DOUBLE AS m2,
+             CAST(NULL AS DOUBLE) AS z, false AS a
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.value, e.rn,
+             r.n + 1,
+             r.mean + (e.value - r.mean) / (r.n + 1),
+             r.m2 + (e.value - r.mean) * (e.value
+               - (r.mean + (e.value - r.mean) / (r.n + 1))),
+             CASE WHEN r.n >= $AnomMinN AND r.m2 > 0 THEN
+               floor((e.value - r.mean) / sqrt(r.m2 / (r.n - 1))
+                 * 1000000 + 0.5) / 1000000 END,
+             CASE WHEN r.n >= $AnomMinN AND r.m2 > 0 THEN
+               abs((e.value - r.mean) / sqrt(r.m2 / (r.n - 1))) > $k
+             ELSE false END
+           FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, event_id, value, z, a AS is_anomaly
+         FROM r ORDER BY event_id"""
+    },
 
     "stream_ewma" -> {
       val a = java.lang.Double.toString(EwmaAlpha)

@@ -322,6 +322,43 @@ class Round10Spec extends SparkTestBase {
     assert(math.abs(replay(4L) - (0.3 * 40.0 + 0.7 * 13.0)) < 1e-6)
   }
 
+  test("streaming welford anomaly equals replay across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StreamingAnomaly, StreamingEwma}
+    import graft.streaming.StreamingEwma.EwmaEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts: Long => java.sql.Timestamp =
+      m => new java.sql.Timestamp(1704067200000L + m * 60000L)
+    // one key, 8 steady values then a spike; split mid-history
+    val evs = (1L to 8L).map(i => EwmaEvent(1L, i, ts(i), 10.0 + i % 2)) :+
+      EwmaEvent(1L, 9L, ts(9), 500.0)
+    val (b1, b2) = evs.splitAt(4)
+    val input = MemoryStream[EwmaEvent]
+    val q = StreamingAnomaly.anomalyStream(input.toDS(), k = 3.0, minN = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_anom_test").start()
+    val streamed = try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      spark.table("stream_anom_test")
+        .collect().map(r => (r.getAs[Long]("event_id"),
+          (Option(r.getAs[java.lang.Double]("z")).map(_.toDouble),
+            r.getAs[Boolean]("is_anomaly")))).toMap
+    } finally q.stop()
+    val replay = StreamingAnomaly.anomalyReplay(evs.toDF(), "user_id",
+        "event_id", "ts", "value", k = 3.0, minN = 5)
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        (Option(r.getAs[java.lang.Double]("z")).map(_.toDouble),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(streamed === replay,
+      "mid-history batch split must not change the recursion")
+    assert(replay(9L)._2 === true, "the spike must flag")
+    assert((1L to 5L).forall(!replay(_)._2),
+      "cold-history rows must never flag")
+  }
+
   // ---------------- duplicated-span removal ----------------
 
   test("strip spans: duplicated run survives only at its first home") {
