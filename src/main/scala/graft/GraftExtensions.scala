@@ -210,6 +210,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_drift_psi"),
+      info("graft_drift_psi",
+        "graft_drift_psi(baseTable, currentTable, valueCol, buckets) - PSI drift report between two table versions: (bucket, p_base, p_cur, psi)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_drift_psi expects 4 arguments")
+        val n = "graft_drift_psi"
+        graft.operators.Analytics.driftPsi(
+            SparkSession.active.table(strLit(n, "baseTable", args.head)),
+            SparkSession.active.table(strLit(n, "currentTable", args(1))),
+            strLit(n, "valueCol", args(2)),
+            numLit(n, "buckets", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_strip_dup_spans"),
       info("graft_strip_dup_spans",
         "graft_strip_dup_spans(table, idCol, textCol, n) - cut every non-canonical duplicated n-gram span: (id, n_tokens, n_removed, clean_text)"),

@@ -230,6 +230,30 @@ object Round10 {
           "true_intersect", "est_intersect")
     }),
 
+    // the KMV merge contract INSIDE a gate: sketch two disjoint halves
+    // independently, merge by union-then-keep-k-smallest, and land on
+    // the same estimate as sketching the whole corpus — the property
+    // that lets 1000 executors sketch shards and a k-row reduce union
+    // a 100 TB scan
+    "agg_kmv_merge" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val half = ev.agg(expr("percentile(event_id, 0.5)")).head().getDouble(0)
+      val a = ev.where(col("event_id") <= half)
+      val b = ev.where(col("event_id") > half)
+      val merged = Analytics.kmvSketch(a, "event_id", KmvK)
+        .unionByName(Analytics.kmvSketch(b, "event_id", KmvK))
+        .groupBy("h").agg(count(lit(1)).as("__n")).select("h")
+        .orderBy("h").limit(KmvK)
+      Analytics.kmvEstimate(Analytics.kmvSketch(ev, "event_id", KmvK), KmvK)
+        .withColumnRenamed("kmv_est", "est_full")
+        .crossJoin(broadcast(Analytics.kmvEstimate(merged, KmvK)
+          .withColumnRenamed("kmv_est", "est_merged")))
+        .crossJoin(broadcast(
+          ev.agg(countDistinct(col("event_id")).as("true_distinct"))))
+        .select(col("true_distinct"), col("est_full"), col("est_merged"),
+          (col("est_full") === col("est_merged")).as("merge_exact"))
+    }),
+
     // hybrid retrieval: BM25 candidate list + dense-cosine candidate
     // list (the documents/embeddings tables share the 0..499 id space),
     // fused by reciprocal-rank fusion. Each scorer is one corpus scan +
@@ -633,6 +657,28 @@ object Round10 {
            round((${kmvEstSql("ua")}) * (ua.nboth::DOUBLE / ua.n), 4)
              AS est_intersect
          FROM ua, aa, ba""",
+
+    "agg_kmv_merge" -> {
+      val aSrc = "(SELECT event_id FROM events, m WHERE event_id <= half) ta"
+      val bSrc = "(SELECT event_id FROM events, m WHERE event_id > half) tb"
+      s"""WITH m AS (SELECT quantile_cont(event_id, 0.5) AS half
+           FROM events),
+         sa AS (${kmvSketchSql(aSrc, "event_id")}),
+         sb AS (${kmvSketchSql(bSrc, "event_id")}),
+         mg AS (SELECT h FROM (SELECT h FROM sa UNION ALL
+             SELECT h FROM sb) t
+           GROUP BY h ORDER BY h LIMIT $KmvK),
+         sf AS (${kmvSketchSql("events", "event_id")}),
+         fa AS (SELECT count(*) AS n, max(h) AS vk FROM sf),
+         ma AS (SELECT count(*) AS n, max(h) AS vk FROM mg)
+       SELECT (SELECT count(DISTINCT event_id) FROM events)
+           AS true_distinct,
+         round(${kmvEstSql("fa")}, 4) AS est_full,
+         round(${kmvEstSql("ma")}, 4) AS est_merged,
+         round(${kmvEstSql("fa")}, 4) = round(${kmvEstSql("ma")}, 4)
+           AS merge_exact
+       FROM fa, ma"""
+    },
 
     "sim_hybrid_rrf" ->
       s"""WITH ${Round7.bm25Ctes(Round7.Bm25Terms)},

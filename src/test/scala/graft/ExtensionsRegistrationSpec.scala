@@ -157,6 +157,18 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         "graft_kmv_distinct must plan to kmvSketch+kmvEstimate")
       assert(sqlKmv.head().getDouble(0) === 4.0) // under k: exact
 
+      Seq.tabulate(40)(i => (i.toLong, i * 2.0))
+        .toDF("id", "v").createOrReplaceTempView("tvf_base")
+      Seq.tabulate(40)(i => (i.toLong, i * 3.0))
+        .toDF("id", "v").createOrReplaceTempView("tvf_cur")
+      val sqlPsi = spark.sql(
+        "SELECT * FROM graft_drift_psi('tvf_base','tvf_cur','v',4)")
+      val apiPsi = graft.operators.Analytics.driftPsi(
+        spark.table("tvf_base"), spark.table("tvf_cur"), "v", 4)
+      assert(sqlPsi.queryExecution.optimizedPlan
+        .sameResult(apiPsi.queryExecution.optimizedPlan),
+        "graft_drift_psi must plan to driftPsi")
+
       val sqlStrip = spark.sql(
         "SELECT * FROM graft_strip_dup_spans('tvf_docs','doc_id','text',3)")
       val apiStrip = graft.textanalysis.TextAnalysis.stripDuplicatedSpans(
