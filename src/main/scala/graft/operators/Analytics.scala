@@ -701,6 +701,41 @@ object Analytics {
             log(col("p_cur") / col("p_base")))))
   }
 
+  /** Per-group [[driftPsi]]: each group buckets by ITS OWN baseline
+    * cutpoints (one grouped percentile aggregate, broadcast back), so
+    * drift in one segment cannot hide inside another's distribution —
+    * the per-language / per-source corpus-drift report. The share
+    * window runs on the |groups|·buckets table, never raw rows. */
+  def driftPsiGrouped(base: DataFrame, current: DataFrame,
+                      groupCol: String, valueCol: String,
+                      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val round6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = base.groupBy(groupCol)
+      .agg(percentile(col(valueCol), array(probs.map(lit): _*))
+        .as("__cuts"))
+    def shares(df: DataFrame, share: String): DataFrame =
+      df.join(broadcast(cuts), groupCol)
+        .withColumn("bucket", aggregate(col("__cuts"), lit(1),
+          (acc, c) => acc +
+            when(col(valueCol) > round(c, 6), 1).otherwise(0)))
+        .groupBy(groupCol, "bucket").agg(count(lit(1)).as("__n"))
+        .withColumn(share, round6(col("__n") /
+          sum(col("__n")).over(Window.partitionBy(groupCol))))
+        .drop("__n")
+    shares(base, "p_base")
+      .join(shares(current, "p_cur"), Seq(groupCol, "bucket"),
+        "full_outer")
+      .select(col(groupCol), col("bucket").cast("long").as("bucket"),
+        coalesce(col("p_base"), lit(0.0)).as("p_base"),
+        coalesce(col("p_cur"), lit(0.0)).as("p_cur"))
+      .withColumn("psi",
+        when(col("p_base") > 0 && col("p_cur") > 0,
+          round6((col("p_cur") - col("p_base")) *
+            log(col("p_cur") / col("p_base")))))
+  }
+
   /** Streaming-shaped anomaly flags from an EWMA forecast: a row is
     * anomalous when |value − forecast| exceeds `k`·σ, with the
     * forecast = the PREVIOUS row's [[ewma]] (what a monitor would have

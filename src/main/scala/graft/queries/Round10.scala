@@ -297,6 +297,19 @@ object Round10 {
         .orderBy("bucket")
     }),
 
+    // per-group PSI: each event type buckets by ITS OWN baseline
+    // quintiles, so the click-only drift registers on clicks and
+    // stays ~0 everywhere else — the per-segment corpus-drift report
+    "audit_drift_psi_grouped" -> ((s, dir) => {
+      val base = tbl(s, dir, "events").select("event_type", "value")
+      val current = base.select(col("event_type"),
+        when(col("event_type") === "click", col("value") * 1.2)
+          .otherwise(col("value")).as("value"))
+      Analytics.driftPsiGrouped(base, current, "event_type", "value",
+          nBuckets = 5)
+        .orderBy("event_type", "bucket")
+    }),
+
     // the layout operators' empirical justification: per-segment
     // rank-space bounding boxes for 16 equal-population segments of
     // each curve — Hilbert's unit-step locality should show tighter
@@ -900,6 +913,42 @@ object Round10 {
     "scalar_hilbert" -> hilbertOracleSql(HilbertBits),
 
     "layout_boxes" -> layoutBoxesOracleSql(HilbertBits),
+
+    "audit_drift_psi_grouped" ->
+      """WITH c AS (SELECT event_type, quantile_cont(value,
+           [0.2, 0.4, 0.6, 0.8]) AS cuts FROM events GROUP BY 1),
+         cur AS (SELECT event_type, CASE WHEN event_type = 'click'
+             THEN value * 1.2 ELSE value END AS value
+           FROM events),
+         bb AS (SELECT e.event_type,
+             1 + len(list_filter(c.cuts, x -> e.value > round(x, 6)))
+               AS bucket
+           FROM events e JOIN c ON e.event_type = c.event_type),
+         cb AS (SELECT cur.event_type,
+             1 + len(list_filter(c.cuts, x -> cur.value > round(x, 6)))
+               AS bucket
+           FROM cur JOIN c ON cur.event_type = c.event_type),
+         pb AS (SELECT event_type, bucket,
+             floor(count(*)::DOUBLE / sum(count(*))
+               OVER (PARTITION BY event_type) * 1000000 + 0.5) / 1000000
+               AS p_base
+           FROM bb GROUP BY 1, 2),
+         pc AS (SELECT event_type, bucket,
+             floor(count(*)::DOUBLE / sum(count(*))
+               OVER (PARTITION BY event_type) * 1000000 + 0.5) / 1000000
+               AS p_cur
+           FROM cb GROUP BY 1, 2)
+         SELECT coalesce(pb.event_type, pc.event_type) AS event_type,
+           coalesce(pb.bucket, pc.bucket)::BIGINT AS bucket,
+           coalesce(p_base, 0.0) AS p_base,
+           coalesce(p_cur, 0.0) AS p_cur,
+           CASE WHEN coalesce(p_base, 0.0) > 0
+               AND coalesce(p_cur, 0.0) > 0 THEN
+             floor((p_cur - p_base) * ln(p_cur / p_base) * 1000000 + 0.5)
+               / 1000000 END AS psi
+         FROM pb FULL OUTER JOIN pc
+           ON pb.event_type = pc.event_type AND pb.bucket = pc.bucket
+         ORDER BY event_type, bucket""",
 
     "audit_drift_psi" ->
       """WITH c AS (SELECT quantile_cont(o_totalprice,

@@ -168,6 +168,21 @@ class Round10Spec extends SparkTestBase {
     assert(drift > 0.1, s"a 1.5x scale shift must register drift: $drift")
   }
 
+  test("grouped psi isolates drift to the drifted group") {
+    val base = events.select("event_type", "value")
+    val current = base.select(col("event_type"),
+      when(col("event_type") === "click", col("value") * 1.5)
+        .otherwise(col("value")).as("value"))
+    val perGroup = Analytics.driftPsiGrouped(base, current,
+        "event_type", "value", nBuckets = 5)
+      .groupBy("event_type").agg(sum(col("psi")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(perGroup("click") > 0.05,
+      s"the drifted group must register: ${perGroup("click")}")
+    assert(perGroup.filter(_._1 != "click").values.forall(_ < 0.01),
+      s"undrifted groups must stay ~0: $perGroup")
+  }
+
   // ---------------- Hilbert curve ----------------
 
   test("hilbert distance walks the full grid in unit steps") {
