@@ -13,11 +13,23 @@ case class MediaFeatures(id: Long, kind: String, byte_len: Long,
                          header_byte: Int, byte_sum: Long,
                          width: Int, height: Int)
 
+/** Real-decode output row: actual decoded dimensions + a
+  * position-weighted checksum of the resampled raster. */
+case class ImageDecoded(doc_id: Long, width: Int, height: Int,
+                        checksum: Long)
+
 /** Multimodal column plumbing. The Spark-side shape is real and tested:
   * binary payload column, typed feature schema, partition-parallel batch
   * decode via `mapPartitions` (the Scala analogue of arrow-batched
-  * `mapInPandas`). The codec itself is a STUB — this container ships no
-  * image/audio libraries — producing deterministic fake dimensions.
+  * `mapInPandas`).
+  *
+  * The IMAGE kernel is real: [[decodeGray]] parses actual image
+  * containers through the JVM's built-in `javax.imageio` registry
+  * (PNG/BMP/GIF/JPEG — no external libraries), and [[resizeNearest]] /
+  * [[resizePng]] resample decoded rasters with exact integer math, so
+  * the whole decode→resize→checksum path is replayable cross-engine.
+  * Only non-image kinds (text/audio blobs, where no JVM-built-in codec
+  * exists) keep the byte-derived dimension convention of [[decodeStub]].
   */
 object Multimodal {
 
@@ -27,10 +39,11 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
       encode(col(payloadCol), "UTF-8").as("content"))
 
-  /** STUB DECODER — stands in for a real image/audio codec (not available
-    * offline). Deterministic fake: "dimensions" derived from the first and
-    * last payload bytes. A real deployment replaces ONLY this function;
-    * the distributed plumbing around it is unchanged.
+  /** Byte-convention "dimensions" for NON-image payloads (text/audio
+    * blobs, which no JVM-built-in codec can parse): derived from the
+    * first and last payload bytes. Images use the REAL [[decodeGray]]
+    * path instead. A deployment with native audio codecs replaces ONLY
+    * this function; the distributed plumbing around it is unchanged.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int) =
     if (bytes == null || bytes.isEmpty) (0, 0)
@@ -59,14 +72,124 @@ object Multimodal {
     }
   }
 
-  /** STUB RESIZE — a real image library maps (bytes, w, h) -> bytes; the
-    * deterministic fake truncates/tiles the payload to w*h bytes so the
-    * distributed contract (pure function, size-bounded output) is testable.
-    */
-  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(0, w * h)
-    if (bytes == null || bytes.isEmpty) new Array[Byte](n)
-    else Array.tabulate(n)(i => bytes(i % bytes.length))
+  // ---- real image kernel (javax.imageio — JVM built-in, offline) ----
+
+  /** Deterministic grayscale fixture pixel — the SINGLE formula the
+    * fixture generator, the specs, and the DuckDB oracle all derive
+    * from, so a decoder that got row order, channel order, or bit depth
+    * wrong shifts every downstream checksum. */
+  def testPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x.toLong * 7 + y.toLong * 13) % 256).toInt
+
+  /** Fixture dimensions vary per id so resampling ratios differ row to
+    * row (exercises the integer NN index math at many (w,h)). */
+  def testDims(id: Long): (Int, Int) =
+    ((16 + id % 9).toInt, (12 + id % 7).toInt)
+
+  /** Encode a grayscale raster as a real PNG via `javax.imageio`.
+    * PNG is lossless: decode returns the exact samples written. */
+  def encodeGrayPng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL DECODE: parse an image container (any format the JVM ImageIO
+    * registry handles: PNG/BMP/GIF/JPEG) into (width, height, row-major
+    * gray samples). Single-band rasters are read sample-direct — NOT via
+    * `getRGB`, whose sRGB color management gamma-shifts gray samples —
+    * multi-band images fold to integer-luma (299r+587g+114b)/1000. */
+  def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    if (img.getRaster.getNumBands == 1) {
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(y * w + x) = (r * 299 + g * 587 + b * 114 + 500) / 1000
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, out)
+  }
+
+  /** Nearest-neighbor resample — exact integer index math
+    * (`sy = y2*h/h2`, `sx = x2*w/w2`), so the resampled raster is
+    * bit-replayable by any engine from the source pixels. */
+  def resizeNearest(pix: Array[Int], w: Int, h: Int,
+                    w2: Int, h2: Int): Array[Int] = {
+    require(w > 0 && h > 0 && w2 > 0 && h2 > 0 && pix.length == w * h,
+      s"bad raster: ${pix.length} for ${w}x$h -> ${w2}x$h2")
+    val out = new Array[Int](w2 * h2)
+    var y2 = 0
+    while (y2 < h2) {
+      val sy = y2 * h / h2
+      var x2 = 0
+      while (x2 < w2) { out(y2 * w2 + x2) = pix(sy * w + x2 * w / w2); x2 += 1 }
+      y2 += 1
+    }
+    out
+  }
+
+  /** REAL RESIZE (bytes -> bytes, the shape a media pipeline maps over a
+    * binary column): ImageIO decode, nearest-neighbor resample, PNG
+    * re-encode. Pure and deterministic end to end. */
+  def resizePng(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val (w, h, pix) = decodeGray(bytes)
+    val rs = resizeNearest(pix, w, h, w2, h2)
+    encodeGrayPng(w2, h2, (x, y) => rs(y * w2 + x))
+  }
+
+  /** One decoded+resized image per id: synthesize the PNG fixture from
+    * [[testPixel]]/[[testDims]], REAL-decode it back, resample to
+    * (tw, th), and emit decoded dims plus an order-weighted checksum
+    * `sum(pixel_i * (i+1))` — position-sensitive, so row/column swaps
+    * don't cancel. Partition-parallel, no shuffle; the oracle replays
+    * the same integers straight from the formula. */
+  def imageRoundTrip(docs: DataFrame, idCol: String,
+                     tw: Int, th: Int): Dataset[ImageDecoded] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w0, h0) = testDims(id)
+        val png = encodeGrayPng(w0, h0, (x, y) => testPixel(id, x, y))
+        val (w, h, pix) = decodeGray(png)
+        val rs = resizeNearest(pix, w, h, tw, th)
+        var cs = 0L
+        var i = 0
+        while (i < rs.length) { cs += rs(i).toLong * (i + 1); i += 1 }
+        ImageDecoded(id, w, h, cs)
+      }
+    }
   }
 
   /** STUB FRAME SAMPLER — a real video codec yields frame byte buffers;

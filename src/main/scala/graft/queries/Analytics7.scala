@@ -110,8 +110,9 @@ object Analytics7 {
     }),
 
     // fully REPLAYABLE HyperLogLog (md5 family, 2^12 registers, exact
-    // integer Z accumulation): the hash-green sibling of the inherently
-    // rows-only built-in `agg_approx_distinct` — DuckDB rebuilds the
+    // integer Z accumulation): the value-exact sibling of the built-in
+    // `agg_approx_distinct` (whose gate hash-matches on error-bound
+    // booleans, not raw sketch values) — DuckDB rebuilds the
     // identical register table and lands on the identical estimate.
     // user_id exercises linear counting, event_id the raw harmonic path
     "agg_hll_replayable" -> ((s, dir) => {

@@ -11,7 +11,8 @@ import graft.textanalysis.TextAnalysis
   * multimodal plumbing, event-time windows. MinHash/SimHash gates run
   * the md5-keyed replayable family so DuckDB recomputes their exact
   * candidate sets (the xx64 production family is spec-pinned instead);
-  * only the HLL sketch (`agg_approx_distinct`) stays rows-only.
+  * `agg_approx_distinct` hash-matches via its error-bound booleans (each
+  * engine checks its OWN sketch against the exact count it recomputes).
   */
 object Extensions {
 
@@ -302,6 +303,16 @@ object Extensions {
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.documentFeatures(s, tbl(s, dir, "documents"))
         .toDF().orderBy("id")),
+
+    // multimodal REAL kernel: per-doc PNG fixture (deterministic pixel
+    // formula) -> actual javax.imageio decode -> nearest-neighbor 8x8
+    // resample -> position-weighted checksum. The oracle replays the
+    // same integers straight from the formula + the NN index math, so a
+    // decoder with wrong row order / bit depth / color management fails
+    // the hash.
+    "mm_decode_real" -> ((s, dir) =>
+      Multimodal.imageRoundTrip(tbl(s, dir, "documents"), "doc_id", 8, 8)
+        .toDF().orderBy("doc_id")),
 
     // event-time windows (batch = oracle twin of the streaming path)
     "stream_tumbling" -> ((s, dir) =>
@@ -608,13 +619,27 @@ object Extensions {
         .orderBy("event_id")
     }),
 
-    // HLL sketch next to the exact count (approximate: rows-only)
+    // HLL sketch vs the exact count, re-shaped to the engine-checkable
+    // invariant: each engine runs its OWN approximate sketch (Spark
+    // HLL++, DuckDB HLL) and reports whether it landed within ±10% of
+    // the exact count it also computes — the raw sketch values differ
+    // by construction, the bound booleans and exact counts hash-match.
+    // floor/ceil (not CAST) bound the interval: Spark truncates
+    // double→long, DuckDB rounds, so a raw cast would diverge on the
+    // edge.
     "agg_approx_distinct" -> ((s, dir) =>
       tbl(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders")))
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("__ao"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (col("__ap") >= floor(col("exact_parts") * 0.9) &&
+            col("__ap") <= ceil(col("exact_parts") * 1.1))
+            .as("parts_within_10pct"),
+          (col("__ao") >= floor(col("exact_orders") * 0.9) &&
+            col("__ao") <= ceil(col("exact_orders") * 1.1))
+            .as("orders_within_10pct")))
   )
 
   /** `stream_funnel` oracle: the greedy strictly-after advance as a
@@ -643,6 +668,20 @@ object Extensions {
 
   val oracles: Map[String, String] = Map(
     "stream_funnel" -> streamFunnelOracleSql(Analytics7.FunnelSteps),
+    // each engine runs its OWN HLL sketch; the hash-compared output is
+    // the exact counts plus the ±10% containment booleans (floor/ceil
+    // bounds — CAST truncates in Spark but rounds in DuckDB)
+    "agg_approx_distinct" ->
+      """SELECT exact_parts, exact_orders,
+           ap >= floor(exact_parts * 0.9)
+             AND ap <= ceil(exact_parts * 1.1) AS parts_within_10pct,
+           ao >= floor(exact_orders * 0.9)
+             AND ao <= ceil(exact_orders * 1.1) AS orders_within_10pct
+         FROM (SELECT approx_count_distinct(l_partkey) AS ap,
+                 count(DISTINCT l_partkey) AS exact_parts,
+                 approx_count_distinct(l_orderkey) AS ao,
+                 count(DISTINCT l_orderkey) AS exact_orders
+               FROM lineitem)""",
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
            regexp_split_to_array(trim(text), '\s+'))), ' ')) AS dedup_key,
@@ -1243,6 +1282,21 @@ object Extensions {
          (ord(substr(text, 1, 1)) & 127) + 1 AS width,
          (ord(substr(text, length(text), 1)) & 127) + 1 AS height
          FROM documents ORDER BY id""",
+    // replays Multimodal.testPixel/testDims + the NN index math
+    // (sx = x2*W//8, sy = y2*H//8) and the position weights y2*8+x2+1
+    "mm_decode_real" ->
+      """SELECT d.doc_id,
+           CAST(16 + d.doc_id % 9 AS INT) AS width,
+           CAST(12 + d.doc_id % 7 AS INT) AS height,
+           CAST(sum(
+             ((d.doc_id * 31
+               + ((px.x2 * (16 + d.doc_id % 9)) // 8) * 7
+               + ((px.y2 * (12 + d.doc_id % 7)) // 8) * 13) % 256)
+             * (px.y2 * 8 + px.x2 + 1)) AS BIGINT) AS checksum
+         FROM documents d,
+           (SELECT xs.range AS x2, ys.range AS y2
+            FROM range(8) xs, range(8) ys) px
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "stream_tumbling" ->
       """SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS window_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -343,6 +343,42 @@ object Similarity {
       (-best.getField("nc")).as("__cell"), col(vecCol))
   }
 
+  /** nlist ceiling for the literal-inlined [[assign]] plan. `greatest()`
+    * over nlist struct literals of dim doubles generates O(nlist·dim)
+    * code and plan blob: past a few hundred cells the generated method
+    * trips the JVM's 64KB bytecode ceiling (whole-stage codegen falls
+    * back to interpreted) and at production nlist (4k–64k × 1k dims) the
+    * literal plan itself strains the planner. [[ivfIndex]] switches to
+    * [[assignJoin]] above this. */
+  private[graft] val AssignInlineMaxNlist = 256
+
+  /** Large-nlist assignment: the centroid table travels as DATA — one
+    * broadcast row holding an `array<struct<cell,v>>` — and the per-row
+    * argmax is a single `aggregate()` higher-order expression looping
+    * over that array. Same zero-Exchange shape as [[assign]] (broadcast
+    * nested-loop against one row, pure map over the corpus scan), but
+    * the generated code size is CONSTANT in nlist, so no codegen cliff.
+    * Identical semantics: same 4-dp pre-rounding, same (sim, -cell)
+    * struct-max tie-break to the smaller cell id (IvfStreamingDedupSpec
+    * pins both paths row-identical). */
+  private[graft] def assignJoin(corpus: DataFrame, idCol: String,
+                                vecCol: String,
+                                centroids: DataFrame): DataFrame = {
+    val centsRow = centroids.agg(collect_list(struct(
+      col("__cell").cast("int").as("cell"),
+      toVec(col("__cvec")).as("v"))).as("__cents"))
+    // init sorts below every real candidate: rounded cosine >= -1.0
+    val init = struct(lit(-2.0).as("s"), lit(Int.MinValue).as("nc"))
+    val best = aggregate(col("__cents"), init, (acc, c) => {
+      val cand = struct(
+        round(cosine(toVec(col(vecCol)), c.getField("v")), 4).as("s"),
+        (-c.getField("cell")).as("nc"))
+      when(cand > acc, cand).otherwise(acc)
+    })
+    corpus.crossJoin(broadcast(centsRow))
+      .select(col(idCol), (-best.getField("nc")).as("__cell"), col(vecCol))
+  }
+
   /** Build an IVF coarse-quantizer index: deterministic hash seeding
     * (`cell = pmod(xxhash64(id), nlist)`), then `iters` Lloyd rounds —
     * centroids via the [[VectorCentroid]] typed aggregator (map-side
@@ -373,7 +409,12 @@ object Similarity {
     var cents = centroidsOf(assigned)
     var i = 0
     while (i < iters) {
-      assigned = assign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      val base = corpus.select(col(idCol), col(vecCol))
+      // literal-inlined argmax under the codegen ceiling, data-driven
+      // HOF loop above it — identical results either way
+      assigned =
+        if (nlist <= AssignInlineMaxNlist) assign(base, idCol, vecCol, cents)
+        else assignJoin(base, idCol, vecCol, cents)
       cents = centroidsOf(assigned)
       i += 1
     }

@@ -45,7 +45,9 @@ object StreamingAnomaly {
 
     override def handleInputRows(key: Long, rows: Iterator[EwmaEvent],
         timers: TimerValues): Iterator[AnomalyOut] = {
-      val sorted = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+      // full-instant order (getTime is ms-truncated; see StreamingEwma)
+      val sorted = rows.toVector
+        .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
       var w = if (st.exists()) st.get() else Welford(0L, 0.0, 0.0)
       val out = sorted.map { r =>
         val z =

@@ -43,7 +43,12 @@ object StreamingEwma {
 
     override def handleInputRows(key: Long, rows: Iterator[EwmaEvent],
         timers: TimerValues): Iterator[EwmaOut] = {
-      val sorted = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+      // full-instant order: getTime alone is millisecond-truncated and
+      // would fold same-millisecond events in event_id order even when
+      // their microsecond order disagrees, diverging from the replay
+      // twin (which sorts by the micro-precision timestamp)
+      val sorted = rows.toVector
+        .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
       var s: Option[Double] =
         if (last.exists()) Some(last.get()) else None
       val out = sorted.map { r =>

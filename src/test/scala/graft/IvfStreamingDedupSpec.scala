@@ -40,6 +40,34 @@ class IvfStreamingDedupSpec extends SparkTestBase {
     assert(sims === sims.sorted.reverse)
   }
 
+  test("assignJoin (large-nlist path) row-identical to literal assign") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // centroids of the deterministic hash seeding (iters = 0: no Lloyd
+    // pass, so the centroid table is identical for both paths)
+    val (_, cents) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", dim = 64, nlist = 8,
+        iters = 0)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val lit = Similarity.assign(base, "vec_id", "embedding", cents)
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val joined = Similarity.assignJoin(base, "vec_id", "embedding", cents)
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(joined === lit) // same cells, including (sim, -cell) tie-break
+    // the data-driven path keeps the zero-corpus-Exchange shape: the
+    // corpus joins ONE broadcast row (nested-loop), never shuffles
+    val plan = Similarity.assignJoin(base, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // and ivfIndex actually dispatches to it above the inline ceiling:
+    // nlist = 512 > AssignInlineMaxNlist must still converge green
+    val (assigned512, cents512) = Similarity.ivfIndex(
+      emb.limit(200), "vec_id", "embedding", dim = 64, nlist = 512)
+    assert(assigned512.count() === 200)
+    assert(cents512.count() <= 512)
+  }
+
   test("multi-probe LSH recall >= single-probe, both subsets of brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
