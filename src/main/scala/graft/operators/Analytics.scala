@@ -328,11 +328,21 @@ object Analytics {
     * in any engine — the cross-system migration validation primitive
     * ("did every row survive the copy?"). One pure-map pass + a 1-row
     * reduce; swap md5 for xxhash64 intra-Spark (4× cheaper, same
-    * shape). NULL renders as the empty string (concat_ws skips nulls),
-    * so NULL and '' collide — acceptable for a checksum, not an
-    * equality proof. */
+    * shape). NULLs render POSITIONALLY as the `__NULL__` sentinel
+    * (never dropped, as a bare concat_ws would — that collides
+    * ('a',null,'b') with ('a','b',null)), so the digest string is
+    * explicit about the null pattern on every engine; the residual
+    * collision (a genuine `__NULL__` string value) is documented, not
+    * silent. */
+  /** One digest-string term: the column as a string, with NULL made an
+    * explicit positional sentinel so null patterns never collide (see
+    * [[tableChecksum]]'s scaladoc). Oracle SQL mirrors this verbatim
+    * as `coalesce(col::VARCHAR, '__NULL__')`. */
+  private def digestCol(c: String): Column =
+    coalesce(col(c).cast("string"), lit("__NULL__"))
+
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val hex = md5(concat_ws("|", cols.map(col(_).cast("string")): _*))
+    val hex = md5(concat_ws("|", cols.map(digestCol): _*))
     val k32 = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val k60 = conv(substring(hex, 1, 15), 16, 10).cast("long")
     df.select(k32.as("__k32"), k60.as("__k60"))
@@ -349,8 +359,8 @@ object Analytics {
   def bucketChecksum(df: DataFrame, keyCols: Seq[String],
                      cols: Seq[String], buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val keyHex = md5(concat_ws("|", keyCols.map(col(_).cast("string")): _*))
-    val rowHex = md5(concat_ws("|", cols.map(col(_).cast("string")): _*))
+    val keyHex = md5(concat_ws("|", keyCols.map(digestCol): _*))
+    val rowHex = md5(concat_ws("|", cols.map(digestCol): _*))
     df.select(
         pmod(conv(substring(keyHex, 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bucket"),
@@ -403,9 +413,8 @@ object Analytics {
     val dirty = bucketDiff(before, after, keyCols, cols, buckets)
       .select("bucket")
     def digests(df: DataFrame, side: String): DataFrame = {
-      val keyHex = md5(concat_ws("|",
-        keyCols.map(col(_).cast("string")): _*))
-      val rowHex = md5(concat_ws("|", cols.map(col(_).cast("string")): _*))
+      val keyHex = md5(concat_ws("|", keyCols.map(digestCol): _*))
+      val rowHex = md5(concat_ws("|", cols.map(digestCol): _*))
       df.select(keyCols.map(col) ++ Seq(
           pmod(conv(substring(keyHex, 1, 8), 16, 10).cast("long"),
             lit(buckets.toLong)).as("bucket"),
@@ -705,7 +714,16 @@ object Analytics {
     * cutpoints (one grouped percentile aggregate, broadcast back), so
     * drift in one segment cannot hide inside another's distribution —
     * the per-language / per-source corpus-drift report. The share
-    * window runs on the |groups|·buckets table, never raw rows. */
+    * window runs on the |groups|·buckets table, never raw rows.
+    *
+    * A group present only in `current` (a brand-new segment — the
+    * worst blind spot for a drift monitor if silently dropped) has no
+    * baseline cutpoints to bucket by; it is emitted EXPLICITLY as one
+    * row with a null bucket, its full current share (p_cur = its row
+    * fraction within the group, i.e. 1.0), p_base = 0, and null psi —
+    * the caller's "alert: unseen segment" signal. The current side
+    * therefore LEFT-joins the cutpoint table; the base side's join is
+    * inner (every base group has cutpoints by construction). */
   def driftPsiGrouped(base: DataFrame, current: DataFrame,
                       groupCol: String, valueCol: String,
                       nBuckets: Int = 10): DataFrame = {
@@ -715,8 +733,11 @@ object Analytics {
     val cuts = base.groupBy(groupCol)
       .agg(percentile(col(valueCol), array(probs.map(lit): _*))
         .as("__cuts"))
-    def shares(df: DataFrame, share: String): DataFrame =
-      df.join(broadcast(cuts), groupCol)
+    def shares(df: DataFrame, share: String,
+               joinType: String): DataFrame =
+      df.join(broadcast(cuts), Seq(groupCol), joinType)
+        // null __cuts (group unseen in base) folds to a null bucket:
+        // the new-segment rows group under one explicit null-bucket row
         .withColumn("bucket", aggregate(col("__cuts"), lit(1),
           (acc, c) => acc +
             when(col(valueCol) > round(c, 6), 1).otherwise(0)))
@@ -724,8 +745,8 @@ object Analytics {
         .withColumn(share, round6(col("__n") /
           sum(col("__n")).over(Window.partitionBy(groupCol))))
         .drop("__n")
-    shares(base, "p_base")
-      .join(shares(current, "p_cur"), Seq(groupCol, "bucket"),
+    shares(base, "p_base", "inner")
+      .join(shares(current, "p_cur", "left"), Seq(groupCol, "bucket"),
         "full_outer")
       .select(col(groupCol), col("bucket").cast("long").as("bucket"),
         coalesce(col("p_base"), lit(0.0)).as("p_base"),

@@ -31,15 +31,31 @@ object BloomJoin {
     * array reaches the driver), re-broadcasts, and probes via the
     * codegen'd [[graft.functions.BloomMightContain]] — the prune stays
     * inside whole-stage codegen. Keys probe as canonical strings, so
-    * any key type with a stable string form works. */
+    * any key type with a stable string form works.
+    *
+    * EAGER BY CONSTRUCTION — unlike the rest of the DataFrame API,
+    * this call runs Spark jobs on the DIM side at call time (once, not
+    * per downstream action): the Bloom bit array must physically exist
+    * before it can be embedded in the returned plan; Spark has no
+    * lazy-broadcast hook for user filters (its own runtime row-level
+    * filtering is planner-internal). With `expectedKeys` unset that is
+    * two dim-side jobs (a sizing count + the filter aggregation); pass
+    * the caller's cardinality estimate to skip the count — Bloom
+    * sizing tolerates over-estimates (a few × more bits), and the
+    * exact verify join makes any under-estimate a pure perf (never
+    * correctness) concern. Cache the returned DataFrame if composing
+    * it more than once. */
   def semiJoinBloom(fact: DataFrame, dim: DataFrame, factKey: String,
-                    dimKey: String, fpp: Double = 0.01): DataFrame = {
+                    dimKey: String, fpp: Double = 0.01,
+                    expectedKeys: Option[Long] = None): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    require(expectedKeys.forall(_ > 0),
+      s"expectedKeys must be positive, got $expectedKeys")
     val keys = dim.select(col(dimKey).cast("string").as("__k"))
       .where(col("__k").isNotNull).distinct()
     // dim is small by contract (a filtered dimension); the sizing count
     // costs nothing next to the fact scan it saves
-    val n = math.max(keys.count(), 1L)
+    val n = expectedKeys.getOrElse(math.max(keys.count(), 1L))
     val bcast = fact.sparkSession.sparkContext
       .broadcast(keys.stat.bloomFilter("__k", n, fpp))
     fact

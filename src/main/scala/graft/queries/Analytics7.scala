@@ -1394,15 +1394,20 @@ object Analytics7 {
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""",
 
-    "agg_checksum" ->
-      """SELECT count(*) AS n_rows,
-           sum(CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
-             l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR || '|' ||
-             l_returnflag), 1, 8)) AS BIGINT))::BIGINT AS content_sum,
-           bit_xor(CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
-             l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR || '|' ||
-             l_returnflag), 1, 15)) AS BIGINT)) AS content_xor
-         FROM lineitem""",
+    // each digest term coalesces NULL to the positional '__NULL__'
+    // sentinel, mirroring the Spark side exactly on any null pattern
+    "agg_checksum" -> {
+      val digest = Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag")
+        .map(c => s"coalesce($c::VARCHAR, '__NULL__')")
+        .mkString(" || '|' || ")
+      s"""SELECT count(*) AS n_rows,
+           sum(CAST(('0x' || substr(md5($digest), 1, 8))
+             AS BIGINT))::BIGINT AS content_sum,
+           bit_xor(CAST(('0x' || substr(md5($digest), 1, 15))
+             AS BIGINT)) AS content_xor
+         FROM lineitem"""
+    },
 
     // the 300-candidate pool dwarfs k=10, so two-stage PQ retrieval is
     // exact brute-force top-k — the identity this oracle checks

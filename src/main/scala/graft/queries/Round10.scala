@@ -151,15 +151,28 @@ object Round10 {
   private val ModifyMod = 101L
   private val DeleteMod = 103L
   private val InsertMod = 107L
-  private val InsertOffset = 5000000L
 
   /** Join-IVM change-feed constants (disjoint by priority: delete
     * beats update; inserts mint fresh keys). */
   private val JDelMod = 89L
   private val JUpdMod = 97L
   private val JInsMod = 83L
-  private val JInsOffset = 7000000L
   private val JRekeyMod = 100L
+
+  /** Inserted keys in both simulated-migration fixtures mint as
+    * `o_orderkey + max(o_orderkey) + 1` — guaranteed collision-free at
+    * ANY scale factor (a fixed offset silently collides once keys
+    * outgrow it: TPC-H orders keys reach 6M·SF, so 5M broke at SF ≥ 1;
+    * and the +1 covers key 0, which `+max` alone maps onto the max key
+    * itself), the same derivation as ScaleRehearsal's ostride. Spark
+    * side: a 1-row broadcast cross join, no driver round-trip; oracle
+    * side: the equivalent scalar subquery. */
+  private def withMaxKey(df: org.apache.spark.sql.DataFrame,
+                         of: org.apache.spark.sql.DataFrame) =
+    df.crossJoin(broadcast(
+      of.agg((max(col("o_orderkey")) + 1L).as("__maxk"))))
+
+  private val insOffsetSql = "(SELECT max(o_orderkey) + 1 FROM orders)"
 
   /** NB classifier constants: positive class, train/holdout residue,
     * Laplace alpha. */
@@ -175,8 +188,9 @@ object Round10 {
         when(col("o_orderkey") % ModifyMod === 0,
           col("o_totalprice") + 1.0).otherwise(col("o_totalprice"))
           .as("o_totalprice"))
-    val inserted = before.where(col("o_orderkey") % InsertMod === 0)
-      .select((col("o_orderkey") + InsertOffset).as("o_orderkey"),
+    val inserted = withMaxKey(
+        before.where(col("o_orderkey") % InsertMod === 0), before)
+      .select((col("o_orderkey") + col("__maxk")).as("o_orderkey"),
         col("o_orderstatus"), col("o_totalprice"))
     base.unionByName(inserted)
   }
@@ -188,7 +202,7 @@ object Round10 {
            ELSE o_totalprice END AS o_totalprice
        FROM orders WHERE o_orderkey % $DeleteMod <> 0
        UNION ALL
-       SELECT o_orderkey + $InsertOffset, o_orderstatus, o_totalprice
+       SELECT o_orderkey + $insOffsetSql, o_orderstatus, o_totalprice
        FROM orders WHERE o_orderkey % $InsertMod = 0"""
 
   val defs: Map[String, Q] = Map(
@@ -299,15 +313,22 @@ object Round10 {
 
     // per-group PSI: each event type buckets by ITS OWN baseline
     // quintiles, so the click-only drift registers on clicks and
-    // stays ~0 everywhere else — the per-segment corpus-drift report
+    // stays ~0 everywhere else — the per-segment corpus-drift report.
+    // The current version also carries a segment the baseline never
+    // saw ('__new', the clicks relabeled), exercising the explicit
+    // new-group row (null bucket, p_base 0, null psi) instead of the
+    // silent drop a naive inner join would produce
     "audit_drift_psi_grouped" -> ((s, dir) => {
       val base = tbl(s, dir, "events").select("event_type", "value")
       val current = base.select(col("event_type"),
         when(col("event_type") === "click", col("value") * 1.2)
           .otherwise(col("value")).as("value"))
+        .unionByName(base.filter(col("event_type") === "click")
+          .select(lit("__new").as("event_type"),
+            (col("value") * 0.5).as("value")))
       Analytics.driftPsiGrouped(base, current, "event_type", "value",
           nBuckets = 5)
-        .orderBy("event_type", "bucket")
+        .orderBy(col("event_type"), col("bucket").asc_nulls_first)
     }),
 
     // the layout operators' empirical justification: per-segment
@@ -489,8 +510,9 @@ object Round10 {
           (col("o_custkey") % JRekeyMod + 1L).as("o_custkey"),
           (col("o_totalprice") + 10.0).as("o_totalprice"),
           lit("U").as("op"))
-      val ins = orders.where(col("o_orderkey") % JInsMod === 0)
-        .select((col("o_orderkey") + JInsOffset).as("o_orderkey"),
+      val ins = withMaxKey(
+          orders.where(col("o_orderkey") % JInsMod === 0), orders)
+        .select((col("o_orderkey") + col("__maxk")).as("o_orderkey"),
           (col("o_custkey") % JRekeyMod + 1L).as("o_custkey"),
           col("o_totalprice"), lit("I").as("op"))
       graft.operators.IncrementalAgg.maintainJoinView(
@@ -540,15 +562,23 @@ object Round10 {
     s"""CASE WHEN $agg.n < $KmvK THEN $agg.n::DOUBLE
         ELSE ${KmvK - 1}.0 / ($agg.vk / 1152921504606846976.0) END"""
 
-  /** The row-digest string both Merkle-diff oracles hash (must mirror
-    * the Spark side's `concat_ws("|", DiffCols…)`). */
+  /** The row-digest string both Merkle-diff oracles hash — mirrors the
+    * Spark side's `concat_ws("|", …)` over null-sentineled terms: each
+    * column coalesces to `__NULL__` IN PLACE, so a NULL never poisons
+    * the whole digest (DuckDB `||`) nor silently drops its position
+    * (Spark concat_ws), and both engines hash the identical string on
+    * any null pattern. */
+  private def digestTerm(c: String): String =
+    s"coalesce($c::VARCHAR, '__NULL__')"
+
   private val rowHexExpr: String =
-    "md5(o_orderkey::VARCHAR || '|' || o_orderstatus || '|' || " +
-      "o_totalprice::VARCHAR)"
+    s"md5(${digestTerm("o_orderkey")} || '|' || " +
+      s"${digestTerm("o_orderstatus")} || '|' || " +
+      s"${digestTerm("o_totalprice")})"
 
   private val bucketExpr: String =
-    s"CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8)) AS BIGINT)" +
-      s" % $DiffBuckets"
+    s"CAST(('0x' || substr(md5(${digestTerm("o_orderkey")}), 1, 8)) " +
+      s"AS BIGINT) % $DiffBuckets"
 
   /** Per-bucket three-channel checksum CTE over `src`. */
   private def bucketCkSql(src: String): String =
@@ -782,7 +812,7 @@ object Round10 {
            FROM orders
            WHERE o_orderkey % $JUpdMod = 0 AND o_orderkey % $JDelMod <> 0
            UNION ALL
-           SELECT o_orderkey + $JInsOffset, o_custkey % $JRekeyMod + 1,
+           SELECT o_orderkey + $insOffsetSql, o_custkey % $JRekeyMod + 1,
              o_totalprice
            FROM orders WHERE o_orderkey % $JInsMod = 0)
          SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
@@ -919,7 +949,10 @@ object Round10 {
            [0.2, 0.4, 0.6, 0.8]) AS cuts FROM events GROUP BY 1),
          cur AS (SELECT event_type, CASE WHEN event_type = 'click'
              THEN value * 1.2 ELSE value END AS value
-           FROM events),
+           FROM events
+           UNION ALL
+           SELECT '__new' AS event_type, value * 0.5 AS value
+           FROM events WHERE event_type = 'click'),
          bb AS (SELECT e.event_type,
              1 + len(list_filter(c.cuts, x -> e.value > round(x, 6)))
                AS bucket
@@ -927,7 +960,7 @@ object Round10 {
          cb AS (SELECT cur.event_type,
              1 + len(list_filter(c.cuts, x -> cur.value > round(x, 6)))
                AS bucket
-           FROM cur JOIN c ON cur.event_type = c.event_type),
+           FROM cur LEFT JOIN c ON cur.event_type = c.event_type),
          pb AS (SELECT event_type, bucket,
              floor(count(*)::DOUBLE / sum(count(*))
                OVER (PARTITION BY event_type) * 1000000 + 0.5) / 1000000
@@ -948,7 +981,7 @@ object Round10 {
                / 1000000 END AS psi
          FROM pb FULL OUTER JOIN pc
            ON pb.event_type = pc.event_type AND pb.bucket = pc.bucket
-         ORDER BY event_type, bucket""",
+         ORDER BY event_type, bucket NULLS FIRST""",
 
     "audit_drift_psi" ->
       """WITH c AS (SELECT quantile_cont(o_totalprice,

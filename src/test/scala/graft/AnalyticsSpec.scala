@@ -373,6 +373,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(t.getLong(2) !== base.getLong(2))
   }
 
+  test("checksum distinguishes null patterns positionally") {
+    // ('a', null, 'b') vs ('a', 'b', null): a bare concat_ws digest
+    // collides these; the positional __NULL__ sentinel must not
+    val x = Seq(("a", null: String, "b")).toDF("c1", "c2", "c3")
+    val y = Seq(("a", "b", null: String)).toDF("c1", "c2", "c3")
+    val cols = Seq("c1", "c2", "c3")
+    val cx = Analytics.tableChecksum(x, cols).head()
+    val cy = Analytics.tableChecksum(y, cols).head()
+    assert(cx.getLong(1) !== cy.getLong(1),
+      "null-pattern rows must digest differently")
+    // and a null key still routes to a stable Merkle bucket
+    val bx = Analytics.bucketChecksum(x, Seq("c2"), cols, 16).collect()
+    assert(bx.length === 1 && bx(0).getLong(1) === 1L,
+      s"null key must land in exactly one lane: ${bx.toSeq}")
+  }
+
   // ---------------- as-of directions ----------------
 
   test("as-of knobs: strict exact matches and tolerance") {

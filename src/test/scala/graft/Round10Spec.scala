@@ -183,6 +183,26 @@ class Round10Spec extends SparkTestBase {
       s"undrifted groups must stay ~0: $perGroup")
   }
 
+  test("grouped psi surfaces a group unseen in the baseline") {
+    val base = events.select("event_type", "value")
+    val current = base.unionByName(
+      base.filter(col("event_type") === "click")
+        .select(lit("brand_new").as("event_type"), col("value")))
+    val rows = Analytics.driftPsiGrouped(base, current,
+        "event_type", "value", nBuckets = 5)
+      .filter(col("event_type") === "brand_new").collect()
+    assert(rows.length === 1,
+      s"one explicit row for the unseen segment: ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.isNullAt(r.fieldIndex("bucket")),
+      "an unbucketable new group carries a null bucket")
+    assert(r.getDouble(r.fieldIndex("p_base")) === 0.0)
+    assert(r.getDouble(r.fieldIndex("p_cur")) === 1.0,
+      "the whole new segment is its own share")
+    assert(r.isNullAt(r.fieldIndex("psi")),
+      "psi is undefined against an empty baseline")
+  }
+
   // ---------------- Hilbert curve ----------------
 
   test("hilbert distance walks the full grid in unit steps") {
@@ -296,6 +316,54 @@ class Round10Spec extends SparkTestBase {
     // parent join in the string
     assert(p.indexOf("bloom_might_contain") > p.indexOf("LeftSemi"),
       s"the probe must sit below the LeftSemi join:\n$p")
+  }
+
+  test("expectedKeys skips the sizing job; any estimate stays exact") {
+    val li = queries.tbl(spark, sf, "lineitem")
+    val dim = queries.tbl(spark, sf, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val plain = li.join(dim.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    // the build is synchronous, so all its jobs have started before
+    // the call returns; poll until the async status store settles
+    def groupJobs(group: String)(build: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Int) = {
+      spark.sparkContext.setJobGroup(group, "bloom build", false)
+      val df = try build finally spark.sparkContext.clearJobGroup()
+      def ids() = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(group).length
+      var last = -1
+      var settles = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (settles < 3 && System.nanoTime() < deadline) {
+        val now = ids()
+        if (now == last && now > 0) settles += 1 else settles = 0
+        last = now
+        Thread.sleep(100)
+      }
+      (df, last)
+    }
+    val (_, sized) = groupJobs("bloom-sized") {
+      graft.operators.BloomJoin.semiJoinBloom(
+        li, dim, "l_orderkey", "o_orderkey")
+    }
+    // over- and (pathologically) under-estimated sizes: the exact
+    // verify join keeps the result identical either way — sizing is a
+    // perf knob, never a correctness one
+    Seq(1000000L, 2L).foreach { est =>
+      val (pruned, jobs) = groupJobs(s"bloom-est-$est") {
+        graft.operators.BloomJoin.semiJoinBloom(
+          li, dim, "l_orderkey", "o_orderkey", fpp = 0.01,
+          expectedKeys = Some(est))
+      }
+      assert(jobs < sized,
+        s"estimate must skip the sizing job: $jobs vs $sized without")
+      assert(pruned.select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber").collect().toSeq === plain,
+        s"estimate $est must not change the result")
+    }
   }
 
   // ---------------- streaming recursive EWMA ----------------
