@@ -45,12 +45,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // best of 2: immune to a transiently contended host window
+    // best of 2: immune to a transiently contended host window. The
+    // stream_* family gets best of 3 — micro-batch scheduling adds
+    // jitter batch queries don't have (observed same-gate run-pair
+    // ratios up to 1.8x), and one extra sample separates a real
+    // regression from a slow scheduler wakeup.
     def forceEval(name: String): Double = {
-      val a = once(name)
-      if (a < 0) return a
-      val b = once(name)
-      if (b < 0) a else math.min(a, b)
+      val tries = if (name.startsWith("stream_")) 3 else 2
+      var best = once(name)
+      if (best < 0) return best
+      var i = 1
+      while (i < tries) {
+        val t = once(name)
+        if (t >= 0 && t < best) best = t
+        i += 1
+      }
+      best
     }
 
     // warmup: JIT + codegen + filesystem caches on a trivial scan

@@ -237,5 +237,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             numLit(n, "n", args(3)).toInt)
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_ewma_anomaly"),
+      info("graft_ewma_anomaly",
+        "graft_ewma_anomaly(table, partCols, orderCols, valueCol, alpha, span, k, minN) - EWMA-forecast anomaly flags per key (cols comma-separated): input cols + (ewma, forecast, anom_score, is_anomaly)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 8, s"graft_ewma_anomaly expects 8 arguments")
+        val n = "graft_ewma_anomaly"
+        graft.operators.Analytics.ewmaAnomaly(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "partCols", args(1)).split(",").toSeq,
+            strLit(n, "orderCols", args(2)).split(",").toSeq,
+            strLit(n, "valueCol", args(3)),
+            numLit(n, "alpha", args(4)),
+            numLit(n, "span", args(5)).toInt,
+            numLit(n, "k", args(6)),
+            numLit(n, "minN", args(7)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_nb_score"),
+      info("graft_nb_score",
+        "graft_nb_score(trainTable, scoreTable, idCol, textCol, labelCol, posLabel, alpha) - Naive-Bayes mean-likelihood-ratio scores of scoreTable against a model trained on trainTable: (id, nb_score, nb_pred)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7, s"graft_nb_score expects 7 arguments")
+        val n = "graft_nb_score"
+        val model = graft.textanalysis.NaiveBayes.train(
+          SparkSession.active.table(strLit(n, "trainTable", args.head)),
+          strLit(n, "textCol", args(3)),
+          org.apache.spark.sql.functions
+            .col(strLit(n, "labelCol", args(4)))
+            === strLit(n, "posLabel", args(5)),
+          numLit(n, "alpha", args(6)))
+        graft.textanalysis.NaiveBayes.score(model,
+            SparkSession.active.table(strLit(n, "scoreTable", args(1))),
+            strLit(n, "idCol", args(2)), strLit(n, "textCol", args(3)))
+          .queryExecution.logical
+      }))
   }
 }

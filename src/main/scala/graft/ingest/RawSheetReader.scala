@@ -80,7 +80,16 @@ object RawSheetReader {
     // stable line ordinal: zipWithIndex follows file order
     val lines = spark.sparkContext.textFile(path).zipWithIndex()
       .map { case (l, i) => (i, splitCsvLine(l)) }
+    fromCells(spark, lines, path, proyecto, cfg)
+  }
 
+  /** The tolerant-ingestion core over any (ordinal, cells) source —
+    * shared by the CSV-dump path above and [[XlsxSheetReader]]'s
+    * workbook grid: header auto-detect, cleaning, alias renames,
+    * duplicate collapse, ensure-columns, project injection. */
+  def fromCells(spark: SparkSession,
+                lines: org.apache.spark.rdd.RDD[(Long, Array[String])],
+                path: String, proyecto: String, cfg: Config): DataFrame = {
     // S2 — driver-side header scan over the first maxHeaderScan rows
     val head = lines.filter(_._1 < cfg.maxHeaderScan).collect().sortBy(_._1)
     val candidates = cfg.aliases.flatMap { case (canon, al) => canon +: al }

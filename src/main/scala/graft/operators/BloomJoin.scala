@@ -76,7 +76,19 @@ object BloomJoin {
     * already-small filtered dimension. AQE's skew-join split handles
     * sort-merge skew adaptively; the explicit salt is the declarative
     * form that also covers aggregate-after-join pipelines and engines
-    * without AQE, and it makes the two-level shape plan-assertable. */
+    * without AQE, and it makes the two-level shape plan-assertable.
+    *
+    * Interplay with `spark.sql.adaptive.skewJoin.enabled` (on by
+    * default on a real cluster): the two COMPOSE, they never
+    * double-apply. The salted shuffle hashes on (key, salt), so the
+    * hot key's rows spread over `salts` reducer partitions and AQE's
+    * skew detector — which fires only on a post-shuffle partition
+    * exceeding its size thresholds — sees nothing to split; its
+    * optimizer marks no join leg `skew=true` (pinned by the
+    * "AQE finds no skew" Round10Spec case). If `salts` is chosen too
+    * small for the actual skew, AQE remains armed and splits whatever
+    * residual oversize survives the salt — a safety net, not a
+    * conflict. */
   def skewSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                      dimKey: String, saltCols: Seq[String],
                      salts: Int): DataFrame = {

@@ -44,20 +44,26 @@ object ZOrder {
 
   /** Add `__rank{j}` = column j's 2^bits exact-quantile rank — the
     * shared quantization under [[withZValue]], [[withHilbertValue]],
-    * and layout diagnostics. One exact-percentile reduce per column
-    * (broadcast back); assignment is a pure map. */
+    * and layout diagnostics. ONE fused exact-percentile reduce covers
+    * every column (a per-column reduce would rescan the table once per
+    * clustered column — 2× the scans for the common 2-D layout);
+    * the single 1-row cutpoint frame broadcasts back and assignment is
+    * a pure map. */
   def withRanks(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
     require(bits >= 1, s"bits must be positive: $bits")
+    require(cols.nonEmpty, "need at least one rank column")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
-    cols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
-      val cuts = Analytics.quantileCutpoints(df, c, probs)
-        .withColumnRenamed("__cuts", s"__cuts$j")
-      d.join(broadcast(cuts))
-        .withColumn(s"__rank$j",
+    val cutCols = cols.zipWithIndex.map { case (c, j) =>
+      percentile(col(c), array(probs.map(lit): _*)).as(s"__cuts$j")
+    }
+    val cuts = df.agg(cutCols.head, cutCols.tail: _*)
+    val ranked = cols.zipWithIndex.foldLeft(df.join(broadcast(cuts))) {
+      case (d, (c, j)) =>
+        d.withColumn(s"__rank$j",
           aggregate(col(s"__cuts$j"), lit(0),
             (acc, x) => acc + when(col(c) > round(x, 6), 1).otherwise(0)))
-        .drop(s"__cuts$j")
     }
+    ranked.drop(cols.indices.map(j => s"__cuts$j"): _*)
   }
 
   /** Add `zCol` = the z-value over `cols` at 2^bits quantile ranks per

@@ -334,33 +334,49 @@ object Round10 {
     // the layout operators' empirical justification: per-segment
     // rank-space bounding boxes for 16 equal-population segments of
     // each curve — Hilbert's unit-step locality should show tighter
-    // (never pathologically wider) boxes than Morton's seam jumps
+    // (never pathologically wider) boxes than Morton's seam jumps.
+    // One scan serves BOTH curves: their segment cutpoints come from a
+    // single fused percentile reduce and each row explodes into its
+    // two (curve, segment) memberships before one shared 32-group
+    // aggregate — the per-curve formulation would rescan the ranked
+    // table once per curve
     "layout_boxes" -> ((s, dir) => {
-      val ranked = graft.operators.ZOrder.withRanks(
-        tbl(s, dir, "orders")
-          .select("o_orderkey", "o_totalprice", "o_custkey"),
-        Seq("o_totalprice", "o_custkey"), HilbertBits)
-      val segProbs = (1 until 16).map(_ / 16.0)
-      def boxes(name: String, cv: org.apache.spark.sql.Column) = {
-        val withCv = ranked.withColumn("__cv", cv)
-        val seg = Analytics.bucketByCutpoints(withCv, "__cv",
-          Analytics.quantileCutpoints(withCv, "__cv", segProbs))
-        seg.groupBy("bucket").agg(
-            count(lit(1)).as("n"),
-            min("__rank0").as("__l0"), max("__rank0").as("__h0"),
-            min("__rank1").as("__l1"), max("__rank1").as("__h1"))
-          .select(lit(name).as("curve"),
-            col("bucket").cast("long").as("segment"), col("n"),
-            (col("__h0") - col("__l0") + 1).cast("long").as("dx"),
-            (col("__h1") - col("__l1") + 1).cast("long").as("dy"),
-            ((col("__h0") - col("__l0") + 1) *
-              (col("__h1") - col("__l1") + 1)).cast("long").as("box_area"))
-      }
       import graft.operators.ZOrder
-      boxes("hilbert", ZOrder.hilbertD2(col("__rank0"), col("__rank1"),
-          HilbertBits))
-        .unionByName(boxes("morton", ZOrder.interleave(
-          Seq(col("__rank0"), col("__rank1")), HilbertBits)))
+      val segProbs = (1 until 16).map(_ / 16.0)
+      val ranked = ZOrder.withRanks(
+          tbl(s, dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_custkey"),
+          Seq("o_totalprice", "o_custkey"), HilbertBits)
+        .withColumn("__cvh", ZOrder.hilbertD2(col("__rank0"),
+          col("__rank1"), HilbertBits))
+        .withColumn("__cvm", ZOrder.interleave(
+          Seq(col("__rank0"), col("__rank1")), HilbertBits))
+      val cuts = ranked.agg(
+        percentile(col("__cvh"), array(segProbs.map(lit): _*)).as("__ch"),
+        percentile(col("__cvm"), array(segProbs.map(lit): _*)).as("__cm"))
+      def bucketOf(v: org.apache.spark.sql.Column,
+                   cs: org.apache.spark.sql.Column) =
+        aggregate(cs, lit(1),
+          (acc, c) => acc + when(v > round(c, 6), 1).otherwise(0))
+      ranked.join(broadcast(cuts))
+        .select(col("__rank0"), col("__rank1"),
+          explode(array(
+            struct(lit("hilbert").as("curve"),
+              bucketOf(col("__cvh"), col("__ch")).as("bucket")),
+            struct(lit("morton").as("curve"),
+              bucketOf(col("__cvm"), col("__cm")).as("bucket"))))
+            .as("__e"))
+        .groupBy(col("__e.curve").as("curve"),
+          col("__e.bucket").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("__rank0").as("__l0"), max("__rank0").as("__h0"),
+          min("__rank1").as("__l1"), max("__rank1").as("__h1"))
+        .select(col("curve"), col("bucket").cast("long").as("segment"),
+          col("n"),
+          (col("__h0") - col("__l0") + 1).cast("long").as("dx"),
+          (col("__h1") - col("__l1") + 1).cast("long").as("dy"),
+          ((col("__h0") - col("__l0") + 1) *
+            (col("__h1") - col("__l1") + 1)).cast("long").as("box_area"))
         .orderBy("curve", "segment")
     }),
 

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.similarity.{ProductQuantizer, Similarity}
+
+/** Round-11 gates. Each Spark query here has a DuckDB oracle generated
+  * from the same constants, like [[Round10]]. */
+object Round11 {
+
+  /** PQ multi-iteration training constants. Training runs on a
+    * deterministic quarter-sample of the corpus (`vec_id % TrainMod ==
+    * 0`) — the standard PQ practice: codebook quality saturates on a
+    * sample, so the Lloyd passes cost O(sample), not O(corpus),
+    * however wide the encoded table grows. */
+  private val PqM = 8
+  private val PqKsub = 16
+  private val PqIters = 3
+  private val PqTrainMod = 4L
+  private val PqCandidates = 600
+  private val PqK = 10
+
+  val defs: Map[String, Q] = Map(
+
+    // PQ retrieval with CONVERGED codebooks: three Lloyd iterations per
+    // subspace (vs the single-pass sim_ann_pq), trained on a
+    // deterministic sample so the iteration cost is bounded by the
+    // sample however large the corpus. fit()'s per-iteration driver
+    // collect of the m·ksub·subDim codebook IS the lineage truncation
+    // (each pass re-roots the plan at the subvector scan with literal
+    // codebooks — nothing accumulates), so the converged model replays
+    // bit-identically; with 600-candidate headroom retrieval is exact
+    // brute-force top-10, the identity the oracle checks
+    "sim_ann_pq_iters" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(Similarity.toVec(col("embedding")))
+        .head().getSeq[Double](0)
+      val model = ProductQuantizer.fit(
+        emb.where(col("vec_id") % PqTrainMod === 0),
+        "vec_id", "embedding", dim = 64, m = PqM, ksub = PqKsub,
+        iters = PqIters)
+      val encoded = ProductQuantizer.encode(
+        emb, "vec_id", "embedding", model)
+      ProductQuantizer.adcRescoreTopK(encoded, emb, "vec_id",
+          "embedding", model, qv, candidates = PqCandidates, k = PqK)
+        .withColumn("sim", col("sim") + lit(0.0))
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    // exact brute-force top-k — the identity the two-stage retrieval
+    // must reproduce at full candidate headroom
+    "sim_ann_pq_iters" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                     WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0
+             AS sim
+         FROM embeddings, q
+         ORDER BY sim DESC, vec_id LIMIT $PqK""")
+}

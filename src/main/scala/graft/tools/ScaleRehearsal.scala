@@ -444,6 +444,80 @@ object ScaleRehearsal {
         }
       }
     }
+
+    // ---- KMV shard merge: each shard's sketch builds from its own
+    // scan (linear); the merge reduces shards*k rows to k however
+    // large the corpus — the cross-datacenter distinct-count shape ----
+    def kmvMergeTimes(rows: Long, shards: Int): (Double, Double) = {
+      val df = synthKeys(rows)
+        .withColumn("__s", pmod(xxhash64(col("k")), lit(shards)))
+      val t0 = System.nanoTime()
+      val sketches = (0 until shards).map { i =>
+        Analytics.kmvSketch(df.where(col("__s") === i), "k", 256).cache()
+      }
+      sketches.foreach(_.count())
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      sketches.reduce(_.unionByName(_))
+        .groupBy("h").agg(count(lit(1)).as("__n")).select("h")
+        .orderBy("h").limit(256).count()
+      val tMerge = (System.nanoTime() - t1) / 1e9
+      sketches.foreach(_.unpersist())
+      (tBuild, tMerge)
+    }
+    val (kb1, km1) = kmvMergeTimes(sn, 4)
+    val (kb10, km10) = kmvMergeTimes(sn * 10, 4)
+    println(f"[rehearsal] kmv shard build: $sn rows ${kb1}%.2f s; " +
+      f"${sn * 10} rows ${kb10}%.2f s (${kb10 / kb1}%.1fx, ~linear target)")
+    println(f"[rehearsal] kmv shard merge: ${km1}%.2f s -> ${km10}%.2f s " +
+      f"(${km10 / km1}%.1fx, ~flat target: 4x256 rows in, 256 out)")
+
+    // ---- grouped PSI: two aggregating scans + a |groups|*buckets
+    // share/join tail — build ~linear in rows, report size fixed ----
+    def psiGroupedTime(rows: Long): Double = {
+      val ev = spark.range(rows).select(
+        concat(lit("g"), pmod(col("id"), lit(8)).cast("string")).as("g"),
+        (pmod(xxhash64(col("id")), lit(100000)) / lit(100.0)).as("v"))
+      val cur = ev.withColumn("v", col("v") * 1.1)
+      val t0 = System.nanoTime()
+      Analytics.driftPsiGrouped(ev, cur, "g", "v", 10).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (p1, p10) = (psiGroupedTime(sn), psiGroupedTime(sn * 10))
+    println(f"[rehearsal] grouped psi: $sn rows ${p1}%.2f s; ${sn * 10} " +
+      f"rows ${p10}%.2f s (${p10 / p1}%.1fx, ~linear target, 8x10 rows out)")
+
+    // ---- layout boxes: exact-quantile ranks + pure-map curve values
+    // + a 16-segment reduce — the diagnostic itself must stay ~linear
+    // and emit a fixed 2x16-row report at any table size ----
+    def layoutBoxesTime(rows: Long): Double = {
+      import graft.operators.ZOrder
+      val df = spark.range(rows).select(
+        (pmod(xxhash64(col("id")), lit(100000))).cast("double").as("x"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(100000))).cast("double")
+          .as("y"))
+      val t0 = System.nanoTime()
+      val ranked = ZOrder.withRanks(df, Seq("x", "y"), 4)
+      val segProbs = (1 until 16).map(_ / 16.0)
+      def boxes(name: String, cv: org.apache.spark.sql.Column) = {
+        val withCv = ranked.withColumn("__cv", cv)
+        Analytics.bucketByCutpoints(withCv, "__cv",
+            Analytics.quantileCutpoints(withCv, "__cv", segProbs))
+          .groupBy("bucket").agg(count(lit(1)).as("n"),
+            min("__rank0").as("l0"), max("__rank0").as("h0"),
+            min("__rank1").as("l1"), max("__rank1").as("h1"))
+          .withColumn("curve", lit(name))
+      }
+      boxes("hilbert", ZOrder.hilbertD2(col("__rank0"), col("__rank1"), 4))
+        .unionByName(boxes("morton",
+          ZOrder.interleave(Seq(col("__rank0"), col("__rank1")), 4)))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (lb1, lb10) = (layoutBoxesTime(sn), layoutBoxesTime(sn * 10))
+    println(f"[rehearsal] layout boxes: $sn rows ${lb1}%.2f s; ${sn * 10} " +
+      f"rows ${lb10}%.2f s (${lb10 / lb1}%.1fx, ~linear target, 32 rows out)")
+
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** GraftExtensions must make the native expressions SQL-callable on a
@@ -176,6 +177,42 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(sqlStrip.queryExecution.optimizedPlan
         .sameResult(apiStrip.queryExecution.optimizedPlan),
         "graft_strip_dup_spans must plan to stripDuplicatedSpans")
+
+      Seq.tabulate(30)(i =>
+          (i.toLong, "k" + (i % 2), if (i == 28) 50.0 else i * 1.0))
+        .toDF("id", "key", "v").createOrReplaceTempView("tvf_series")
+      val sqlAnom = spark.sql(
+        "SELECT * FROM graft_ewma_anomaly('tvf_series','key','id','v'," +
+          "0.3,5,3.0,3)")
+      val apiAnom = graft.operators.Analytics.ewmaAnomaly(
+        spark.table("tvf_series"), Seq("key"), Seq("id"), "v",
+        0.3, 5, 3.0, 3)
+      assert(sqlAnom.queryExecution.optimizedPlan
+        .sameResult(apiAnom.queryExecution.optimizedPlan),
+        "graft_ewma_anomaly must plan to ewmaAnomaly")
+      assert(sqlAnom.where(col("is_anomaly")).collect()
+        .map(_.getLong(0)).toSet === Set(28L),
+        "the spiked row (and only it) must flag")
+
+      Seq((1L, "alpha beta", "en"), (2L, "gamma delta", "en"),
+        (3L, "uno dos", "es"), (4L, "alpha dos", "es"))
+        .toDF("doc_id", "text", "lang")
+        .createOrReplaceTempView("tvf_labeled")
+      val sqlNb = spark.sql(
+        "SELECT * FROM graft_nb_score('tvf_labeled','tvf_docs','doc_id'," +
+          "'text','lang','en',0.5)")
+      val labeled = spark.table("tvf_labeled")
+      val apiNb = graft.textanalysis.NaiveBayes.score(
+        graft.textanalysis.NaiveBayes.train(labeled, "text",
+          col("lang") === "en", 0.5),
+        docs, "doc_id", "text")
+      assert(sqlNb.queryExecution.optimizedPlan
+        .sameResult(apiNb.queryExecution.optimizedPlan),
+        "graft_nb_score must plan to NaiveBayes.train+score")
+      val nbScores = sqlNb.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(nbScores(1L) > 0.5,
+        s"all-english doc must score positive: $nbScores")
 
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash

@@ -27,6 +27,39 @@ class PqSpec extends SparkTestBase {
     assert(again.books === model.books)
   }
 
+  test("multi-iteration training converges and replays bit-identically") {
+    // each Lloyd pass re-roots the plan at the subvector scan with the
+    // codebooks as driver-collected literals, so iteration depth never
+    // grows lineage — the converged model must be exactly reproducible
+    val m3 = ProductQuantizer.fit(emb, "vec_id", "embedding", dim = 64,
+      m = 4, ksub = 8, iters = 3)
+    val m3b = ProductQuantizer.fit(emb, "vec_id", "embedding", dim = 64,
+      m = 4, ksub = 8, iters = 3)
+    assert(m3b.books === m3.books,
+      "3-iteration codebooks must replay bit-identically")
+    // Lloyd's invariant: quantization SSE is non-increasing per pass
+    def sse(mod: ProductQuantizer.Model): Double = {
+      val enc = ProductQuantizer.encode(emb, "vec_id", "embedding", mod)
+      val subDim = mod.subDim
+      val terms = mod.books.zipWithIndex.map { case (book, s) =>
+        val sv = slice(Similarity.toVec(col("embedding")),
+          s * subDim + 1, subDim)
+        val cent = element_at(typedLit(book), col("codes")(s) + 1)
+        aggregate(zip_with(sv, cent, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, d) => a + d)
+      }
+      enc.select(terms.reduce(_ + _).as("e"))
+        .agg(sum("e")).head().getDouble(0)
+    }
+    val sses = (0 to 3).map(i => sse(ProductQuantizer.fit(
+      emb, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = i)))
+    sses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"SSE must not increase across passes: $sses")
+    }
+    assert(sses.last < sses.head,
+      s"three passes must actually improve on the hash seeding: $sses")
+  }
+
   test("full candidate pool degenerates to exact brute-force top-k") {
     val qv = emb.filter(col("vec_id") === 0)
       .select(Similarity.toVec(col("embedding"))).head().getSeq[Double](0)

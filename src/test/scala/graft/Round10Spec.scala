@@ -493,6 +493,39 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("salted join under AQE skew handling: salt pre-spreads, AQE finds no skew") {
+    // one hot key carries ~90% of the fact side — the shape AQE's
+    // skew-join splitter exists for. After salting, no post-shuffle
+    // partition is oversized, so AQE must mark no leg skew=true: the
+    // manual salt and the adaptive splitter compose, never double-apply
+    val fact = spark.range(20000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val dim = spark.range(50).select(col("id").as("dk"),
+      (col("id") * 2).as("dv"))
+    val conf = spark.conf
+    val prevSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // force a shuffle join: broadcast would bypass the skew machinery
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.operators.BloomJoin.skewSaltedJoin(
+        fact, dim, "k", "dk", Seq("payload"), salts = 8)
+      val rows = j.collect() // execute so AQE finalizes the plan
+      assert(rows.length === 18005,
+        "18000 hot-key rows + the 5 residue ids (0,10,20,30,40) in dim")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"),
+        s"the exchange must carry the salt lane:\n$p")
+      assert(!p.contains("skew=true"),
+        s"a salted shuffle must leave AQE's skew splitter idle:\n$p")
+    } finally {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("salted join keys on (key, salt) — the two-level exchange") {
     val p = graft.operators.BloomJoin.skewSaltedJoin(
         queries.tbl(spark, sf, "lineitem"),
