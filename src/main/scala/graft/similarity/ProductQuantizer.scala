@@ -42,10 +42,14 @@ object ProductQuantizer {
       .as(Seq("__sub", "__sv")))
   }
 
-  /** Squared L2 distance between a column vector and a literal one. */
-  private def sqDistToLit(v: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+  /** Argmin-L2 code for a subvector against one subspace's codebook:
+    * the [[graft.functions.NearestCode]] native kernel — two fused
+    * loops over a primitive codebook inside whole-stage codegen, where
+    * the composable struct-greatest-over-distances tree ran hundreds
+    * of interpreted nodes per subspace (and a scalar unroll measured
+    * 3x slower still by blowing the generated-code budget). */
+  private def nearestCode(sv: Column, book: Seq[Seq[Double]]): Column =
+    graft.functions.NearestCode.nearest(sv, book)
 
   /** Lloyd k-means per subspace, `pmod(xxhash64(id, sub), ksub)` seeded
     * (deterministic, retry-safe). Centroid reduction via
@@ -86,32 +90,24 @@ object ProductQuantizer {
     Model(dim, m, ksub, books)
   }
 
-  /** Argmin-L2 cell for a (sub, subvec) row with the codebooks inlined:
-    * greatest over (−dist, −code) structs, ties to the smaller code. */
+  /** Argmin-L2 cell for a (sub, subvec) row: one [[nearestCode]] kernel
+    * per subspace behind an m-way selector (ties to the smaller code,
+    * same as ever). */
   private def argminCell(sub: Column, sv: Column,
-                         books: Seq[Seq[Seq[Double]]], ksub: Int): Column = {
-    def bestIn(book: Seq[Seq[Double]]): Column = {
-      val scored = book.zipWithIndex.map { case (c, code) =>
-        struct((-sqDistToLit(sv, c)).as("nd"), lit(-code).as("nc"))
-      }
-      (-greatest(scored: _*).getField("nc")).cast("int")
-    }
+                         books: Seq[Seq[Seq[Double]]], ksub: Int): Column =
     books.zipWithIndex.foldRight(lit(-1)) { case ((book, s), other) =>
-      when(sub === s, bestIn(book)).otherwise(other)
+      when(sub === s, nearestCode(sv, book)).otherwise(other)
     }
-  }
 
   /** Adds `codes` (array<int>, length m): each vector's per-subspace
-    * argmin-L2 code. Pure map — the codebooks ride along as literals. */
+    * argmin-L2 code. Pure map — the codebooks ride along as codegen
+    * constants. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
              model: Model): DataFrame = {
     val subDim = model.subDim
     val codeExprs = model.books.zipWithIndex.map { case (book, s) =>
       val sv = slice(Similarity.toVec(col(vecCol)), s * subDim + 1, subDim)
-      val scored = book.zipWithIndex.map { case (c, code) =>
-        struct((-sqDistToLit(sv, c)).as("nd"), lit(-code).as("nc"))
-      }
-      (-greatest(scored: _*).getField("nc")).cast("int")
+      nearestCode(sv, book)
     }
     corpus.withColumn("codes", array(codeExprs: _*))
   }

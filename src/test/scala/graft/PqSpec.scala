@@ -13,6 +13,41 @@ class PqSpec extends SparkTestBase {
     ProductQuantizer.fit(emb, "vec_id", "embedding", dim = 64, m = 8,
       ksub = 16, iters = 1)
 
+  test("NearestCode kernel matches the struct-greatest reference form") {
+    // the composable formulation the native kernel replaced — kept
+    // here as the executable semantics contract (incl. smaller-code
+    // tie-breaking)
+    def refArgmin(sv: org.apache.spark.sql.Column,
+                  book: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+      def sqDist(c: Seq[Double]) =
+        aggregate(zip_with(sv, typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)
+      val scored = book.zipWithIndex.map { case (c, code) =>
+        struct((-sqDist(c)).as("nd"), lit(-code).as("nc"))
+      }
+      (-greatest(scored: _*).getField("nc")).cast("int")
+    }
+    val book = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(1.0, 1.0),
+      Seq(-2.0, 3.0)) // rows 1 and 2 identical: tie must pick code 1
+    val pts = Seq(Seq(0.1, -0.2), Seq(0.9, 1.2), Seq(1.0, 1.0),
+      Seq(-1.5, 2.5), Seq(0.5, 0.5)).toDF("v")
+    val got = pts.select(
+        graft.functions.NearestCode.nearest(col("v"), book).as("k"),
+        refArgmin(col("v"), book).as("r"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1),
+      s"kernel ${r.getInt(0)} vs reference ${r.getInt(1)}"))
+    assert(got(2).getInt(0) === 1, "exact tie keeps the smaller code")
+    // and on real vectors: interpreted eval (no codegen) agrees too
+    val emb8 = emb.select(col("vec_id"),
+      slice(graft.similarity.Similarity.toVec(col("embedding")), 1, 2)
+        .as("v"))
+    val wide = emb8.select(
+      graft.functions.NearestCode.nearest(col("v"), book).as("k"),
+      refArgmin(col("v"), book).as("r"))
+    assert(wide.filter(col("k") =!= col("r")).count() === 0)
+  }
+
   test("codes are m valid codebook indices per vector") {
     val enc = ProductQuantizer.encode(emb, "vec_id", "embedding", model)
     val bad = enc.filter(size(col("codes")) =!= 8 ||
