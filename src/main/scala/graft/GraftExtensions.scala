@@ -274,5 +274,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(n, "idCol", args(2)), strLit(n, "textCol", args(3)))
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_rag"),
+      info("graft_rag",
+        "graft_rag(docsTable, embTable, queryVecId, terms, n, c, k, budget) - RAG retrieval pipeline: span-scrub -> BM25 + dense lists -> RRF fusion -> greedy packing under the token budget (terms comma-separated); docsTable needs (doc_id, text), embTable (vec_id, embedding)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 8, s"graft_rag expects 8 arguments")
+        val n = "graft_rag"
+        graft.pipeline.Rag.pack(
+            SparkSession.active.table(strLit(n, "docsTable", args.head)),
+            SparkSession.active.table(strLit(n, "embTable", args(1))),
+            numLit(n, "queryVecId", args(2)).toLong,
+            strLit(n, "terms", args(3)).split(",").toSeq,
+            numLit(n, "n", args(4)).toInt,
+            numLit(n, "c", args(5)).toInt,
+            numLit(n, "k", args(6)).toInt,
+            numLit(n, "budget", args(7)).toLong)
+          .queryExecution.logical
+      }))
   }
 }

@@ -422,34 +422,24 @@ object Round10 {
     // RAG capstone: span-scrubbed corpus -> BM25 + dense candidate
     // lists -> reciprocal-rank fusion -> greedy context packing under
     // a 512-token budget; the oracle recomposes every stage from the
-    // same shared CTEs, so the pipeline is verified END TO END
-    "pipeline_rag" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val cleaned = TextAnalysis.stripDuplicatedSpans(
-        tbl(s, dir, "documents"), "doc_id", "text", n = 8)
-      val sparse = Similarity.rankByScore(
-        TextAnalysis.bm25(cleaned, "doc_id", "clean_text",
-          Round7.Bm25Terms),
-        "doc_id", "bm25", RrfN)
-      val emb = tbl(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qvec"))
-      val dense = Similarity.rankByScore(
-        Similarity.cosineToQuery(emb, "vec_id", "embedding", q, "qvec")
-          .withColumn("sim", round(col("sim"), 4))
-          .withColumnRenamed("vec_id", "doc_id"),
-        "doc_id", "sim", RrfN)
-      Similarity.rrfFuse(sparse, dense, "doc_id", RrfC, RrfK)
-        .join(cleaned.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("clean_text")).cast("long")
-            .as("n_tok")), Seq("doc_id"))
-        .withColumn("cum_tokens", sum(col("n_tok"))
-          .over(Window.orderBy(col("rrf").desc, col("doc_id"))))
-        .where(col("cum_tokens") <= RagBudget)
-        .select("doc_id", "rank_sparse", "rank_dense", "rrf", "n_tok",
-          "cum_tokens")
-        .orderBy(col("rrf").desc, col("doc_id"))
-    }),
+    // same shared CTEs, so the pipeline is verified END TO END.
+    // The chain lives in pipeline.Rag (also the graft_rag TVF)
+    "pipeline_rag" -> ((s, dir) =>
+      graft.pipeline.Rag.pack(tbl(s, dir, "documents"),
+        tbl(s, dir, "embeddings"), queryVecId = 0,
+        Round7.Bm25Terms, RrfN, RrfC, RrfK, RagBudget)),
+
+    // round-11 capstone extension: the fused candidate list reranks
+    // through the corpus-trained NB quality classifier — retrieval's
+    // "is this doc worth the context window" filter. Classifier
+    // scoring touches ONLY the <= RrfK fused candidates (broadcast
+    // semi join), never the corpus; the oracle recomposes retrieval
+    // AND the classifier from the same shared CTEs, end to end
+    "pipeline_rag_rerank" -> ((s, dir) =>
+      graft.pipeline.Rag.rerank(tbl(s, dir, "documents"),
+        tbl(s, dir, "embeddings"), queryVecId = 0,
+        Round7.Bm25Terms, RrfN, RrfC, RrfK,
+        NbPosLang, NbHoldoutMod, NbAlpha)),
 
     // per-user EWMA smoothing of the event value series: span fixed
     // lag() terms over ONE window pass (fixed expression tree — float
@@ -955,6 +945,50 @@ object Round10 {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id""",
+
+    "pipeline_rag_rerank" -> {
+      val fuse = s"""round(coalesce(1.0 / ($RrfC + rank_sparse), 0.0) +
+             coalesce(1.0 / ($RrfC + rank_dense), 0.0), 6)"""
+      s"""WITH $stripSpanCtes,
+           ${Round7.bm25Ctes(Round7.Bm25Terms, "cleanv", "clean_text")},
+           bm AS (SELECT doc_id,
+               round(${Round7.bm25ScoreExpr(Round7.Bm25Terms)}, 4) + 0.0
+                 AS bm25
+             FROM f, s),
+           sr AS (SELECT doc_id, row_number()
+               OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS rank_sparse
+             FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id
+               LIMIT $RrfN) t),
+           q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id = 0),
+           dn AS (SELECT vec_id AS doc_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qv), 4)
+                 + 0.0 AS sim
+             FROM embeddings, q),
+           dr AS (SELECT doc_id, row_number()
+               OVER (ORDER BY sim DESC, doc_id)::BIGINT AS rank_dense
+             FROM (SELECT * FROM dn ORDER BY sim DESC, doc_id
+               LIMIT $RrfN) t),
+           fu AS (SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+               rank_sparse, rank_dense, $fuse AS rrf
+             FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+             ORDER BY rrf DESC, doc_id LIMIT $RrfK),
+           $nbModelCtes,
+           sc AS (SELECT t.doc_id, unnest(t.t) AS token
+             FROM toks t JOIN fu ON t.doc_id = fu.doc_id),
+           scs AS (SELECT sc.doc_id,
+               floor(avg(coalesce(model.ratio, 0.5)) * 10000 + 0.5)
+                 / 10000 AS nb_score
+             FROM sc LEFT JOIN model ON sc.token = model.token
+             GROUP BY 1)
+         SELECT fu.doc_id, rrf,
+           coalesce(scs.nb_score, 0.5) AS nb_score,
+           coalesce(scs.nb_score, 0.5) > 0.5 AS nb_pred,
+           floor(rrf * coalesce(scs.nb_score, 0.5) * 1000000 + 0.5)
+             / 1000000 AS final_score
+         FROM fu LEFT JOIN scs ON fu.doc_id = scs.doc_id
+         ORDER BY final_score DESC, fu.doc_id"""
+    },
 
     "scalar_hilbert" -> hilbertOracleSql(HilbertBits),
 

@@ -214,6 +214,20 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(nbScores(1L) > 0.5,
         s"all-english doc must score positive: $nbScores")
 
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)),
+        (3L, Seq(0.7, 0.4)), (4L, Seq(0.5, 0.5)))
+        .toDF("vec_id", "embedding")
+        .createOrReplaceTempView("tvf_emb")
+      val sqlRag = spark.sql(
+        "SELECT * FROM graft_rag('tvf_docs','tvf_emb',0," +
+          "'alpha,beta',10,60,5,1000)")
+      val apiRag = graft.pipeline.Rag.pack(docs, spark.table("tvf_emb"),
+        0L, Seq("alpha", "beta"), 10, 60, 5, 1000L)
+      assert(sqlRag.queryExecution.optimizedPlan
+        .sameResult(apiRag.queryExecution.optimizedPlan),
+        "graft_rag must plan to the Rag.pack pipeline")
+      assert(sqlRag.count() > 0, "the packed context must be non-empty")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
