@@ -15,6 +15,9 @@ case class MediaFeatures(id: Long, kind: String, byte_len: Long,
 
 /** Real-decode output row: actual decoded dimensions + a
   * position-weighted checksum of the resampled raster. */
+case class AudioDecoded(doc_id: Long, sample_rate: Int, n_samples: Int,
+                        duration_ms: Long, peak: Long, checksum: Long)
+
 case class ImageDecoded(doc_id: Long, width: Int, height: Int,
                         checksum: Long)
 
@@ -28,8 +31,12 @@ case class ImageDecoded(doc_id: Long, width: Int, height: Int,
   * (PNG/BMP/GIF/JPEG — no external libraries), and [[resizeNearest]] /
   * [[resizePng]] resample decoded rasters with exact integer math, so
   * the whole decode→resize→checksum path is replayable cross-engine.
-  * Only non-image kinds (text/audio blobs, where no JVM-built-in codec
-  * exists) keep the byte-derived dimension convention of [[decodeStub]].
+  * The AUDIO kernel is real too: [[decodeWavPcm16]] parses RIFF/WAVE
+  * PCM through the JVM's built-in `javax.sound.sampled` codec (format
+  * chunk, endianness, frame boundaries — nothing hand-rolled on the
+  * read side). Only video and compressed-audio kinds (where no
+  * JVM-built-in codec exists) keep the byte-derived convention of
+  * [[decodeStub]] / [[sampleFramesStub]].
   */
 object Multimodal {
 
@@ -39,12 +46,12 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), lit(kind).as("kind"),
       encode(col(payloadCol), "UTF-8").as("content"))
 
-  /** Byte-convention "dimensions" for NON-image payloads (text/audio
-    * blobs, which no JVM-built-in codec can parse): derived from the
-    * first and last payload bytes. Images use the REAL [[decodeGray]]
-    * path instead. A deployment with native audio codecs replaces ONLY
-    * this function; the distributed plumbing around it is unchanged.
-    */
+  /** Byte-convention "dimensions" for payloads with no JVM-built-in
+    * codec (video, compressed audio): derived from the first and last
+    * payload bytes. Images use the REAL [[decodeGray]] path and WAV
+    * audio the REAL [[decodeWavPcm16]] path instead. A deployment with
+    * further native codecs replaces ONLY this function; the
+    * distributed plumbing around it is unchanged. */
   def decodeStub(bytes: Array[Byte]): (Int, Int) =
     if (bytes == null || bytes.isEmpty) (0, 0)
     else ((bytes.head & 0x7f) + 1, (bytes.last & 0x7f) + 1)
@@ -188,6 +195,100 @@ object Multimodal {
         var i = 0
         while (i < rs.length) { cs += rs(i).toLong * (i + 1); i += 1 }
         ImageDecoded(id, w, h, cs)
+      }
+    }
+  }
+
+  // ---- real audio kernel (RIFF/WAVE PCM16 via javax.sound.sampled,
+  //      JVM built-in, offline) ----
+
+  /** Deterministic PCM16 fixture sample — pure integer math (no trig),
+    * the SINGLE formula the fixture writer, the decoder specs, and the
+    * DuckDB oracle all derive from. Values span the full signed-16
+    * range, so an endianness or sign mistake in the decoder shifts the
+    * checksum immediately. */
+  def testSample(id: Long, i: Int): Short =
+    (((id * 131 + i.toLong * i * 7 + i.toLong * 31) % 65536) - 32768).toShort
+
+  /** Fixture sample count and rate vary per id (exercises duration math
+    * at many (n, rate) pairs; rates are the real telephony/speech
+    * ladder 8/12/16 kHz). */
+  def testAudioLen(id: Long): Int = (64 + id % 33).toInt
+  def testAudioRate(id: Long): Int = 8000 + (id % 3).toInt * 4000
+
+  /** Encode mono PCM16 as a REAL RIFF/WAVE file through the JDK's own
+    * writer (`AudioSystem.write`) — container header, chunk layout and
+    * little-endian sample packing are the JVM codec's, not ours. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL DECODE: parse a WAV container via `AudioSystem` (format chunk
+    * -> rate/channels/endianness, data chunk -> frames) and return
+    * (sampleRate, channels, interleaved PCM16 samples). WAV PCM is
+    * lossless: decode returns the exact samples written. */
+  def decodeWavPcm16(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"unsupported audio format: $fmt")
+    val raw = ais.readAllBytes()
+    val be = fmt.isBigEndian
+    val out = new Array[Short](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      val lo = raw(2 * i) & 0xff
+      val hi = raw(2 * i + 1) & 0xff
+      out(i) = (if (be) (lo << 8) | hi else (hi << 8) | lo).toShort
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, fmt.getChannels, out)
+  }
+
+  /** One decoded audio row per id: synthesize the WAV fixture from
+    * [[testSample]]/[[testAudioLen]]/[[testAudioRate]], REAL-decode it
+    * back through the JVM codec, and emit rate, length, integral-ms
+    * duration, peak |amplitude|, and the order-weighted checksum
+    * `sum(s_i * (i+1))`. Partition-parallel, no shuffle; the oracle
+    * replays the same integers straight from the formula. */
+  def audioRoundTrip(docs: DataFrame,
+                     idCol: String): Dataset[AudioDecoded] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = testAudioLen(id)
+        val rate = testAudioRate(id)
+        val wav = encodeWavPcm16(rate,
+          Array.tabulate(n)(i => testSample(id, i)))
+        val (r2, ch, dec) = decodeWavPcm16(wav)
+        require(ch == 1, s"mono fixture decoded as $ch channels")
+        var cs = 0L
+        var pk = 0L
+        var i = 0
+        while (i < dec.length) {
+          cs += dec(i).toLong * (i + 1)
+          val a = math.abs(dec(i).toLong)
+          if (a > pk) pk = a
+          i += 1
+        }
+        AudioDecoded(id, r2, dec.length,
+          dec.length.toLong * 1000L / r2, pk, cs)
       }
     }
   }

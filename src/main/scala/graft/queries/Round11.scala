@@ -44,7 +44,19 @@ object Round11 {
       ProductQuantizer.adcRescoreTopK(encoded, emb, "vec_id",
           "embedding", model, qv, candidates = PqCandidates, k = PqK)
         .withColumn("sim", col("sim") + lit(0.0))
-    }))
+    }),
+
+    // REAL audio decode: per doc a deterministic PCM16 fixture encodes
+    // through the JVM's own RIFF/WAVE writer, decodes back through
+    // javax.sound.sampled (format chunk, endianness, frame boundaries
+    // all the codec's), and emits rate / length / integral duration /
+    // peak / order-weighted checksum — every integer replayable by the
+    // oracle straight from the sample formula, so a sign or endianness
+    // mistake in the decoder flips the gate
+    "mm_audio_real" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioRoundTrip(
+          tbl(s, dir, "documents"), "doc_id")
+        .toDF().orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
 
@@ -57,5 +69,23 @@ object Round11 {
            round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) + 0.0
              AS sim
          FROM embeddings, q
-         ORDER BY sim DESC, vec_id LIMIT $PqK""")
+         ORDER BY sim DESC, vec_id LIMIT $PqK""",
+
+    // the audio fixture formula replayed in SQL: sample i of doc id is
+    // ((id*131 + i*i*7 + i*31) % 65536) - 32768 at 64 + id%33 samples,
+    // 8/12/16 kHz by id residue
+    "mm_audio_real" ->
+      """SELECT d.doc_id,
+           CAST(8000 + (d.doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(64 + d.doc_id % 33 AS INT) AS n_samples,
+           CAST((64 + d.doc_id % 33) * 1000
+             // (8000 + (d.doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+           max(abs(((d.doc_id * 131 + r.i * r.i * 7 + r.i * 31) % 65536)
+             - 32768))::BIGINT AS peak,
+           sum((((d.doc_id * 131 + r.i * r.i * 7 + r.i * 31) % 65536)
+             - 32768) * (r.i + 1))::BIGINT AS checksum
+         FROM documents d
+         JOIN (SELECT range AS i FROM range(97)) r
+           ON r.i < 64 + d.doc_id % 33
+         GROUP BY d.doc_id ORDER BY d.doc_id""")
 }

@@ -208,6 +208,63 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("real audio codec: WAV PCM16 round trip is sample-exact") {
+    val samples = Array.tabulate(200)(i =>
+      Multimodal.testSample(42L, i))
+    val wav = Multimodal.encodeWavPcm16(12000, samples)
+    // a genuine RIFF container, not our bytes echoed back
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val (rate, ch, dec) = Multimodal.decodeWavPcm16(wav)
+    assert(rate === 12000 && ch === 1)
+    assert(dec.toSeq === samples.toSeq, "PCM16 must round-trip exactly")
+  }
+
+  test("audio decoder honors the container's endianness (AIFF vs WAV)") {
+    // AIFF stores PCM big-endian, WAV little-endian: the same samples
+    // through BOTH containers must decode identically — a decoder that
+    // ignores the format flag flips every sample's byte order
+    val samples = Array.tabulate(64)(i => Multimodal.testSample(7L, i))
+    val fmtBe = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = ((s >> 8) & 0xff).toByte
+      bytes(2 * i + 1) = (s & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmtBe,
+        samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val (_, _, fromAiff) = Multimodal.decodeWavPcm16(bos.toByteArray)
+    val (_, _, fromWav) = Multimodal.decodeWavPcm16(
+      Multimodal.encodeWavPcm16(8000, samples))
+    assert(fromAiff.toSeq === samples.toSeq, "AIFF (big-endian) decode")
+    assert(fromWav.toSeq === fromAiff.toSeq)
+  }
+
+  test("audioRoundTrip matches the driver-side formula replay") {
+    val ids = Seq(0L, 1L, 5L, 123L)
+    val got = Multimodal.audioRoundTrip(ids.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.doc_id -> r).toMap
+    for (id <- ids) {
+      val n = Multimodal.testAudioLen(id)
+      val rate = Multimodal.testAudioRate(id)
+      assert(got(id).n_samples === n && got(id).sample_rate === rate)
+      assert(got(id).duration_ms === n.toLong * 1000 / rate)
+      var cs = 0L
+      var pk = 0L
+      for (i <- 0 until n) {
+        val s = Multimodal.testSample(id, i).toLong
+        cs += s * (i + 1)
+        pk = math.max(pk, math.abs(s))
+      }
+      assert(got(id).checksum === cs, s"checksum for id=$id")
+      assert(got(id).peak === pk, s"peak for id=$id")
+    }
+  }
+
   test("frame sampling explodes rows") {
     val payload = "abcdefghij".getBytes
     val ds = Seq(MediaRecord(7L, "video", payload)).toDS()
