@@ -56,7 +56,22 @@ object Round11 {
     "mm_audio_real" -> ((s, dir) =>
       graft.multimodal.Multimodal.audioRoundTrip(
           tbl(s, dir, "documents"), "doc_id")
-        .toDF().orderBy("doc_id")))
+        .toDF().orderBy("doc_id")),
+
+    // F17 as a verified gate, not just a spec: the dashboard's es-PE
+    // currency presentation (`index.html:104-106`) — "S/ " + comma
+    // thousands, half-up integer rounding, "–" placeholder for
+    // null — recomposed independently by the oracle. Positive prices
+    // only hit the half-up==half-away agreement zone of the two
+    // engines' round(); a 97-residue slice keeps the dump bounded
+    "scalar_currency_pen" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.GraftFunctions.formatCurrency(
+            when(col("l_orderkey") % 97 === 0, lit(null))
+              .otherwise(col("l_extendedprice"))).as("precio_fmt"))
+        .orderBy("l_orderkey", "l_linenumber")))
 
   val oracles: Map[String, String] = Map(
 
@@ -87,5 +102,16 @@ object Round11 {
          FROM documents d
          JOIN (SELECT range AS i FROM range(97)) r
            ON r.i < 64 + d.doc_id % 33
-         GROUP BY d.doc_id ORDER BY d.doc_id""")
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    // es-PE currency recomposed: fmt-style thousands grouping over the
+    // half-up-rounded integer part, the en-dash placeholder on null
+    "scalar_currency_pen" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey % 97 = 0 THEN '–'
+                ELSE 'S/ ' || format('{:,}',
+                  CAST(round(l_extendedprice, 0) AS BIGINT))
+           END AS precio_fmt
+         FROM lineitem WHERE l_orderkey % 7 = 0
+         ORDER BY l_orderkey, l_linenumber""")
 }
