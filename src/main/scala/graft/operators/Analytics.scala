@@ -876,4 +876,57 @@ object Analytics {
       .crossJoin(broadcast(kmvEstimate(sb, k)
         .withColumnRenamed("kmv_est", "est_b")))
   }
+
+  /** Bottom-k-by-hash uniform ROW sample — the quantile companion to
+    * [[kmvSketch]]: where KMV samples the key's hash domain (distinct
+    * values), this samples ROWS uniformly by hashing a caller-supplied
+    * UNIQUE row key, so order statistics of `valueCol` on the sample
+    * estimate the corpus quantiles with rank error O(1/√k). The sketch
+    * is fixed-size, deterministic (replayable on any engine from the
+    * md5 prefix alone), and mergeable: because every row's hash is
+    * global, the bottom-k of a union of shard bottom-ks IS the
+    * bottom-k of the union — [[qsketchMerge]] is exact, not
+    * approximate, so 1000 executors sample their shards and a k-row
+    * reduce yields the corpus sample. Plans as TakeOrderedAndProject:
+    * per-partition bottom-k buffers, one k-row merge, never a global
+    * sort — the 100 TB "what is p99 latency" answer at the cost of one
+    * scan plus k rows of driver-side state. */
+  def qsketchSample(df: DataFrame, rowKey: Column, valueCol: String,
+                    k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    df.select(conv(substring(md5(rowKey.cast("string")), 1, 15),
+        16, 10).cast("long").as("h"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && col("h").isNotNull)
+      // v as tie-break: a 15-hex collision is ~n²/2⁶¹ improbable, but
+      // the sample stays deterministic-by-construction even then
+      .orderBy("h", "v").limit(k)
+  }
+
+  /** Quantile read-off over a [[qsketchSample]]: the deterministic
+    * lower-index rule `idx = ⌊p·(n−1)⌋` over the sample sorted by
+    * `(v, h)` — no interpolation, so the estimate is an actual sample
+    * element and replays bit-identically cross-engine (ties broken by
+    * the hash). The window runs on ≤ k rows by construction. */
+  def qsketchQuantiles(sample: DataFrame,
+                       probs: Seq[(String, Double)]): DataFrame = {
+    val ranked = sample
+      .withColumn("rn", row_number().over(Window.orderBy("v", "h")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val pdf = probs.toDF("prob", "p")
+    broadcast(pdf).join(ranked,
+        col("rn") === floor(col("p") * (col("n") - 1)) + 1)
+      .select(col("prob"), col("v").as("est_q"))
+  }
+
+  /** Exact shard merge of [[qsketchSample]]s (union, keep k smallest
+    * hashes) — equals the direct sample of the union when the shards
+    * partition it, the contract `agg_qsketch_merge` gates. */
+  def qsketchMerge(shards: Seq[DataFrame], k: Int): DataFrame =
+    shards.reduce(_ unionByName _).orderBy("h").limit(k)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.operators.Analytics
 import graft.similarity.{ProductQuantizer, Similarity}
 
 /** Round-11 gates. Each Spark query here has a DuckDB oracle generated
@@ -12,6 +13,14 @@ object Round11 {
     * 0`) — the standard PQ practice: codebook quality saturates on a
     * sample, so the Lloyd passes cost O(sample), not O(corpus),
     * however wide the encoded table grows. */
+  /** Quantile-sketch constants: sample size and the probed quantiles
+    * (label, p) — labels are strings so the dump schema is
+    * engine-neutral (DuckDB VALUES literals would land DECIMAL). */
+  private val QsK = 1024
+  private val QsShards = 4
+  private val QsProbs = Seq("0.10" -> 0.10, "0.50" -> 0.50,
+    "0.90" -> 0.90, "0.99" -> 0.99)
+
   private val PqM = 8
   private val PqKsub = 16
   private val PqIters = 3
@@ -71,9 +80,116 @@ object Round11 {
           graft.functions.GraftFunctions.formatCurrency(
             when(col("l_orderkey") % 97 === 0, lit(null))
               .otherwise(col("l_extendedprice"))).as("precio_fmt"))
-        .orderBy("l_orderkey", "l_linenumber")))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // mergeable quantile sketch: bottom-k-by-hash uniform row sample
+    // (TakeOrderedAndProject — per-partition bottom-k buffers, one
+    // k-row merge, never a global sort), quantiles read off by the
+    // deterministic lower-index rule; exact full-scan quantiles ride
+    // along for calibration, rel_err quantifies the O(1/√k) rank error
+    "agg_qsketch" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+      val est = Analytics.qsketchQuantiles(
+        Analytics.qsketchSample(li, rowKey, "l_extendedprice", QsK),
+        QsProbs)
+      val exact = QsProbs.map { case (label, p) =>
+        li.agg(round(expr(s"percentile(l_extendedprice, $p)"), 4)
+            .as("exact_q"))
+          .select(lit(label).as("prob"), col("exact_q"))
+      }.reduce(_ unionByName _)
+      est.join(broadcast(exact), "prob")
+        .select(col("prob"), round(col("est_q"), 4).as("est_q"),
+          col("exact_q"),
+          round(abs(round(col("est_q"), 4) - col("exact_q")) /
+            col("exact_q"), 6).as("rel_err"))
+        .orderBy("prob")
+    }),
+
+    // the sketch's shard-merge contract INSIDE a gate: sample four
+    // disjoint shards independently, merge by union-then-keep-k-
+    // smallest, and land on the IDENTICAL sample (hence identical
+    // quantiles) as sketching the whole table — rows hash globally, so
+    // the merge is exact, not approximate: 1000 executors sample their
+    // shards and a k-row reduce yields the corpus sample
+    "agg_qsketch_merge" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+      val shards = (0 until QsShards).map(r =>
+        Analytics.qsketchSample(
+          li.where(col("l_orderkey") % QsShards === r),
+          rowKey, "l_extendedprice", QsK))
+      val em = Analytics.qsketchQuantiles(
+          Analytics.qsketchMerge(shards, QsK), QsProbs)
+        .withColumnRenamed("est_q", "est_merged")
+      val ed = Analytics.qsketchQuantiles(
+          Analytics.qsketchSample(li, rowKey, "l_extendedprice", QsK),
+          QsProbs)
+        .withColumnRenamed("est_q", "est_direct")
+      em.join(ed, "prob")
+        .select(col("prob"),
+          round(col("est_merged"), 4).as("est_merged"),
+          round(col("est_direct"), 4).as("est_direct"),
+          (round(col("est_merged"), 4) === round(col("est_direct"), 4))
+            .as("merge_exact"))
+        .orderBy("prob")
+    }))
+
+  /** The bottom-k row sample replayed in SQL — same md5-prefix hash
+    * domain, same `(h, v)` tie rule as [[Analytics.qsketchSample]]. */
+  private def qsSampleSql(src: String): String =
+    s"""SELECT CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+          l_linenumber::VARCHAR), 1, 15)) AS BIGINT) AS h,
+          l_extendedprice::DOUBLE AS v
+        FROM $src ORDER BY h, v LIMIT $QsK"""
+
+  /** The lower-index read-off: CAST(p AS DOUBLE) forces the identical
+    * IEEE product both engines floor. */
+  private def qsQuantSql(sampleCte: String, outCol: String): String =
+    s"""SELECT p.prob, r.v AS $outCol
+        FROM (VALUES ${QsProbs.map { case (l, p) => s"('$l', $p)" }
+          .mkString(", ")}) p(prob, p)
+        JOIN (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                     count(*) OVER () AS n FROM $sampleCte) r
+          ON r.rn = CAST(floor(CAST(p.p AS DOUBLE) * (r.n - 1))
+               AS BIGINT) + 1"""
 
   val oracles: Map[String, String] = Map(
+
+    "agg_qsketch" -> {
+      val exacts = QsProbs.map { case (l, p) =>
+        s"""SELECT '$l' AS prob,
+              round(quantile_cont(l_extendedprice, $p), 4) AS exact_q
+            FROM lineitem"""
+      }.mkString(" UNION ALL ")
+      s"""WITH s AS (${qsSampleSql("lineitem")}),
+           est AS (${qsQuantSql("s", "est_q")}),
+           ex AS ($exacts)
+         SELECT est.prob, round(est.est_q, 4) AS est_q, ex.exact_q,
+           round(abs(round(est.est_q, 4) - ex.exact_q) / ex.exact_q, 6)
+             AS rel_err
+         FROM est JOIN ex USING (prob) ORDER BY prob"""
+    },
+
+    "agg_qsketch_merge" -> {
+      val shardCtes = (0 until QsShards).map { r =>
+        s"s$r AS (${qsSampleSql(
+          s"(SELECT * FROM lineitem WHERE l_orderkey % $QsShards = $r) t$r")})"
+      }.mkString(", ")
+      val unionAll = (0 until QsShards)
+        .map(r => s"SELECT h, v FROM s$r").mkString(" UNION ALL ")
+      s"""WITH $shardCtes,
+           mg AS (SELECT h, v FROM ($unionAll) u
+                  ORDER BY h, v LIMIT $QsK),
+           d AS (${qsSampleSql("lineitem")}),
+           em AS (${qsQuantSql("mg", "est_merged")}),
+           ed AS (${qsQuantSql("d", "est_direct")})
+         SELECT em.prob, round(em.est_merged, 4) AS est_merged,
+           round(ed.est_direct, 4) AS est_direct,
+           round(em.est_merged, 4) = round(ed.est_direct, 4)
+             AS merge_exact
+         FROM em JOIN ed USING (prob) ORDER BY prob"""
+    },
 
     // exact brute-force top-k — the identity the two-stage retrieval
     // must reproduce at full candidate headroom

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** Unit properties of the mergeable bottom-k-by-hash quantile sketch
+  * (the cross-engine replay is gated by `agg_qsketch[_merge]`). */
+class QsketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample(n: Int, k: Int) =
+    Analytics.qsketchSample(
+      (1 to n).map(i => (i.toLong, i.toDouble)).toDF("id", "x"),
+      col("id"), "x", k)
+
+  test("sample is capped at k and is a subset of the input values") {
+    val s = sample(5000, 64).collect()
+    assert(s.length === 64)
+    assert(s.forall(r => r.getDouble(1) >= 1.0 && r.getDouble(1) <= 5000.0))
+  }
+
+  test("shard merge is EXACT: identical rows to the direct sample") {
+    val df = (1 to 4000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    for (shards <- Seq(2, 3, 7)) {
+      val parts = (0 until shards).map(r =>
+        Analytics.qsketchSample(df.where(col("id") % shards === r),
+          col("id"), "x", 128))
+      val merged = Analytics.qsketchMerge(parts, 128)
+        .orderBy("h").collect().toSeq
+      val direct = Analytics.qsketchSample(df, col("id"), "x", 128)
+        .orderBy("h").collect().toSeq
+      assert(merged === direct, s"merge must be exact at $shards shards")
+    }
+  }
+
+  test("lower-index rule: known elements on a fully-sampled input") {
+    // k >= n: the sample IS the data, so quantiles are exact order stats
+    val s = sample(101, 1024) // values 1..101, n = 101
+    val q = Analytics.qsketchQuantiles(s,
+        Seq("0.00" -> 0.0, "0.50" -> 0.5, "0.99" -> 0.99, "1.00" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("0.00") === 1.0) // idx 0
+    assert(q("0.50") === 51.0) // idx floor(0.5*100) = 50
+    assert(q("0.99") === 100.0) // idx floor(99.0) = 99
+    assert(q("1.00") === 101.0) // idx 100: the max
+  }
+
+  test("estimates converge on the exact quantile as k grows") {
+    val n = 20000
+    def p90(k: Int): Double = {
+      val s = sample(n, k)
+      Analytics.qsketchQuantiles(s, Seq("p" -> 0.9))
+        .head().getDouble(1)
+    }
+    val errSmall = math.abs(p90(64) - 18000.0) / 18000.0
+    val errBig = math.abs(p90(4096) - 18000.0) / 18000.0
+    assert(errBig < errSmall || errBig < 0.005,
+      s"k=4096 err $errBig must beat k=64 err $errSmall")
+    assert(errBig < 0.05, s"p90 at k=4096 off by $errBig")
+  }
+
+  test("sample plans as TakeOrderedAndProject (no global sort)") {
+    val p = sample(1000, 32).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(!p.contains("Sort "), s"no global sort expected:\n$p")
+  }
+}
