@@ -210,6 +210,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_qsketch"),
+      info("graft_qsketch",
+        "graft_qsketch(table, keyCols, valueCol, k, probs) - mergeable bottom-k-by-hash quantile estimates (keyCols/probs comma-separated): (prob, est_q)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_qsketch expects 5 arguments")
+        val n = "graft_qsketch"
+        val keyCols = strLit(n, "keyCols", args(1)).split(",").toSeq
+        val probs = strLit(n, "probs", args(4)).split(",").toSeq
+          .map(p => p -> p.toDouble)
+        graft.operators.Analytics.qsketchQuantiles(
+            graft.operators.Analytics.qsketchSample(
+              SparkSession.active.table(strLit(n, "table", args.head)),
+              org.apache.spark.sql.functions.concat_ws("|",
+                keyCols.map(org.apache.spark.sql.functions.col): _*),
+              strLit(n, "valueCol", args(2)),
+              numLit(n, "k", args(3)).toInt),
+            probs)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_drift_psi"),
       info("graft_drift_psi",
         "graft_drift_psi(baseTable, currentTable, valueCol, buckets) - PSI drift report between two table versions: (bucket, p_base, p_cur, psi)"),

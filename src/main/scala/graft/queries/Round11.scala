@@ -18,6 +18,7 @@ object Round11 {
     * engine-neutral (DuckDB VALUES literals would land DECIMAL). */
   private val QsK = 1024
   private val QsShards = 4
+  private val QsGroupK = 256
   private val QsProbs = Seq("0.10" -> 0.10, "0.50" -> 0.50,
     "0.90" -> 0.90, "0.99" -> 0.99)
 
@@ -133,6 +134,47 @@ object Round11 {
           (round(col("est_merged"), 4) === round(col("est_direct"), 4))
             .as("merge_exact"))
         .orderBy("prob")
+    }),
+
+    // GROUPED quantile sketch: per-group bottom-k samples drawn by the
+    // custom one-pass TopKPerGroupExec (bounded k-row buffer per group
+    // on each side of a single hash exchange — no window sort; h
+    // negated because the operator keeps the k LARGEST), quantiles per
+    // group by the same lower-index rule; exact per-group quantiles
+    // ride along. "p99 per segment over 100 TB" at one scan + k rows
+    // per group
+    "agg_qsketch_grouped" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+      val hashed = li.select(col("l_returnflag").as("g"),
+          conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long")
+            .as("h"),
+          col("l_extendedprice").cast("double").as("v"))
+        .withColumn("negh", -col("h"))
+      val sampled = Analytics.topKPerGroupExec(hashed, Seq("g"), "negh",
+        QsGroupK, Seq("v"))
+      import org.apache.spark.sql.expressions.Window
+      val ranked = sampled
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("g").orderBy("v", "h")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      val spark2 = s
+      import spark2.implicits._
+      val est = broadcast(QsProbs.toDF("prob", "p")).join(ranked,
+          col("rn") === floor(col("p") * (col("n") - 1)) + 1)
+        .select(col("g"), col("prob"), col("v").as("est_q"))
+      val exact = QsProbs.map { case (label, p) =>
+        li.groupBy(col("l_returnflag").as("g"))
+          .agg(round(expr(s"percentile(l_extendedprice, $p)"), 4)
+            .as("exact_q"))
+          .withColumn("prob", lit(label))
+      }.reduce(_ unionByName _)
+      est.join(exact, Seq("g", "prob"))
+        .select(col("g"), col("prob"), round(col("est_q"), 4).as("est_q"),
+          col("exact_q"),
+          round(abs(round(col("est_q"), 4) - col("exact_q")) /
+            col("exact_q"), 6).as("rel_err"))
+        .orderBy("g", "prob")
     }))
 
   /** The bottom-k row sample replayed in SQL — same md5-prefix hash
@@ -189,6 +231,36 @@ object Round11 {
            round(em.est_merged, 4) = round(ed.est_direct, 4)
              AS merge_exact
          FROM em JOIN ed USING (prob) ORDER BY prob"""
+    },
+
+    "agg_qsketch_grouped" -> {
+      val exacts = QsProbs.map { case (l, p) =>
+        s"""SELECT l_returnflag AS g, '$l' AS prob,
+              round(quantile_cont(l_extendedprice, $p), 4) AS exact_q
+            FROM lineitem GROUP BY 1"""
+      }.mkString(" UNION ALL ")
+      s"""WITH s AS (
+           SELECT g, h, v FROM (
+             SELECT l_returnflag AS g,
+               CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+                 l_linenumber::VARCHAR), 1, 15)) AS BIGINT) AS h,
+               l_extendedprice::DOUBLE AS v,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY h, v) AS rk
+             FROM lineitem) t WHERE rk <= $QsGroupK),
+         r AS (SELECT g, v, h,
+             row_number() OVER (PARTITION BY g ORDER BY v, h) AS rn,
+             count(*) OVER (PARTITION BY g) AS n FROM s),
+         est AS (SELECT r.g, p.prob, r.v AS est_q
+           FROM (VALUES ${QsProbs.map { case (l, p) => s"('$l', $p)" }
+             .mkString(", ")}) p(prob, p)
+           JOIN r ON r.rn = CAST(floor(CAST(p.p AS DOUBLE) * (r.n - 1))
+               AS BIGINT) + 1),
+         ex AS ($exacts)
+       SELECT est.g, est.prob, round(est.est_q, 4) AS est_q, ex.exact_q,
+         round(abs(round(est.est_q, 4) - ex.exact_q) / ex.exact_q, 6)
+           AS rel_err
+       FROM est JOIN ex USING (g, prob) ORDER BY g, prob"""
     },
 
     // exact brute-force top-k — the identity the two-stage retrieval

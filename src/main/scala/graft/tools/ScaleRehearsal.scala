@@ -518,6 +518,23 @@ object ScaleRehearsal {
     println(f"[rehearsal] layout boxes: $sn rows ${lb1}%.2f s; ${sn * 10} " +
       f"rows ${lb10}%.2f s (${lb10 / lb1}%.1fx, ~linear target, 32 rows out)")
 
+    // ---- quantile sketch: one TakeOrderedAndProject scan, k rows of
+    // state at any size; shard merge reduces shards·k rows to k ----
+    def qsketchTime(rows: Long): Double = {
+      val df = spark.range(rows).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0)
+          .as("v"))
+      val t0 = System.nanoTime()
+      Analytics.qsketchQuantiles(
+        Analytics.qsketchSample(df, col("id"), "v", 1024),
+        Seq("0.5" -> 0.5, "0.99" -> 0.99)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (qs1, qs10) = (qsketchTime(sn), qsketchTime(sn * 10))
+    println(f"[rehearsal] quantile sketch: $sn rows ${qs1}%.2f s; " +
+      f"${sn * 10} rows ${qs10}%.2f s (${qs10 / qs1}%.1fx, ~linear " +
+      f"target, 1024-row sample at either size)")
+
     spark.stop()
   }
 }

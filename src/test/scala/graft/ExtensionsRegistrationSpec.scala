@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** GraftExtensions must make the native expressions SQL-callable on a
@@ -160,6 +160,18 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
 
       Seq.tabulate(40)(i => (i.toLong, i * 2.0))
         .toDF("id", "v").createOrReplaceTempView("tvf_base")
+      val sqlQs = spark.sql(
+        "SELECT * FROM graft_qsketch('tvf_base','id','v',1024,'0.5,0.9')")
+      val apiQs = graft.operators.Analytics.qsketchQuantiles(
+        graft.operators.Analytics.qsketchSample(spark.table("tvf_base"),
+          concat_ws("|", col("id")), "v", 1024),
+        Seq("0.5" -> 0.5, "0.9" -> 0.9))
+      assert(sqlQs.queryExecution.optimizedPlan
+        .sameResult(apiQs.queryExecution.optimizedPlan),
+        "graft_qsketch must plan to qsketchSample+qsketchQuantiles")
+      // k >= n: the sample is the data — exact order statistics
+      assert(sqlQs.orderBy("prob").collect().map(_.getDouble(1)).toSeq
+        === Seq(38.0, 70.0)) // idx floor(.5*39)=19 -> v=38; floor(.9*39)=35 -> 70
       Seq.tabulate(40)(i => (i.toLong, i * 3.0))
         .toDF("id", "v").createOrReplaceTempView("tvf_cur")
       val sqlPsi = spark.sql(
