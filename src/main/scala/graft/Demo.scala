@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import graft.ingest.RawSheetReader
 import graft.pipeline.{Kpi, PriceUpdate}
-import graft.sinks.Writers
+import graft.sinks.{Writers, XlsxWriter}
 
 /** End-to-end demo main: builds the reference's fixture inputs, runs both
   * pipelines (E1 price-update + audit, E2 KPI export) and writes every
@@ -70,6 +70,12 @@ object Demo {
     Writers.auditWorkbook(r.resumen, r.soloEnNexo, r.soloEnSperant,
       s"$outDir/auditoria")
     Writers.changedDetail(r.detalle, s"$outDir/auditoria/detalle")
+    // the REAL Excel artifacts the reference ships (ref `:483-487`,
+    // `:399-406`) — native xlsx emission, re-readable by XlsxSheetReader
+    XlsxWriter.auditWorkbookXlsx(r.resumen, r.soloEnNexo, r.soloEnSperant,
+      s"$outDir/Resumen_cambios_precios.xlsx")
+    XlsxWriter.perProjectXlsx(r.updated, "Proyecto",
+      s"$outDir/tablas_actualizadas_xlsx")
 
     // E2 — KPI export from the updated table
     val kpiInput = r.updated
