@@ -19,6 +19,7 @@ object Round11 {
   private val QsK = 1024
   private val QsShards = 4
   private val QsGroupK = 256
+  private val QsStreamK = 256
   private val QsProbs = Seq("0.10" -> 0.10, "0.50" -> 0.50,
     "0.90" -> 0.90, "0.99" -> 0.99)
 
@@ -175,6 +176,34 @@ object Round11 {
           round(abs(round(col("est_q"), 4) - col("exact_q")) /
             col("exact_q"), 6).as("rel_err"))
         .orderBy("g", "prob")
+    }),
+
+    // STREAMING quantile sketch, replayed: each shard lane folds an
+    // unbounded feed into a k-row bottom-k-by-hash buffer
+    // (transformWithState; k·16 bytes of state per lane forever), and
+    // the union of lane sketches re-sketches EXACTLY to the corpus
+    // sketch — so the gate pins the whole maintenance path: per-shard
+    // end states (one bounded-buffer pass, the streaming state's batch
+    // twin) -> exact merge -> quantile read-off == the direct
+    // single-pass sample, element for element. The streaming processor
+    // itself is pinned bit-identical to this replay across micro-batch
+    // splits in QsketchSpec
+    "stream_qsketch" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val shards = graft.streaming.StreamingQsketch.qsketchReplayShards(
+        ev, pmod(col("user_id"), lit(QsShards)), col("event_id"),
+        "value", QsStreamK)
+      val est = graft.streaming.StreamingQsketch.mergedQuantiles(
+        shards, QsStreamK, QsProbs)
+      val direct = Analytics.qsketchQuantiles(
+          Analytics.qsketchSample(ev, col("event_id"), "value", QsStreamK),
+          QsProbs)
+        .withColumnRenamed("est_q", "est_direct")
+      est.join(direct, Seq("prob"))
+        .select(col("prob"), round(col("est_q"), 4).as("est_q"),
+          round(col("est_direct"), 4).as("est_direct"),
+          (col("est_q") === col("est_direct")).as("stream_exact"))
+        .orderBy("prob")
     }))
 
   /** The bottom-k row sample replayed in SQL — same md5-prefix hash
@@ -261,6 +290,48 @@ object Round11 {
          round(abs(round(est.est_q, 4) - ex.exact_q) / ex.exact_q, 6)
            AS rel_err
        FROM est JOIN ex USING (g, prob) ORDER BY g, prob"""
+    },
+
+    "stream_qsketch" -> {
+      val probsValues = QsProbs.map { case (l, p) => s"('$l', $p)" }
+        .mkString(", ")
+      s"""WITH hashed AS (
+           SELECT user_id % $QsShards AS shard,
+             CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+               AS BIGINT) AS h,
+             value::DOUBLE AS v
+           FROM events WHERE value IS NOT NULL),
+         lanes AS (
+           SELECT shard, h, v FROM (
+             SELECT shard, h, v, row_number() OVER (PARTITION BY shard
+               ORDER BY h, v) AS rk FROM hashed) t
+           WHERE rk <= $QsStreamK),
+         merged AS (
+           SELECT h, v FROM (
+             SELECT h, v, row_number() OVER (ORDER BY h, v) AS rk
+             FROM lanes) t WHERE rk <= $QsStreamK),
+         mr AS (SELECT v, h,
+             row_number() OVER (ORDER BY v, h) AS rn,
+             count(*) OVER () AS n FROM merged),
+         est AS (SELECT p.prob, mr.v AS est_q
+           FROM (VALUES $probsValues) p(prob, p)
+           JOIN mr ON mr.rn = CAST(floor(CAST(p.p AS DOUBLE) * (mr.n - 1))
+               AS BIGINT) + 1),
+         direct AS (
+           SELECT h, v FROM (
+             SELECT h, v, row_number() OVER (ORDER BY h, v) AS rk
+             FROM hashed) t WHERE rk <= $QsStreamK),
+         dr AS (SELECT v, h,
+             row_number() OVER (ORDER BY v, h) AS rn,
+             count(*) OVER () AS n FROM direct),
+         ed AS (SELECT p.prob, dr.v AS est_direct
+           FROM (VALUES $probsValues) p(prob, p)
+           JOIN dr ON dr.rn = CAST(floor(CAST(p.p AS DOUBLE) * (dr.n - 1))
+               AS BIGINT) + 1)
+       SELECT est.prob, round(est.est_q, 4) AS est_q,
+         round(ed.est_direct, 4) AS est_direct,
+         est.est_q = ed.est_direct AS stream_exact
+       FROM est JOIN ed USING (prob) ORDER BY prob"""
     },
 
     // exact brute-force top-k — the identity the two-stage retrieval

@@ -64,4 +64,59 @@ class QsketchSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
     assert(!p.contains("Sort "), s"no global sort expected:\n$p")
   }
+
+  test("streaming sketch equals the batch replay across a micro-batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingQsketch
+    import graft.streaming.StreamingQsketch.QsEvent
+    val k = 8
+    // deterministic synthetic feed across 3 shards; hashes mimic the
+    // md5-prefix domain but any longs exercise the same fold
+    val evs = (1 to 100).map { i =>
+      QsEvent(i % 3, (i.toLong * 2654435761L) % 1000003L, i.toDouble)
+    }
+    val (b1, b2) = evs.splitAt(37)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QsEvent]
+    val q = StreamingQsketch.qsketchStream(input.toDS(), k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_qsketch_test").start()
+    val frontier = try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val all = spark.table("stream_qsketch_test").collect()
+        .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_seen"),
+          r.getAs[Long]("h"), r.getAs[Double]("v")))
+      // latest emission per shard = max n_seen
+      val latest = all.groupBy(_._1).map { case (_, rows) =>
+        val maxN = rows.map(_._2).max
+        rows.filter(_._2 == maxN)
+      }
+      latest.flatten.map(r => (r._1, r._3, r._4)).toSet
+    } finally q.stop()
+    // batch twin: per-shard bottom-k by (h, v) on the full feed
+    val expect = evs.groupBy(_.shard).flatMap { case (s, rows) =>
+      rows.map(r => (r.h, r.v)).sorted.take(k).map(hv => (s, hv._1, hv._2))
+    }.toSet
+    assert(frontier === expect,
+      "micro-batch split must not change any shard's end-state sketch")
+  }
+
+  test("sharded replay + exact merge equals the direct sample end to end") {
+    import graft.streaming.StreamingQsketch
+    val df = (1 to 3000).map(i => (i.toLong, i.toLong % 5,
+      (i * 37 % 1000).toDouble)).toDF("id", "u", "x")
+    val shards = StreamingQsketch.qsketchReplayShards(df,
+      col("u"), col("id"), "x", 64)
+    val est = StreamingQsketch.mergedQuantiles(shards, 64,
+      Seq("0.5" -> 0.5, "0.9" -> 0.9)).orderBy("prob").collect()
+    val direct = Analytics.qsketchQuantiles(
+        Analytics.qsketchSample(df, col("id"), "x", 64),
+        Seq("0.5" -> 0.5, "0.9" -> 0.9)).orderBy("prob").collect()
+    assert(est.map(_.getDouble(1)).toSeq ===
+      direct.map(_.getDouble(1)).toSeq,
+      "lane-sketch union must re-sketch to the direct corpus sample")
+  }
 }
