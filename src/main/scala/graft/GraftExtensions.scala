@@ -230,6 +230,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_qsketch_grouped"),
+      info("graft_qsketch_grouped",
+        "graft_qsketch_grouped(table, groupCols, keyCols, valueCol, k, probs) - per-group bottom-k-by-hash quantile estimates (groupCols/keyCols/probs comma-separated): groupCols + (prob, est_q)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          s"graft_qsketch_grouped expects 6 arguments")
+        val n = "graft_qsketch_grouped"
+        val groupCols = strLit(n, "groupCols", args(1)).split(",").toSeq
+        val keyCols = strLit(n, "keyCols", args(2)).split(",").toSeq
+        val probs = strLit(n, "probs", args(5)).split(",").toSeq
+          .map(p => p -> p.toDouble)
+        graft.operators.Analytics.qsketchQuantilesGrouped(
+            graft.operators.Analytics.qsketchSampleGrouped(
+              SparkSession.active.table(strLit(n, "table", args.head)),
+              groupCols,
+              org.apache.spark.sql.functions.concat_ws("|",
+                keyCols.map(org.apache.spark.sql.functions.col): _*),
+              strLit(n, "valueCol", args(3)),
+              numLit(n, "k", args(4)).toInt),
+            groupCols, probs)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_drift_psi"),
       info("graft_drift_psi",
         "graft_drift_psi(baseTable, currentTable, valueCol, buckets) - PSI drift report between two table versions: (bucket, p_base, p_cur, psi)"),

@@ -929,4 +929,42 @@ object Analytics {
     * partition it, the contract `agg_qsketch_merge` gates. */
   def qsketchMerge(shards: Seq[DataFrame], k: Int): DataFrame =
     shards.reduce(_ unionByName _).orderBy("h").limit(k)
+
+  /** Per-group [[qsketchSample]]: a bottom-k-by-hash row sample PER
+    * GROUP, drawn by the one-pass bounded-buffer top-k operator
+    * ([[topKPerGroupExec]]; h negated because it keeps the k largest)
+    * — one hash exchange, k rows of state per group on each side,
+    * never a window sort. "p99 per segment over 100 TB" at one scan
+    * plus k rows per group. Output: groupCols + (h, v). */
+  def qsketchSampleGrouped(df: DataFrame, groupCols: Seq[String],
+                           rowKey: Column, valueCol: String,
+                           k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    val hashed = df.select(groupCols.map(col) ++ Seq(
+        conv(substring(md5(rowKey.cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col(valueCol).cast("double").as("v")): _*)
+      .where(col("v").isNotNull && col("h").isNotNull)
+      .withColumn("negh", -col("h"))
+    topKPerGroupExec(hashed, groupCols, "negh", k, Seq("v"))
+      .select(groupCols.map(col) ++ Seq(col("h"), col("v")): _*)
+  }
+
+  /** Per-group quantile read-off over a [[qsketchSampleGrouped]]: the
+    * same deterministic lower-index rule as [[qsketchQuantiles]],
+    * windowed per group — the window runs on ≤ k rows per group by
+    * construction. Output: groupCols + (prob, est_q). */
+  def qsketchQuantilesGrouped(sample: DataFrame, groupCols: Seq[String],
+                              probs: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = sample
+      .withColumn("rn", row_number().over(w.orderBy("v", "h")))
+      .withColumn("n", count(lit(1)).over(w))
+    val spark = sample.sparkSession
+    import spark.implicits._
+    broadcast(probs.toDF("prob", "p")).join(ranked,
+        col("rn") === floor(col("p") * (col("n") - 1)) + 1)
+      .select(groupCols.map(col) ++
+        Seq(col("prob"), col("v").as("est_q")): _*)
+  }
 }

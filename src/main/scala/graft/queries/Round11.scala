@@ -147,23 +147,11 @@ object Round11 {
     "agg_qsketch_grouped" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
-      val hashed = li.select(col("l_returnflag").as("g"),
-          conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long")
-            .as("h"),
-          col("l_extendedprice").cast("double").as("v"))
-        .withColumn("negh", -col("h"))
-      val sampled = Analytics.topKPerGroupExec(hashed, Seq("g"), "negh",
-        QsGroupK, Seq("v"))
-      import org.apache.spark.sql.expressions.Window
-      val ranked = sampled
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("g").orderBy("v", "h")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
-      val spark2 = s
-      import spark2.implicits._
-      val est = broadcast(QsProbs.toDF("prob", "p")).join(ranked,
-          col("rn") === floor(col("p") * (col("n") - 1)) + 1)
-        .select(col("g"), col("prob"), col("v").as("est_q"))
+      val est = Analytics.qsketchQuantilesGrouped(
+        Analytics.qsketchSampleGrouped(
+          li.withColumn("g", col("l_returnflag")), Seq("g"),
+          rowKey, "l_extendedprice", QsGroupK),
+        Seq("g"), QsProbs)
       val exact = QsProbs.map { case (label, p) =>
         li.groupBy(col("l_returnflag").as("g"))
           .agg(round(expr(s"percentile(l_extendedprice, $p)"), 4)

@@ -172,6 +172,24 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       // k >= n: the sample is the data — exact order statistics
       assert(sqlQs.orderBy("prob").collect().map(_.getDouble(1)).toSeq
         === Seq(38.0, 70.0)) // idx floor(.5*39)=19 -> v=38; floor(.9*39)=35 -> 70
+
+      Seq.tabulate(40)(i => (i.toLong % 2, i.toLong, i * 2.0))
+        .toDF("g", "id", "v").createOrReplaceTempView("tvf_baseg")
+      val sqlQsg = spark.sql("SELECT * FROM graft_qsketch_grouped(" +
+        "'tvf_baseg','g','id','v',1024,'0.5')")
+      val apiQsg = graft.operators.Analytics.qsketchQuantilesGrouped(
+        graft.operators.Analytics.qsketchSampleGrouped(
+          spark.table("tvf_baseg"), Seq("g"),
+          concat_ws("|", col("id")), "v", 1024),
+        Seq("g"), Seq("0.5" -> 0.5))
+      assert(sqlQsg.queryExecution.optimizedPlan
+        .sameResult(apiQsg.queryExecution.optimizedPlan),
+        "graft_qsketch_grouped must plan to the grouped sample+read-off")
+      // per group k >= n: exact order stats; group 0 holds 0,4,..,76
+      // (idx floor(.5*19)=9 -> 36), group 1 holds 2,6,..,78 (-> 38)
+      assert(sqlQsg.orderBy("g").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        === Seq((0L, 36.0), (1L, 38.0)))
       Seq.tabulate(40)(i => (i.toLong, i * 3.0))
         .toDF("id", "v").createOrReplaceTempView("tvf_cur")
       val sqlPsi = spark.sql(
