@@ -66,7 +66,13 @@ object Bench {
     // warmup: JIT + codegen + filesystem caches on a trivial scan
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> forceEval(n))
+    // optional dev filter: `runMain graft.Bench name1,name2` times just
+    // those gates (the driver passes no args — full suite)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(n => n -> forceEval(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

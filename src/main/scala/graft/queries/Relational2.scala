@@ -257,13 +257,17 @@ object Relational2 {
     // A-percentiles — exact grouped quantiles (linear interpolation,
     // the same definition DuckDB's quantile_cont computes)
     "agg_percentiles" -> ((s, dir) =>
+      // one percentile buffer per group for all four probes (array
+      // form), not four — a quarter of the agg state and merge traffic
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("rf"))
-        .agg(
-          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
-          round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.9), lit(0.99))).as("__ps"))
+        .select(col("rf"),
+          round(col("__ps")(0), 4).as("p25"),
+          round(col("__ps")(1), 4).as("p50"),
+          round(col("__ps")(2), 4).as("p90"),
+          round(col("__ps")(3), 4).as("p99"))
         .orderBy("rf")),
 
     // O6 — top-N by measure

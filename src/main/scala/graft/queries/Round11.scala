@@ -95,11 +95,16 @@ object Round11 {
       val est = Analytics.qsketchQuantiles(
         Analytics.qsketchSample(li, rowKey, "l_extendedprice", QsK),
         QsProbs)
-      val exact = QsProbs.map { case (label, p) =>
-        li.agg(round(expr(s"percentile(l_extendedprice, $p)"), 4)
-            .as("exact_q"))
-          .select(lit(label).as("prob"), col("exact_q"))
-      }.reduce(_ unionByName _)
+      // all probes in ONE percentile buffer (array form) — a single
+      // scan and a single state merge, not one full agg per probe
+      val exact = li
+        .agg(percentile(col("l_extendedprice"),
+          array(QsProbs.map { case (_, p) => lit(p) }: _*)).as("__qs"))
+        .select(posexplode(col("__qs")).as(Seq("__i", "__q")))
+        .select(element_at(
+            array(QsProbs.map { case (l, _) => lit(l) }: _*),
+            col("__i").cast("int") + 1).as("prob"),
+          round(col("__q"), 4).as("exact_q"))
       est.join(broadcast(exact), "prob")
         .select(col("prob"), round(col("est_q"), 4).as("est_q"),
           col("exact_q"),
@@ -152,12 +157,15 @@ object Round11 {
           li.withColumn("g", col("l_returnflag")), Seq("g"),
           rowKey, "l_extendedprice", QsGroupK),
         Seq("g"), QsProbs)
-      val exact = QsProbs.map { case (label, p) =>
-        li.groupBy(col("l_returnflag").as("g"))
-          .agg(round(expr(s"percentile(l_extendedprice, $p)"), 4)
-            .as("exact_q"))
-          .withColumn("prob", lit(label))
-      }.reduce(_ unionByName _)
+      // one grouped percentile buffer for all probes, then explode
+      val exact = li.groupBy(col("l_returnflag").as("g"))
+        .agg(percentile(col("l_extendedprice"),
+          array(QsProbs.map { case (_, p) => lit(p) }: _*)).as("__qs"))
+        .select(col("g"), posexplode(col("__qs")).as(Seq("__i", "__q")))
+        .select(col("g"), element_at(
+            array(QsProbs.map { case (l, _) => lit(l) }: _*),
+            col("__i").cast("int") + 1).as("prob"),
+          round(col("__q"), 4).as("exact_q"))
       est.join(exact, Seq("g", "prob"))
         .select(col("g"), col("prob"), round(col("est_q"), 4).as("est_q"),
           col("exact_q"),
