@@ -135,4 +135,55 @@ class GoldenParitySpec extends SparkTestBase {
     assert(joined.filter(!(col("e") <=> col("g_e"))
       || abs(col("p") - col("g_p")) > 1e-6).count() === 0L)
   }
+
+  test("Excel-to-Excel drive: native CRM xlsx in, golden resumen, real audit xlsx out") {
+    // the full circle a reference user walks: their REAL CRM workbook
+    // in through the native reader (no fixture), the E1 pipeline, and
+    // the audit artifact back out as a REAL three-sheet .xlsx — with
+    // the reference's own committed numbers asserted at both ends
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ingest.XlsxSheetReader
+    import graft.sinks.XlsxWriter
+    val wb = "/root/reference/data_sperant_actual/BD_SPERANT_ACTUAL.xlsx"
+    assume(new java.io.File(wb).isFile, s"reference workbook not present: $wb")
+
+    val grid = XlsxSheetReader.readGrid(wb)
+    // header naming as the fixture converter: trim, col_i for blanks,
+    // name_k dedup — so the native frame lands the fixture's schema
+    val seen = scala.collection.mutable.Set[String]()
+    val headers = grid.head.zipWithIndex.map { case (v, i) =>
+      val base = Option(v).map(_.trim).filter(_.nonEmpty).getOrElse(s"col_$i")
+      var name = base; var k = 2
+      while (seen.contains(name)) { name = s"${base}_$k"; k += 1 }
+      seen += name; name
+    }.toSeq
+    val schema = StructType(headers.map(StructField(_, StringType)) :+
+      StructField("_row", LongType))
+    val rows = grid.tail.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq.padTo(headers.size, null) :+ i.toLong)
+    }
+    val sperantNative = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), schema)
+      .withColumn("precio_lista", col("precio_lista").cast("double"))
+      .withColumn("Precio_Final", col("Precio_Final").cast("double"))
+
+    val r2 = PriceUpdate.run(Seq(materaInput), sperantNative)
+    val mine = r2.resumen.filter(col("Proyecto") === "Matera").head()
+    assert(mine.getAs[Long]("Registros") === 189L)
+    assert(mine.getAs[Long]("Cambios_Precio") === 15L)
+    assert(mine.getAs[Long]("Cambios_Estado") === 189L)
+
+    val out = java.nio.file.Files.createTempDirectory("e2e-xlsx")
+      .resolve("Resumen_cambios_por_proyecto.xlsx").toString
+    XlsxWriter.auditWorkbookXlsx(r2.resumen, r2.soloEnNexo,
+      r2.soloEnSperant, out)
+    val back = XlsxSheetReader.readGrid(out, Some("Resumen"))
+    val hdr = back.head.toSeq
+    val materaRow = back.tail
+      .find(r => r(hdr.indexOf("Proyecto")) == "Matera").get
+    assert(materaRow(hdr.indexOf("Registros")) === "189")
+    assert(materaRow(hdr.indexOf("Cambios_Precio")) === "15")
+    assert(materaRow(hdr.indexOf("Cambios_Estado")) === "189")
+  }
 }
