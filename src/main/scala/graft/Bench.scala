@@ -66,6 +66,26 @@ object Bench {
     // warmup: JIT + codegen + filesystem caches on a trivial scan
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // host calibration: gate seconds are only comparable across rounds
+    // when the host is. Two fixed probes — a single-thread JVM hash
+    // loop (CPU clock/IPC) and a parallel codegen'd range-xxhash reduce
+    // (whole-machine throughput) — let a reader normalize trajectories
+    // run on different hosts (observed fleet variance: ~1.5x on
+    // CPU-bound gates between otherwise-identical rounds).
+    val calibJvm = {
+      val t0 = System.nanoTime()
+      var acc = 0L; var i = 0L
+      while (i < 200000000L) { acc = acc * 6364136223846793005L + i; i += 1 }
+      if (acc == 42L) println(acc) // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSpark = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).select(xxhash64(col("id")).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // optional dev filter: `runMain graft.Bench name1,name2` times just
     // those gates (the driver passes no args — full suite)
     val only: Option[Set[String]] =
@@ -77,7 +97,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""calib":{"jvm_hash_loop_s":$calibJvm,""" +
+        s""""spark_range_xxhash_s":$calibSpark},"sf":"$sfDir"}"""
     println(line)
     // also persist the line verbatim: the driver scrapes stdout and its
     // tail truncation has historically lost the front of this (long)

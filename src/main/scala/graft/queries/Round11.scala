@@ -122,12 +122,16 @@ object Round11 {
     "agg_qsketch_merge" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
-      val shards = (0 until QsShards).map(r =>
-        Analytics.qsketchSample(
-          li.where(col("l_orderkey") % QsShards === r),
-          rowKey, "l_extendedprice", QsK))
+      // all shard bottom-ks in ONE grouped bounded-buffer pass (the
+      // same per-lane end state the streaming sketch maintains), not
+      // one filtered scan per shard — the merge input costs one scan
+      // however many shards partition the corpus
+      val shardSamples = graft.streaming.StreamingQsketch
+        .qsketchReplayShards(li, pmod(col("l_orderkey"), lit(QsShards)),
+          rowKey, "l_extendedprice", QsK)
+        .select("h", "v")
       val em = Analytics.qsketchQuantiles(
-          Analytics.qsketchMerge(shards, QsK), QsProbs)
+          Analytics.qsketchMerge(Seq(shardSamples), QsK), QsProbs)
         .withColumnRenamed("est_q", "est_merged")
       val ed = Analytics.qsketchQuantiles(
           Analytics.qsketchSample(li, rowKey, "l_extendedprice", QsK),
