@@ -535,6 +535,24 @@ object ScaleRehearsal {
       f"${sn * 10} rows ${qs10}%.2f s (${qs10 / qs1}%.1fx, ~linear " +
       f"target, 1024-row sample at either size)")
 
+    // ---- grouped quantile sketch: one bounded-buffer pass, 64 groups
+    // x 256-row samples of state whatever the corpus size ----
+    def qsketchGroupedTime(rows: Long): Double = {
+      val df = spark.range(rows).select(col("id"),
+        pmod(col("id"), lit(64)).cast("string").as("g"),
+        (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0)
+          .as("v"))
+      val t0 = System.nanoTime()
+      Analytics.qsketchQuantilesGrouped(
+        Analytics.qsketchSampleGrouped(df, Seq("g"), col("id"), "v", 256),
+        Seq("g"), Seq("0.5" -> 0.5, "0.99" -> 0.99)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (qg1, qg10) = (qsketchGroupedTime(sn), qsketchGroupedTime(sn * 10))
+    println(f"[rehearsal] grouped quantile sketch: $sn rows ${qg1}%.2f s; " +
+      f"${sn * 10} rows ${qg10}%.2f s (${qg10 / qg1}%.1fx, ~linear " +
+      f"target, 64 groups x 256-row samples at either size)")
+
     spark.stop()
   }
 }
