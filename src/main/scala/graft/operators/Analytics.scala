@@ -950,6 +950,34 @@ object Analytics {
       .select(groupCols.map(col) ++ Seq(col("h"), col("v")): _*)
   }
 
+  /** Equi-depth range bucketing from a [[qsketchSample]] — the
+    * TeraSort-sampler shape: to range-partition 100 TB by `valueCol`
+    * into nBuckets balanced files, read nBuckets−1 cutpoints off the
+    * k-row sketch (the deterministic lower-index rule, so the cuts —
+    * and hence every row's bucket — replay bit-identically on any
+    * engine, unlike Spark's own RangePartitioner whose reservoir
+    * sample is nondeterministic) and assign each row by counting the
+    * cuts strictly below it: a pure map over the corpus, one scan
+    * total after the sketch, never a global sort. Balance error is
+    * the sketch's O(1/√k) rank error. Output: df + `bucket` (0-based).
+    *
+    * The only driver state is the nBuckets−1 collected cut values —
+    * cuts must be plan literals for the assignment to stay a map. */
+  def qsketchRangeBuckets(df: DataFrame, rowKey: Column, valueCol: String,
+                          k: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets > 1, s"nBuckets must exceed 1, got $nBuckets")
+    val sample = qsketchSample(df, rowKey, valueCol, k)
+    val probs = (1 until nBuckets).map(i =>
+      (i.toString, i.toDouble / nBuckets))
+    val cuts = qsketchQuantiles(sample, probs)
+      .collect()
+      .map(r => (r.getString(0).toInt, r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    df.withColumn("bucket", cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(valueCol) > lit(c), 1).otherwise(0)
+    })
+  }
+
   /** Per-group quantile read-off over a [[qsketchSampleGrouped]]: the
     * same deterministic lower-index rule as [[qsketchQuantiles]],
     * windowed per group — the window runs on ≤ k rows per group by

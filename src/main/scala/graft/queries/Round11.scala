@@ -20,6 +20,7 @@ object Round11 {
   private val QsShards = 4
   private val QsGroupK = 256
   private val QsStreamK = 256
+  private val EqBuckets = 8
   private val QsProbs = Seq("0.10" -> 0.10, "0.50" -> 0.50,
     "0.90" -> 0.90, "0.99" -> 0.99)
 
@@ -188,6 +189,24 @@ object Round11 {
     // single-pass sample, element for element. The streaming processor
     // itself is pinned bit-identical to this replay across micro-batch
     // splits in QsketchSpec
+    // equi-depth range bucketing from the sketch — the TeraSort-sampler
+    // shape: nBuckets-1 cutpoints read off the k-row sample (derived
+    // deterministically, so both engines compute identical cuts),
+    // assignment a pure map counting cuts below each row; "range-
+    // partition 100 TB into balanced files" with one sketch + one scan,
+    // never a global sort. Per-bucket counts stay within the sketch's
+    // O(1/sqrt k) rank error of n/nBuckets
+    "layout_equidepth" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").where(col("value").isNotNull)
+      Analytics.qsketchRangeBuckets(ev, col("event_id"), "value",
+          QsK, EqBuckets)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 4).as("v_min"),
+          round(max("value"), 4).as("v_max"))
+        .orderBy("bucket")
+    }),
+
     "stream_qsketch" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
       val shards = graft.streaming.StreamingQsketch.qsketchReplayShards(
@@ -290,6 +309,34 @@ object Round11 {
          round(abs(round(est.est_q, 4) - ex.exact_q) / ex.exact_q, 6)
            AS rel_err
        FROM est JOIN ex USING (g, prob) ORDER BY g, prob"""
+    },
+
+    "layout_equidepth" -> {
+      val cutsIdx = (1 until EqBuckets).map(i => s"($i)").mkString(", ")
+      s"""WITH s AS (
+           SELECT h, v FROM (
+             SELECT CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+                 AS BIGINT) AS h,
+               value::DOUBLE AS v,
+               row_number() OVER (ORDER BY
+                 CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+                   AS BIGINT), value::DOUBLE) AS rk
+             FROM events WHERE value IS NOT NULL) t WHERE rk <= $QsK),
+         r AS (SELECT v, h,
+             row_number() OVER (ORDER BY v, h) AS rn,
+             count(*) OVER () AS n FROM s),
+         cuts AS (SELECT r.v AS cut
+           FROM (VALUES $cutsIdx) p(i)
+           JOIN r ON r.rn = CAST(floor((p.i / $EqBuckets.0) * (r.n - 1))
+               AS BIGINT) + 1),
+         assigned AS (
+           SELECT e.value::DOUBLE AS v,
+             (SELECT count(*) FROM cuts c
+               WHERE e.value::DOUBLE > c.cut) AS bucket
+           FROM events e WHERE e.value IS NOT NULL)
+       SELECT CAST(bucket AS INT) AS bucket, count(*)::BIGINT AS n,
+         round(min(v), 4) AS v_min, round(max(v), 4) AS v_max
+       FROM assigned GROUP BY 1 ORDER BY 1"""
     },
 
     "stream_qsketch" -> {

@@ -65,6 +65,33 @@ class QsketchSpec extends SparkTestBase {
     assert(!p.contains("Sort "), s"no global sort expected:\n$p")
   }
 
+  test("equi-depth range buckets: cover, balance, determinism") {
+    val n = 8000
+    val df = (1 to n).map(i => (i.toLong,
+      (i * 2654435761L % 100000L).toDouble)).toDF("id", "x")
+    val b = Analytics.qsketchRangeBuckets(df, col("id"), "x", 1024, 8)
+    val counts = b.groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(counts.keySet.subsetOf((0 until 8).toSet), "buckets in range")
+    assert(counts.values.sum === n.toLong, "every row lands in a bucket")
+    // k=1024 of 8000 rows: rank error O(1/sqrt k) — generous 2x bound
+    assert(counts.values.forall(c => c > n / 16 && c < n / 4),
+      s"buckets roughly balanced: $counts")
+    // deterministic: same cuts, same assignment, run to run
+    val again = Analytics.qsketchRangeBuckets(df, col("id"), "x", 1024, 8)
+      .groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(again === counts)
+    // k >= n: the sample is the data -> EXACT equi-depth
+    val small = (1 to 80).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val exact = Analytics.qsketchRangeBuckets(small, col("id"), "x", 1024, 4)
+      .groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    // lower-index cuts at p=.25/.5/.75 of 0..79 -> 20/40/60 -> buckets
+    // of 20/20/20/20 (cut value itself closes the lower bucket)
+    assert(exact === Map(0 -> 20L, 1 -> 20L, 2 -> 20L, 3 -> 20L))
+  }
+
   test("streaming sketch equals the batch replay across a micro-batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingQsketch
