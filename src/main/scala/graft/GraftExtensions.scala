@@ -253,6 +253,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_equidepth"),
+      info("graft_equidepth",
+        "graft_equidepth(table, keyCols, valueCol, k, nBuckets) - equi-depth range bucket per row from a bottom-k quantile sketch (keyCols comma-separated): input cols + (bucket)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_equidepth expects 5 arguments")
+        val n = "graft_equidepth"
+        val keyCols = strLit(n, "keyCols", args(1)).split(",").toSeq
+        graft.operators.Analytics.qsketchRangeBuckets(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.concat_ws("|",
+              keyCols.map(org.apache.spark.sql.functions.col): _*),
+            strLit(n, "valueCol", args(2)),
+            numLit(n, "k", args(3)).toInt,
+            numLit(n, "nBuckets", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_drift_psi"),
       info("graft_drift_psi",
         "graft_drift_psi(baseTable, currentTable, valueCol, buckets) - PSI drift report between two table versions: (bucket, p_base, p_cur, psi)"),

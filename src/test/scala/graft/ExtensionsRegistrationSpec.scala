@@ -190,6 +190,18 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(sqlQsg.orderBy("g").collect()
         .map(r => (r.getLong(0), r.getDouble(2))).toSeq
         === Seq((0L, 36.0), (1L, 38.0)))
+
+      val sqlEq = spark.sql(
+        "SELECT * FROM graft_equidepth('tvf_base','id','v',1024,4)")
+      val apiEq = graft.operators.Analytics.qsketchRangeBuckets(
+        spark.table("tvf_base"), concat_ws("|", col("id")), "v", 1024, 4)
+      assert(sqlEq.queryExecution.optimizedPlan
+        .sameResult(apiEq.queryExecution.optimizedPlan),
+        "graft_equidepth must plan to qsketchRangeBuckets (same literal cuts)")
+      // k >= n: exact quartile cuts of v=0,2,..,78 -> 10 rows per bucket
+      assert(sqlEq.groupBy("bucket").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+        === Map(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L))
       Seq.tabulate(40)(i => (i.toLong, i * 3.0))
         .toDF("id", "v").createOrReplaceTempView("tvf_cur")
       val sqlPsi = spark.sql(
