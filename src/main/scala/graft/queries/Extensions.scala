@@ -481,9 +481,15 @@ object Extensions {
     // structure): oriented wedge join — a<b<c by pair construction, so
     // each triangle is found exactly once with two hash joins
     "graph_triangles" -> ((s, dir) => {
+      // materialize the edge list ONCE before the wedge joins — the
+      // plan references it three times, and without truncation each
+      // leg re-runs the full shingle+Jaccard pair generation (the
+      // expensive part; edges are tiny next to the corpus). At cluster
+      // scale this is persist()/reliable checkpoint of the edge list.
       val e = Dedup.jaccardPairsWindowed(tbl(s, dir, "documents"),
           "doc_id", "text", window = 25, threshold = 0.8)
         .select(col("id_a").as("a"), col("id_b").as("b"))
+        .localCheckpoint()
       val tri = e.join(e.toDF("b", "c"), Seq("b"))
         .join(e.toDF("a", "c"), Seq("a", "c"))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
