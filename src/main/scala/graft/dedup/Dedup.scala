@@ -310,10 +310,13 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = truncate(pairs.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v"))
-      .unionAll(pairs.select(col(bCol).cast("long").as("u"),
-        col(aCol).cast("long").as("v")))) // reused every round: scan once
+    // materialize the DIRECTED pair list first: the undirected edge
+    // union references it twice, and truncating only after the union
+    // would run the (expensive) pair generation once per direction
+    val p0 = truncate(pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v")))
+    val edges = p0.unionAll(
+      p0.select(col("v").as("u"), col("u").as("v"))) // cached both ways
     var labels = truncate(nodes.select(col(idCol).cast("long").as("u"),
       col(idCol).cast("long").as("lbl")))
     var changed = 1L
