@@ -351,6 +351,11 @@ object Round10 {
           col("__rank1"), HilbertBits))
         .withColumn("__cvm", ZOrder.interleave(
           Seq(col("__rank0"), col("__rank1")), HilbertBits))
+        // the segment-cut aggregate AND the probe side both read this
+        // frame: materialize once or the whole exact-percentile rank +
+        // curve subtree runs twice (persist()/checkpoint at cluster
+        // scale; the frame is keys+ranks+curve values, tiny vs orders)
+        .localCheckpoint()
       val cuts = ranked.agg(
         percentile(col("__cvh"), array(segProbs.map(lit): _*)).as("__ch"),
         percentile(col("__cvm"), array(segProbs.map(lit): _*)).as("__cm"))
