@@ -22,12 +22,20 @@ object Rag {
 
   /** Fused candidates packed greedily under `budget` tokens.
     * Output: (doc_id, rank_sparse, rank_dense, rrf, n_tok, cum_tokens)
-    * ordered by fused score. */
+    * ordered by fused score.
+    *
+    * `materialize` intercepts the span-scrubbed corpus, which BOTH the
+    * BM25 list and the token-count join read: pass `_.localCheckpoint()`
+    * (or persist + count on a cluster) to scrub once instead of once
+    * per reader. The default identity keeps the plan fully declarative
+    * — two invocations then build `sameResult` plans, which the
+    * `graft_rag` TVF contract relies on. */
   def pack(docs: DataFrame, emb: DataFrame, queryVecId: Long,
            terms: Seq[String], n: Int, c: Int, k: Int,
-           budget: Long): DataFrame = {
-    val cleaned = TextAnalysis.stripDuplicatedSpans(
-      docs, "doc_id", "text", n = 8)
+           budget: Long,
+           materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val cleaned = materialize(TextAnalysis.stripDuplicatedSpans(
+      docs, "doc_id", "text", n = 8))
     Similarity.rrfFuse(sparseList(cleaned, terms, n),
         denseList(emb, queryVecId, n), "doc_id", c, k)
       .join(cleaned.select(col("doc_id"),
@@ -48,11 +56,15 @@ object Rag {
   def rerank(docs: DataFrame, emb: DataFrame, queryVecId: Long,
              terms: Seq[String], n: Int, c: Int, k: Int,
              posLang: String, holdoutMod: Long,
-             alpha: Double): DataFrame = {
+             alpha: Double,
+             materialize: DataFrame => DataFrame = identity): DataFrame = {
     val cleaned = TextAnalysis.stripDuplicatedSpans(
       docs, "doc_id", "text", n = 8)
-    val fused = Similarity.rrfFuse(sparseList(cleaned, terms, n),
-      denseList(emb, queryVecId, n), "doc_id", c, k)
+    // the fused list feeds BOTH the candidate semi join and the final
+    // score join: materialized it is <= k rows, unmaterialized the
+    // whole retrieval subtree runs twice
+    val fused = materialize(Similarity.rrfFuse(sparseList(cleaned, terms, n),
+      denseList(emb, queryVecId, n), "doc_id", c, k))
     val model = NaiveBayes.train(
       docs.where(col("doc_id") % holdoutMod =!= 0), "text",
       col("lang") === posLang, alpha)

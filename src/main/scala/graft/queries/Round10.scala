@@ -432,7 +432,8 @@ object Round10 {
     "pipeline_rag" -> ((s, dir) =>
       graft.pipeline.Rag.pack(tbl(s, dir, "documents"),
         tbl(s, dir, "embeddings"), queryVecId = 0,
-        Round7.Bm25Terms, RrfN, RrfC, RrfK, RagBudget)),
+        Round7.Bm25Terms, RrfN, RrfC, RrfK, RagBudget,
+        materialize = _.localCheckpoint())),
 
     // round-11 capstone extension: the fused candidate list reranks
     // through the corpus-trained NB quality classifier — retrieval's
@@ -444,7 +445,8 @@ object Round10 {
       graft.pipeline.Rag.rerank(tbl(s, dir, "documents"),
         tbl(s, dir, "embeddings"), queryVecId = 0,
         Round7.Bm25Terms, RrfN, RrfC, RrfK,
-        NbPosLang, NbHoldoutMod, NbAlpha)),
+        NbPosLang, NbHoldoutMod, NbAlpha,
+        materialize = _.localCheckpoint())),
 
     // per-user EWMA smoothing of the event value series: span fixed
     // lag() terms over ONE window pass (fixed expression tree — float
