@@ -452,7 +452,11 @@ object Extensions {
         n = 8)
       val dupDocs = spanReport.filter(col("dup_fraction") >= 0.5)
         .select("doc_id")
+      // stage-1 survivors feed BOTH the minhash pass and the stage-2
+      // probe: materialize once (persist/checkpoint at cluster scale)
+      // or the span-duplication analysis above runs per reader
       val s1 = docs.join(dupDocs, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       // 2. near-dup templates: keep each bucket-cluster's min-id doc
       val s2 = s1.join(
         Dedup.minhashRepresentativesMd5(s1, "doc_id", "text")
