@@ -978,6 +978,72 @@ object Analytics {
     })
   }
 
+  /** EXACT interpolated quantiles (`quantile_cont` semantics) without
+    * a global sort — sketch-guided selection: the [[qsketchSample]]
+    * cutpoints split the value domain into nBuckets lanes; one
+    * aggregating scan counts each lane; cumulative counts locate, on
+    * the driver (nBuckets longs), which lane holds each target rank;
+    * a second scan fetches ONLY the candidate lanes' rows (a
+    * ~1/nBuckets fraction, within the sketch's rank error) and a
+    * bounded TakeOrdered inside each lane yields the exact ranked
+    * elements. Two scans + a lane-sized top-k, versus the exact
+    * `percentile` aggregate that buffers every row in one reducer —
+    * the 100 TB "exact p99, provably, no global sort" path.
+    *
+    * Interpolation is the standard `(1−g)·lo + g·hi` at
+    * `h = p·(n−1)`, matching Spark `percentile` and DuckDB
+    * `quantile_cont` exactly. Output: (prob, exact_q). */
+  def exactQuantilesSelect(df: DataFrame, rowKey: Column, valueCol: String,
+                           probs: Seq[(String, Double)], k: Int = 1024,
+                           nBuckets: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = qsketchRangeBuckets(
+      df.where(col(valueCol).isNotNull), rowKey, valueCol, k, nBuckets)
+      .select(col(valueCol).cast("double").as("v"), col("bucket"))
+    val laneCounts = bucketed.groupBy("bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val n = laneCounts.values.sum
+    require(n > 0, "exactQuantilesSelect needs at least one non-null row")
+    val cum = (0 until nBuckets).scanLeft(0L) { (acc, b) =>
+      acc + laneCounts.getOrElse(b, 0L)
+    } // cum(b) = rows in lanes < b
+    // global ranks (0-based) needed per probe: floor(h) and ceil(h)
+    val targets = probs.flatMap { case (_, p) =>
+      val h = p * (n - 1)
+      Seq(math.floor(h).toLong, math.ceil(h).toLong)
+    }.distinct.sorted
+    def laneOf(rank: Long): Int = {
+      val b = java.util.Arrays.binarySearch(cum.toArray, rank)
+      if (b >= 0) {
+        // rank == cum(b): first row of the next non-empty lane >= b
+        (b until nBuckets).find(i => cum(i + 1) > rank).get
+      } else -b - 2
+    }
+    val lanes = targets.map(laneOf).distinct
+    // candidate scan: only the lanes holding a target rank; each lane
+    // sorts independently via a bounded TakeOrdered (lane size is
+    // ~n/nBuckets, the fraction the caller sizes to fit an executor)
+    val byLane: Map[Int, Array[Double]] = lanes.map { b =>
+      val need = targets.filter(r => laneOf(r) == b)
+        .map(r => r - cum(b)).max.toInt + 1
+      b -> bucketed.where(col("bucket") === b)
+        .orderBy("v").limit(need).collect().map(_.getDouble(0))
+    }.toMap
+    def at(rank: Long): Double = {
+      val b = laneOf(rank)
+      byLane(b)((rank - cum(b)).toInt)
+    }
+    val rows = probs.map { case (label, p) =>
+      val h = p * (n - 1)
+      val (lo, hi) = (at(math.floor(h).toLong), at(math.ceil(h).toLong))
+      val g = h - math.floor(h)
+      // lo + (hi−lo)·g, the exact float order quantile_cont uses
+      (label, lo + (hi - lo) * g)
+    }
+    rows.toDF("prob", "exact_q")
+  }
+
   /** Per-group quantile read-off over a [[qsketchSampleGrouped]]: the
     * same deterministic lower-index rule as [[qsketchQuantiles]],
     * windowed per group — the window runs on ≤ k rows per group by

@@ -189,6 +189,24 @@ object Round11 {
     // single-pass sample, element for element. The streaming processor
     // itself is pinned bit-identical to this replay across micro-batch
     // splits in QsketchSpec
+    // EXACT quantiles by sketch-guided selection — the "provably exact
+    // p99 at 100 TB" path: sketch cutpoints lane the domain, one
+    // aggregating scan counts lanes, the driver locates each target
+    // rank's lane (nBuckets longs of state), and only those lanes'
+    // rows (~1/nBuckets of the corpus) are fetched and bounded-sorted.
+    // Two scans + a lane-sized top-k; never a global sort, never the
+    // one-reducer buffer of the exact percentile aggregate. The gate
+    // pins the result to DuckDB's full quantile_cont — exactness, not
+    // approximation, is what's being verified
+    "agg_quantile_exact_select" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+      Analytics.exactQuantilesSelect(li, rowKey, "l_extendedprice",
+          QsProbs, k = QsK, nBuckets = 64)
+        .select(col("prob"), round(col("exact_q"), 4).as("exact_q"))
+        .orderBy("prob")
+    }),
+
     // equi-depth range bucketing from the sketch — the TeraSort-sampler
     // shape: nBuckets-1 cutpoints read off the k-row sample (derived
     // deterministically, so both engines compute identical cuts),
@@ -309,6 +327,15 @@ object Round11 {
          round(abs(round(est.est_q, 4) - ex.exact_q) / ex.exact_q, 6)
            AS rel_err
        FROM est JOIN ex USING (g, prob) ORDER BY g, prob"""
+    },
+
+    "agg_quantile_exact_select" -> {
+      val rows = QsProbs.map { case (l, p) =>
+        s"""SELECT '$l' AS prob,
+            round(quantile_cont(l_extendedprice, $p), 4) AS exact_q
+          FROM lineitem"""
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($rows) ORDER BY prob"
     },
 
     "layout_equidepth" -> {

@@ -92,6 +92,31 @@ class QsketchSpec extends SparkTestBase {
     assert(exact === Map(0 -> 20L, 1 -> 20L, 2 -> 20L, 3 -> 20L))
   }
 
+  test("sketch-guided exact selection equals the exact percentile aggregate") {
+    val n = 7001
+    val df = (1 to n).map(i => (i.toLong,
+      ((i * 2654435761L % 99991L).toDouble / 7.0))).toDF("id", "x")
+    val probs = Seq("0.00" -> 0.0, "0.25" -> 0.25, "0.50" -> 0.5,
+      "0.90" -> 0.9, "0.99" -> 0.99, "1.00" -> 1.0)
+    val sel = Analytics.exactQuantilesSelect(df, col("id"), "x", probs,
+        k = 256, nBuckets = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val agg = df.agg(percentile(col("x"),
+        array(probs.map(p => lit(p._2)): _*)).as("qs"))
+      .head().getSeq[Double](0)
+    probs.map(_._1).zip(agg).foreach { case (label, want) =>
+      assert(math.abs(sel(label) - want) < 1e-9,
+        s"p$label: selection ${sel(label)} vs aggregate $want")
+    }
+    // duplicate-heavy values (lanes share boundaries) stay exact
+    val dup = (1 to 1000).map(i => (i.toLong, (i % 5).toDouble))
+      .toDF("id", "x")
+    val sd = Analytics.exactQuantilesSelect(dup, col("id"), "x",
+        Seq("0.5" -> 0.5), k = 64, nBuckets = 8)
+      .head().getDouble(1)
+    assert(sd === dup.agg(percentile(col("x"), lit(0.5))).head().getDouble(0))
+  }
+
   test("streaming sketch equals the batch replay across a micro-batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingQsketch
