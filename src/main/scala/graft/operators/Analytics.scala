@@ -1021,15 +1021,25 @@ object Analytics {
       } else -b - 2
     }
     val lanes = targets.map(laneOf).distinct
-    // candidate scan: only the lanes holding a target rank; each lane
-    // sorts independently via a bounded TakeOrdered (lane size is
-    // ~n/nBuckets, the fraction the caller sizes to fit an executor)
-    val byLane: Map[Int, Array[Double]] = lanes.map { b =>
-      val need = targets.filter(r => laneOf(r) == b)
-        .map(r => r - cum(b)).max.toInt + 1
-      b -> bucketed.where(col("bucket") === b)
-        .orderBy("v").limit(need).collect().map(_.getDouble(0))
-    }.toMap
+    // ONE candidate scan covers every lane holding a target rank: the
+    // filter keeps ~|lanes|/nBuckets of the corpus, a per-lane rank
+    // window runs over just that slice (lane size is ~n/nBuckets, the
+    // fraction the caller sizes to fit an executor), and only the
+    // needed prefixes reach the driver
+    val maxNeed = lanes.map { b =>
+      targets.filter(r => laneOf(r) == b).map(r => r - cum(b)).max.toInt + 1
+    }.max
+    val byLane: Map[Int, Array[Double]] = bucketed
+      .where(col("bucket").isin(lanes.map(Integer.valueOf): _*))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("bucket").orderBy("v")))
+      .where(col("__rn") <= maxNeed)
+      .select("bucket", "__rn", "v")
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (b, rs) =>
+        b -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
     def at(rank: Long): Double = {
       val b = laneOf(rank)
       byLane(b)((rank - cum(b)).toInt)
