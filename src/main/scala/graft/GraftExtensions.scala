@@ -253,6 +253,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_exact_quantiles"),
+      info("graft_exact_quantiles",
+        "graft_exact_quantiles(table, keyCols, valueCol, k, nBuckets, probs) - EXACT quantile_cont values by sketch-guided selection, no global sort (keyCols/probs comma-separated): (prob, exact_q)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          s"graft_exact_quantiles expects 6 arguments")
+        val n = "graft_exact_quantiles"
+        val keyCols = strLit(n, "keyCols", args(1)).split(",").toSeq
+        val probs = strLit(n, "probs", args(5)).split(",").toSeq
+          .map(p => p -> p.toDouble)
+        graft.operators.Analytics.exactQuantilesSelect(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.concat_ws("|",
+              keyCols.map(org.apache.spark.sql.functions.col): _*),
+            strLit(n, "valueCol", args(2)), probs,
+            numLit(n, "k", args(3)).toInt,
+            numLit(n, "nBuckets", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_equidepth"),
       info("graft_equidepth",
         "graft_equidepth(table, keyCols, valueCol, k, nBuckets) - equi-depth range bucket per row from a bottom-k quantile sketch (keyCols comma-separated): input cols + (bucket)"),

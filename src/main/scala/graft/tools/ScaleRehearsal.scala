@@ -553,6 +553,24 @@ object ScaleRehearsal {
       f"${sn * 10} rows ${qg10}%.2f s (${qg10 / qg1}%.1fx, ~linear " +
       f"target, 64 groups x 256-row samples at either size)")
 
+    // ---- exact quantiles by sketch-guided selection: three scans and
+    // a ~1/nBuckets candidate slice at any size — vs the exact
+    // percentile aggregate's one-reducer buffer of every row ----
+    def exactSelectTime(rows: Long): Double = {
+      val df = spark.range(rows).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0)
+          .as("v"))
+      val t0 = System.nanoTime()
+      Analytics.exactQuantilesSelect(df, col("id"), "v",
+        Seq("0.5" -> 0.5, "0.99" -> 0.99), k = 1024, nBuckets = 64)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (xs1, xs10) = (exactSelectTime(sn), exactSelectTime(sn * 10))
+    println(f"[rehearsal] exact-select quantiles: $sn rows ${xs1}%.2f s; " +
+      f"${sn * 10} rows ${xs10}%.2f s (${xs10 / xs1}%.1fx, ~linear " +
+      f"target, candidate slice ~1/64 at either size)")
+
     spark.stop()
   }
 }

@@ -202,6 +202,13 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(sqlEq.groupBy("bucket").count().collect()
         .map(r => (r.getInt(0), r.getLong(1))).toMap
         === Map(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L))
+
+      // selection result is data, not a deferred plan: value check only
+      // (p0.5 of v=0,2,..,78 interpolates (n-1)*.5=19.5 -> 39.0)
+      val sqlXq = spark.sql(
+        "SELECT * FROM graft_exact_quantiles('tvf_base','id','v',64,8,'0.5')")
+      assert(sqlXq.collect().map(r =>
+        (r.getString(0), r.getDouble(1))).toSeq === Seq(("0.5", 39.0)))
       Seq.tabulate(40)(i => (i.toLong, i * 3.0))
         .toDF("id", "v").createOrReplaceTempView("tvf_cur")
       val sqlPsi = spark.sql(
