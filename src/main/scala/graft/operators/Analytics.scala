@@ -1054,6 +1054,110 @@ object Analytics {
     rows.toDF("prob", "exact_q")
   }
 
+  /** Per-group [[exactQuantilesSelect]] — exact `quantile_cont` per
+    * segment without a global sort or per-group full buffers: per-group
+    * sketch cutpoints lane each group's domain (one bounded-buffer
+    * pass), per-(group, lane) counts locate every target rank on the
+    * driver (|groups|·nBuckets longs — the caller bounds |groups| via
+    * `maxGroups`), and ONE candidate scan fetches only the lanes
+    * holding a target rank, ranked by a per-lane window over that
+    * slice. "Exact p99 per segment over 100 TB" in three scans.
+    * Output: (groupCol, prob, exact_q), group type preserved. */
+  def exactQuantilesSelectGrouped(df: DataFrame, groupCol: String,
+                                  rowKey: Column, valueCol: String,
+                                  probs: Seq[(String, Double)],
+                                  k: Int = 1024, nBuckets: Int = 64,
+                                  maxGroups: Int = 10000): DataFrame = {
+    require(nBuckets > 1, s"nBuckets must exceed 1, got $nBuckets")
+    val spark = df.sparkSession
+    val nn = df.where(col(valueCol).isNotNull)
+    // per-group cuts from the per-group sketch, kept as a DataFrame so
+    // assignment is a broadcast join + pure map (never a per-group
+    // literal CASE, which hits codegen limits at large |groups|)
+    val cutProbs = (1 until nBuckets).map(i =>
+      (i.toString, i.toDouble / nBuckets))
+    val cuts = qsketchQuantilesGrouped(
+        qsketchSampleGrouped(nn.withColumnRenamed(groupCol, "__g"),
+          Seq("__g"), rowKey, valueCol, k), Seq("__g"), cutProbs)
+      .groupBy("__g")
+      .agg(array_sort(collect_list(struct(col("prob").cast("int")
+        .as("i"), col("est_q").as("q")))).as("__cs"))
+      .select(col("__g"), expr("transform(__cs, x -> x.q)").as("__cuts"))
+    val bucketed = nn
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("v"))
+      .join(broadcast(cuts), Seq("__g"))
+      .withColumn("bucket", aggregate(col("__cuts"), lit(0),
+        (acc, c) => acc + when(col("v") > c, 1).otherwise(0)))
+      .select("__g", "v", "bucket")
+    val laneCounts: Map[(Any, Int), Long] = bucketed
+      .groupBy("__g", "bucket").count().collect()
+      .map(r => ((r.get(0), r.getInt(1)), r.getLong(2))).toMap
+    val groups = laneCounts.keys.map(_._1).toSeq.distinct
+    require(groups.size <= maxGroups,
+      s"more than $maxGroups groups — raise maxGroups or pre-aggregate")
+    // per group: cumulative lane offsets + target ranks + needed lanes
+    case class Need(g: Any, lane: Int, need: Int, cumAtLane: Long)
+    val plans = groups.map { g =>
+      val cum = (0 until nBuckets).scanLeft(0L) { (acc, b) =>
+        acc + laneCounts.getOrElse((g, b), 0L)
+      }
+      val n = cum(nBuckets)
+      val targets = probs.flatMap { case (_, p) =>
+        val h = p * (n - 1)
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)
+      }.distinct
+      def laneOf(rank: Long): Int =
+        (0 until nBuckets).find(i => cum(i + 1) > rank).get
+      val needs = targets.groupBy(laneOf).map { case (b, rs) =>
+        Need(g, b, rs.map(_ - cum(b)).max.toInt + 1, cum(b))
+      }.toSeq
+      (g, n, cum, needs)
+    }
+    val needDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        plans.flatMap(_._4).map(nd =>
+          org.apache.spark.sql.Row(nd.g, nd.lane, nd.need)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol).copy(name = "__g"),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__need",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))))
+    val fetched = bucketed.join(needDf, Seq("__g", "bucket"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g", "bucket").orderBy("v")))
+      .where(col("__rn") <= col("__need"))
+      .select("__g", "bucket", "__rn", "v")
+      .collect()
+      .groupBy(r => (r.get(0), r.getInt(1)))
+      .map { case (key, rs) =>
+        key -> rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      }
+    val outRows = plans.flatMap { case (g, n, cum, _) =>
+      def laneOf(rank: Long): Int =
+        (0 until nBuckets).find(i => cum(i + 1) > rank).get
+      def at(rank: Long): Double = {
+        val b = laneOf(rank)
+        fetched((g, b))((rank - cum(b)).toInt)
+      }
+      probs.map { case (label, p) =>
+        val h = p * (n - 1)
+        val (lo, hi) = (at(math.floor(h).toLong), at(math.ceil(h).toLong))
+        val gfrac = h - math.floor(h)
+        org.apache.spark.sql.Row(g, label, lo + (hi - lo) * gfrac)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("prob",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("exact_q",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
   /** Per-group quantile read-off over a [[qsketchSampleGrouped]]: the
     * same deterministic lower-index rule as [[qsketchQuantiles]],
     * windowed per group — the window runs on ≤ k rows per group by

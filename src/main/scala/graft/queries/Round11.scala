@@ -207,6 +207,20 @@ object Round11 {
         .orderBy("prob")
     }),
 
+    // the grouped form of exact selection: per-group sketch lanes,
+    // per-(group, lane) counts, one candidate scan over only the lanes
+    // holding a target rank — "exact p99 per segment over 100 TB" in
+    // three scans, no global sort, no per-group full buffers
+    "agg_quantile_exact_select_grouped" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+      Analytics.exactQuantilesSelectGrouped(li, "l_returnflag", rowKey,
+          "l_extendedprice", QsProbs, k = QsK, nBuckets = 32)
+        .select(col("l_returnflag").as("g"), col("prob"),
+          round(col("exact_q"), 4).as("exact_q"))
+        .orderBy("g", "prob")
+    }),
+
     // equi-depth range bucketing from the sketch — the TeraSort-sampler
     // shape: nBuckets-1 cutpoints read off the k-row sample (derived
     // deterministically, so both engines compute identical cuts),
@@ -327,6 +341,15 @@ object Round11 {
          round(abs(round(est.est_q, 4) - ex.exact_q) / ex.exact_q, 6)
            AS rel_err
        FROM est JOIN ex USING (g, prob) ORDER BY g, prob"""
+    },
+
+    "agg_quantile_exact_select_grouped" -> {
+      val rows = QsProbs.map { case (l, p) =>
+        s"""SELECT l_returnflag AS g, '$l' AS prob,
+            round(quantile_cont(l_extendedprice, $p), 4) AS exact_q
+          FROM lineitem GROUP BY 1"""
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($rows) ORDER BY g, prob"
     },
 
     "agg_quantile_exact_select" -> {

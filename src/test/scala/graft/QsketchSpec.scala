@@ -117,6 +117,26 @@ class QsketchSpec extends SparkTestBase {
     assert(sd === dup.agg(percentile(col("x"), lit(0.5))).head().getDouble(0))
   }
 
+  test("grouped exact selection equals the per-group percentile aggregate") {
+    val df = (1 to 6000).map(i => (i.toLong, s"g${i % 7}",
+      ((i * 48271L % 9973L).toDouble / 3.0))).toDF("id", "g", "x")
+    val probs = Seq("0.10" -> 0.1, "0.50" -> 0.5, "0.99" -> 0.99)
+    val sel = Analytics.exactQuantilesSelectGrouped(df, "g", col("id"),
+        "x", probs, k = 256, nBuckets = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val agg = df.groupBy("g")
+      .agg(percentile(col("x"), array(probs.map(p => lit(p._2)): _*))
+        .as("qs"))
+      .collect()
+      .flatMap(r => probs.map(_._1).zip(r.getSeq[Double](1))
+        .map { case (l, v) => (r.getString(0), l) -> v }).toMap
+    assert(sel.keySet === agg.keySet)
+    sel.foreach { case (key, v) =>
+      assert(math.abs(v - agg(key)) < 1e-9, s"$key: $v vs ${agg(key)}")
+    }
+  }
+
   test("streaming sketch equals the batch replay across a micro-batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingQsketch
