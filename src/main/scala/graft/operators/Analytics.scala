@@ -1083,6 +1083,10 @@ object Analytics {
       .agg(array_sort(collect_list(struct(col("prob").cast("int")
         .as("i"), col("est_q").as("q")))).as("__cs"))
       .select(col("__g"), expr("transform(__cs, x -> x.q)").as("__cuts"))
+      // |groups| rows; materialized because `bucketed` is read twice
+      // (lane counts + candidate fetch) — without truncation the whole
+      // grouped-sketch pass would rerun per reader
+      .localCheckpoint()
     val bucketed = nn
       .select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("v"))
