@@ -273,6 +273,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_exact_quantiles_grouped"),
+      info("graft_exact_quantiles_grouped",
+        "graft_exact_quantiles_grouped(table, groupCol, keyCols, valueCol, k, nBuckets, probs) - EXACT per-group quantile_cont values by sketch-guided selection (keyCols/probs comma-separated): (groupCol, prob, exact_q)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7,
+          s"graft_exact_quantiles_grouped expects 7 arguments")
+        val n = "graft_exact_quantiles_grouped"
+        val keyCols = strLit(n, "keyCols", args(2)).split(",").toSeq
+        val probs = strLit(n, "probs", args(6)).split(",").toSeq
+          .map(p => p -> p.toDouble)
+        graft.operators.Analytics.exactQuantilesSelectGrouped(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "groupCol", args(1)),
+            org.apache.spark.sql.functions.concat_ws("|",
+              keyCols.map(org.apache.spark.sql.functions.col): _*),
+            strLit(n, "valueCol", args(3)), probs,
+            numLit(n, "k", args(4)).toInt,
+            numLit(n, "nBuckets", args(5)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_equidepth"),
       info("graft_equidepth",
         "graft_equidepth(table, keyCols, valueCol, k, nBuckets) - equi-depth range bucket per row from a bottom-k quantile sketch (keyCols comma-separated): input cols + (bucket)"),

@@ -209,6 +209,13 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         "SELECT * FROM graft_exact_quantiles('tvf_base','id','v',64,8,'0.5')")
       assert(sqlXq.collect().map(r =>
         (r.getString(0), r.getDouble(1))).toSeq === Seq(("0.5", 39.0)))
+      // grouped: p0.5 per parity group of v=0..78 by 2 (even ids hold
+      // v=0,4,..,76: (19)*.5=9.5 -> (36+40)/2=38; odd ids 2,6,..,78 -> 40)
+      val sqlXqg = spark.sql("SELECT * FROM graft_exact_quantiles_grouped(" +
+        "'tvf_baseg','g','id','v',64,4,'0.5')")
+      assert(sqlXqg.orderBy("g").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        === Seq((0L, "0.5", 38.0), (1L, "0.5", 40.0)))
       Seq.tabulate(40)(i => (i.toLong, i * 3.0))
         .toDF("id", "v").createOrReplaceTempView("tvf_cur")
       val sqlPsi = spark.sql(

@@ -332,6 +332,30 @@ class PlanSpec extends SparkTestBase {
       s"no per-user event collection:\n$p")
   }
 
+  test("equi-depth assignment: literal cuts, pure map over one pruned scan") {
+    val p = plan("layout_equidepth")
+    assert(!p.contains("Window"),
+      s"bucket assignment must be a pure map, never a rank window:\n$p")
+    // the sketch resolves to literals at build time: the assignment
+    // plan is scan -> filter -> project(CASE...) -> partial agg
+    assert(p.contains("CASE WHEN") && p.contains("PushedFilters:"),
+      s"cuts must inline as literals over a pushed-down scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join belongs in the assignment path:\n$p")
+  }
+
+  test("quantile sketch family: bounded top-k, never a global sort") {
+    Seq("agg_qsketch", "agg_qsketch_merge").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject") ||
+        p.contains("TopKPerGroup"),
+        s"$q must draw its sample with a bounded top-k operator:\n$p")
+    }
+    val pg = plan("agg_qsketch_grouped")
+    assert(pg.contains("TopKPerGroup"), // Exec suffix stripped in plans
+      s"grouped sample must run the bounded-buffer operator:\n$pg")
+  }
+
   test("duplicated spans: two partial-agg shuffles + a key join, no window") {
     val df = graft.textanalysis.TextAnalysis.duplicatedSpans(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 8)
