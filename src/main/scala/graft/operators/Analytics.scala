@@ -1063,6 +1063,47 @@ object Analytics {
     * holding a target rank, ranked by a per-lane window over that
     * slice. "Exact p99 per segment over 100 TB" in three scans.
     * Output: (groupCol, prob, exact_q), group type preserved. */
+  /** Per-group equi-depth cut table: one `(group, sorted cut array)`
+    * row per group, read off each group's bottom-k sketch by the
+    * deterministic lower-index rule and kept as a DataFrame so
+    * assignment stays a broadcast join + pure map (never a per-group
+    * literal CASE, which hits codegen limits at large |groups|).
+    * Materialized (|groups| rows) so multiple readers never rerun the
+    * grouped-sketch pass. */
+  private def groupedCutTable(nn: DataFrame, groupCol: String,
+                              rowKey: Column, valueCol: String,
+                              k: Int, nBuckets: Int): DataFrame = {
+    val cutProbs = (1 until nBuckets).map(i =>
+      (i.toString, i.toDouble / nBuckets))
+    qsketchQuantilesGrouped(
+        qsketchSampleGrouped(nn.withColumnRenamed(groupCol, "__g"),
+          Seq("__g"), rowKey, valueCol, k), Seq("__g"), cutProbs)
+      .groupBy("__g")
+      .agg(array_sort(collect_list(struct(col("prob").cast("int")
+        .as("i"), col("est_q").as("q")))).as("__cs"))
+      .select(col("__g"), expr("transform(__cs, x -> x.q)").as("__cuts"))
+      .localCheckpoint()
+  }
+
+  /** Per-group [[qsketchRangeBuckets]]: equi-depth range bucketing
+    * WITHIN each group — each group's domain is laned by its own
+    * sketch cutpoints, so every group splits into ~balanced nBuckets
+    * whatever its value distribution ("range-partition every segment's
+    * shard of 100 TB into balanced files" with one grouped sketch +
+    * one scan). Output: non-null-`valueCol` rows of `df` + `bucket`. */
+  def qsketchRangeBucketsGrouped(df: DataFrame, groupCol: String,
+                                 rowKey: Column, valueCol: String,
+                                 k: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets > 1, s"nBuckets must exceed 1, got $nBuckets")
+    val nn = df.where(col(valueCol).isNotNull)
+    val cuts = groupedCutTable(nn, groupCol, rowKey, valueCol, k, nBuckets)
+    nn.join(broadcast(cuts), nn(groupCol) === cuts("__g"))
+      .withColumn("bucket", aggregate(col("__cuts"), lit(0),
+        (acc, c) => acc +
+          when(col(valueCol).cast("double") > c, 1).otherwise(0)))
+      .drop("__g", "__cuts")
+  }
+
   def exactQuantilesSelectGrouped(df: DataFrame, groupCol: String,
                                   rowKey: Column, valueCol: String,
                                   probs: Seq[(String, Double)],
@@ -1071,22 +1112,7 @@ object Analytics {
     require(nBuckets > 1, s"nBuckets must exceed 1, got $nBuckets")
     val spark = df.sparkSession
     val nn = df.where(col(valueCol).isNotNull)
-    // per-group cuts from the per-group sketch, kept as a DataFrame so
-    // assignment is a broadcast join + pure map (never a per-group
-    // literal CASE, which hits codegen limits at large |groups|)
-    val cutProbs = (1 until nBuckets).map(i =>
-      (i.toString, i.toDouble / nBuckets))
-    val cuts = qsketchQuantilesGrouped(
-        qsketchSampleGrouped(nn.withColumnRenamed(groupCol, "__g"),
-          Seq("__g"), rowKey, valueCol, k), Seq("__g"), cutProbs)
-      .groupBy("__g")
-      .agg(array_sort(collect_list(struct(col("prob").cast("int")
-        .as("i"), col("est_q").as("q")))).as("__cs"))
-      .select(col("__g"), expr("transform(__cs, x -> x.q)").as("__cuts"))
-      // |groups| rows; materialized because `bucketed` is read twice
-      // (lane counts + candidate fetch) — without truncation the whole
-      // grouped-sketch pass would rerun per reader
-      .localCheckpoint()
+    val cuts = groupedCutTable(nn, groupCol, rowKey, valueCol, k, nBuckets)
     val bucketed = nn
       .select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("v"))

@@ -207,6 +207,23 @@ object Round11 {
         .orderBy("prob")
     }),
 
+    // per-group equi-depth bucketing: each event type's value domain
+    // laned by its OWN sketch cutpoints, so every segment splits into
+    // ~balanced eighths whatever its distribution — the grouped
+    // TeraSort-sampler ("range-partition every segment's shard into
+    // balanced files"); assignment stays a broadcast join + pure map
+    "layout_equidepth_grouped" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").where(col("value").isNotNull)
+        .withColumn("g", col("event_type"))
+      Analytics.qsketchRangeBucketsGrouped(ev, "g", col("event_id"),
+          "value", QsStreamK, EqBuckets)
+        .groupBy("g", "bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 4).as("v_min"),
+          round(max("value"), 4).as("v_max"))
+        .orderBy("g", "bucket")
+    }),
+
     // the grouped form of exact selection: per-group sketch lanes,
     // per-(group, lane) counts, one candidate scan over only the lanes
     // holding a target rank — "exact p99 per segment over 100 TB" in
@@ -341,6 +358,35 @@ object Round11 {
          round(abs(round(est.est_q, 4) - ex.exact_q) / ex.exact_q, 6)
            AS rel_err
        FROM est JOIN ex USING (g, prob) ORDER BY g, prob"""
+    },
+
+    "layout_equidepth_grouped" -> {
+      val cutsIdx = (1 until EqBuckets).map(i => s"($i)").mkString(", ")
+      s"""WITH hashed AS (
+           SELECT event_type AS g,
+             CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+               AS BIGINT) AS h,
+             value::DOUBLE AS v
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT g, h, v FROM (
+             SELECT g, h, v, row_number() OVER (PARTITION BY g
+               ORDER BY h, v) AS rk FROM hashed) t
+           WHERE rk <= $QsStreamK),
+         r AS (SELECT g, v, h,
+             row_number() OVER (PARTITION BY g ORDER BY v, h) AS rn,
+             count(*) OVER (PARTITION BY g) AS n FROM s),
+         cuts AS (SELECT r.g, r.v AS cut
+           FROM (VALUES $cutsIdx) p(i)
+           JOIN r ON r.rn = CAST(floor((p.i / $EqBuckets.0) * (r.n - 1))
+               AS BIGINT) + 1),
+         assigned AS (
+           SELECT e.g, e.v,
+             (SELECT count(*) FROM cuts c
+               WHERE c.g = e.g AND e.v > c.cut) AS bucket
+           FROM hashed e)
+       SELECT g, CAST(bucket AS INT) AS bucket, count(*)::BIGINT AS n,
+         round(min(v), 4) AS v_min, round(max(v), 4) AS v_max
+       FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""
     },
 
     "agg_quantile_exact_select_grouped" -> {

@@ -117,6 +117,27 @@ class QsketchSpec extends SparkTestBase {
     assert(sd === dup.agg(percentile(col("x"), lit(0.5))).head().getDouble(0))
   }
 
+  test("grouped equi-depth buckets balance within EACH group") {
+    // groups with wildly different distributions: each must still
+    // split into ~equal quarters under its OWN cuts
+    val df = ((1 to 4000).map(i => (i.toLong, "lin",
+        (i % 1000).toDouble)) ++
+      (1 to 4000).map(i => (i.toLong + 10000, "exp",
+        math.pow(1.01, i % 800)))).toDF("id", "g", "x")
+    val counts = Analytics.qsketchRangeBucketsGrouped(df, "g", col("id"),
+        "x", 512, 4)
+      .groupBy("g", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(counts.values.sum === 8000L, "every row lands in a bucket")
+    Seq("lin", "exp").foreach { g =>
+      (0 until 4).foreach { b =>
+        val c = counts.getOrElse((g, b), 0L)
+        assert(c > 500 && c < 2000,
+          s"group $g bucket $b must stay ~balanced, got $c")
+      }
+    }
+  }
+
   test("grouped exact selection equals the per-group percentile aggregate") {
     val df = (1 to 6000).map(i => (i.toLong, s"g${i % 7}",
       ((i * 48271L % 9973L).toDouble / 3.0))).toDF("id", "g", "x")
