@@ -571,6 +571,24 @@ object ScaleRehearsal {
       f"${sn * 10} rows ${xs10}%.2f s (${xs10 / xs1}%.1fx, ~linear " +
       f"target, candidate slice ~1/64 at either size)")
 
+    // ---- grouped equi-depth: per-group cut tables stay |groups| rows
+    // of broadcast state; assignment one joined map pass ----
+    def equidepthGroupedTime(rows: Long): Double = {
+      val df = spark.range(rows).select(col("id"),
+        pmod(col("id"), lit(32)).cast("string").as("g"),
+        (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 100.0)
+          .as("v"))
+      val t0 = System.nanoTime()
+      Analytics.qsketchRangeBucketsGrouped(df, "g", col("id"), "v",
+        256, 8).groupBy("g", "bucket").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (eg1, eg10) =
+      (equidepthGroupedTime(sn), equidepthGroupedTime(sn * 10))
+    println(f"[rehearsal] grouped equi-depth: $sn rows ${eg1}%.2f s; " +
+      f"${sn * 10} rows ${eg10}%.2f s (${eg10 / eg1}%.1fx, ~linear " +
+      f"target, 32 groups x 7 cut values of broadcast state)")
+
     spark.stop()
   }
 }
