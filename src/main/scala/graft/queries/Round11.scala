@@ -207,6 +207,60 @@ object Round11 {
         .orderBy("prob")
     }),
 
+    // WEIGHTED quantiles from the A-Res sample: inclusion probability
+    // proportional to weight means the k-row sample approximates the
+    // WEIGHT distribution, so its unweighted order statistics estimate
+    // the weighted quantile ("token-weighted doc-length p99") — k rows
+    // of state, md5-keyed so the exact sample replays cross-engine.
+    // The exact weighted quantile (smallest v with cumulative weight
+    // fraction >= p) rides along for calibration
+    "agg_qsketch_weighted" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val sample = graft.operators.WeightedTopKSample(
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("double").as("v"),
+          col("l_quantity").cast("double").as("w")),
+        weight = col("w"), k = QsK,
+        seedCols = Seq("l_orderkey", "l_linenumber"))
+      val est = Analytics.qsketchQuantiles(
+        sample.select(conv(substring(md5(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
+          .cast("long").as("h"), col("v")),
+        QsProbs)
+      import org.apache.spark.sql.expressions.Window
+      val byV = li.groupBy(col("l_extendedprice").cast("double").as("v"))
+        .agg(sum(col("l_quantity").cast("double")).as("w"))
+      // tot = the LAST cumulative value, not an independent re-sum:
+      // both engines then add the same doubles in the same (v) order,
+      // so f = cum/tot is bit-identical — an order-varying total could
+      // flip a row sitting exactly on a probe boundary
+      val frac = byV
+        .withColumn("cum", sum("w").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", max("cum").over(Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("v"), (col("cum") / col("tot")).as("f"))
+      // all probes off ONE pass over the cumulative table: conditional
+      // mins in a single aggregate, exploded to (prob, exact_wq)
+      val aggs = QsProbs.map { case (l, p) =>
+        // dots in labels would read as struct access in col()
+        min(when(col("f") >= p, col("v"))).as(s"__q${l.replace(".", "_")}")
+      }
+      val exact = frac.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(QsProbs.map { case (l, _) =>
+          struct(lit(l).as("prob"),
+            col(s"__q${l.replace(".", "_")}").as("exact_wq"))
+        }: _*)).as("e"))
+        .select(col("e.prob"), col("e.exact_wq"))
+      est.join(broadcast(exact), Seq("prob"))
+        .select(col("prob"), round(col("est_q"), 4).as("est_q"),
+          round(col("exact_wq"), 4).as("exact_wq"),
+          round(abs(round(col("est_q"), 4) - round(col("exact_wq"), 4)) /
+            round(col("exact_wq"), 4), 6).as("rel_err"))
+        .orderBy("prob")
+    }),
+
     // per-group equi-depth bucketing: each event type's value domain
     // laned by its OWN sketch cutpoints, so every segment splits into
     // ~balanced eighths whatever its distribution — the grouped
@@ -358,6 +412,46 @@ object Round11 {
          round(abs(round(est.est_q, 4) - ex.exact_q) / ex.exact_q, 6)
            AS rel_err
        FROM est JOIN ex USING (g, prob) ORDER BY g, prob"""
+    },
+
+    "agg_qsketch_weighted" -> {
+      val probsValues = QsProbs.map { case (l, p) => s"('$l', $p)" }
+        .mkString(", ")
+      s"""WITH keyed AS (
+           SELECT l_orderkey, l_linenumber,
+             l_extendedprice::DOUBLE AS v,
+             ln((CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+                 l_linenumber::VARCHAR), 1, 15)) AS BIGINT)::DOUBLE + 1.0)
+               / 1152921504606846976.0) / l_quantity::DOUBLE AS k
+           FROM lineitem WHERE l_quantity > 0),
+         samp AS (SELECT * FROM keyed
+           ORDER BY k DESC, l_orderkey, l_linenumber LIMIT $QsK),
+         sh AS (SELECT
+             CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+               l_linenumber::VARCHAR), 1, 15)) AS BIGINT) AS h, v
+           FROM samp),
+         r AS (SELECT v, h,
+             row_number() OVER (ORDER BY v, h) AS rn,
+             count(*) OVER () AS n FROM sh),
+         est AS (SELECT p.prob, r.v AS est_q
+           FROM (VALUES $probsValues) p(prob, p)
+           JOIN r ON r.rn = CAST(floor(CAST(p.p AS DOUBLE) * (r.n - 1))
+               AS BIGINT) + 1),
+         byv AS (SELECT l_extendedprice::DOUBLE AS v,
+             sum(l_quantity::DOUBLE) AS w FROM lineitem GROUP BY 1),
+         cumd AS (SELECT v, sum(w) OVER (ORDER BY v
+             ROWS UNBOUNDED PRECEDING) AS cum FROM byv),
+         fr AS (SELECT v, cum / (max(cum) OVER ()) AS f FROM cumd),
+         ex AS (SELECT p.prob,
+             min(CASE WHEN fr.f >= CAST(p.p AS DOUBLE) THEN fr.v END)
+               AS exact_wq
+           FROM (VALUES $probsValues) p(prob, p) CROSS JOIN fr
+           GROUP BY 1)
+       SELECT est.prob, round(est.est_q, 4) AS est_q,
+         round(ex.exact_wq, 4) AS exact_wq,
+         round(abs(round(est.est_q, 4) - round(ex.exact_wq, 4)) /
+           round(ex.exact_wq, 4), 6) AS rel_err
+       FROM est JOIN ex USING (prob) ORDER BY prob"""
     },
 
     "layout_equidepth_grouped" -> {
