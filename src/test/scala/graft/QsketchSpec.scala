@@ -117,6 +117,37 @@ class QsketchSpec extends SparkTestBase {
     assert(sd === dup.agg(percentile(col("x"), lit(0.5))).head().getDouble(0))
   }
 
+  test("exact selection: randomized parity with the percentile aggregate") {
+    // deterministic seed; hostile shapes: tiny n (every rank lane-
+    // boundary), heavy duplicates (lanes sharing cut values), skewed
+    // magnitudes, k >= n and k << n, coarse and fine lane counts
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 6) {
+      val n = Seq(3, 17, 400, 2000)(trial % 4)
+      val dupMod = Seq(0, 5, 50)(trial % 3) // 0 = all-distinct
+      val data = (1 to n).map { i =>
+        val base = rnd.nextDouble() * math.pow(10, trial % 5)
+        (i.toLong, if (dupMod == 0) base else (i % dupMod).toDouble)
+      }
+      val df = data.toDF("id", "x")
+      val (k, nb) = (Seq(4, 64, 4096)(trial % 3), Seq(2, 7, 32)(trial % 3))
+      val probs = Seq("0" -> 0.0, "a" -> rnd.nextDouble(),
+        "b" -> rnd.nextDouble(), "1" -> 1.0)
+      val sel = Analytics.exactQuantilesSelect(df, col("id"), "x",
+          probs, k = k, nBuckets = nb)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val agg = df.agg(percentile(col("x"),
+          array(probs.map(p => lit(p._2)): _*)).as("qs"))
+        .head().getSeq[Double](0)
+      probs.map(_._1).zip(agg).foreach { case (label, want) =>
+        assert(math.abs(sel(label) - want) <= 1e-9 * math.max(1.0,
+          math.abs(want)),
+          s"trial $trial n=$n dup=$dupMod k=$k nb=$nb p$label: " +
+            s"${sel(label)} vs $want")
+      }
+    }
+  }
+
   test("grouped equi-depth buckets balance within EACH group") {
     // groups with wildly different distributions: each must still
     // split into ~equal quarters under its OWN cuts
