@@ -13,12 +13,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Relational2.defs ++ Extensions.defs ++
       Pipelines.defs ++ Round7.defs ++ Analytics7.defs ++ Round9.defs ++
-      Round10.defs ++ Round11.defs
+      Round10.defs ++ Round11.defs ++ Round11b.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Extensions.oracles ++
       Pipelines.oracles ++ Round7.oracles ++ Analytics7.oracles ++
-      Round9.oracles ++ Round10.oracles ++ Round11.oracles
+      Round9.oracles ++ Round10.oracles ++ Round11.oracles ++
+      Round11b.oracles
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{HeavyHitters, MisraGries}
+
+/** Misra-Gries sketch + exact heavy hitters: superset guarantee under
+  * arbitrary reduce/merge trees, exactness of the verify pass vs a full
+  * GROUP BY, grouped equivalence, and edge shapes. */
+class HeavyHittersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def exactByGroupBy(keys: Seq[String], minShare: Double) = {
+    val n = keys.size
+    keys.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c > n * minShare }.toMap
+  }
+
+  test("MG summary is a superset of true heavy hitters, any merge tree") {
+    val rnd = new scala.util.Random(7)
+    // 2 hot keys (~20% each) over a 200-key tail
+    val keys = Seq.fill(5000)(
+      if (rnd.nextDouble() < 0.4) s"hot${rnd.nextInt(2)}"
+      else s"cold${rnd.nextInt(200)}")
+    val mg = new MisraGries(20)
+    // fold in shards of varying size, merge in a skewed tree
+    val shards = keys.grouped(137).toSeq
+      .map(sh => sh.foldLeft(mg.zero)(mg.reduce))
+    val merged = shards.reduceLeft(mg.merge)
+    val summary = mg.finish(merged)
+    assert(summary.n === keys.size)
+    val truth = exactByGroupBy(keys, 0.05).keySet
+    assert(truth.subsetOf(summary.candidates.toSet),
+      s"missing: ${truth -- summary.candidates.toSet}")
+    assert(summary.candidates.size <= 20 + shards.size, // merge keeps <= k
+      "summary did not stay bounded")
+    assert(summary.candidates.size <= 20)
+  }
+
+  test("exact() equals the full GROUP BY ... HAVING answer") {
+    val rnd = new scala.util.Random(11)
+    val keys = Seq.fill(8000)(
+      if (rnd.nextDouble() < 0.3) "dominant"
+      else s"k${rnd.nextInt(500)}")
+    val df = keys.toDF("key")
+    val got = HeavyHitters.exact(df, col("key"), 0.1)
+      .as[(String, Long, Double)].collect()
+      .map { case (k, c, s) => k -> ((c, s)) }.toMap
+    val want = exactByGroupBy(keys, 0.1)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, c) =>
+      assert(got(k)._1 === c)
+      assert(math.abs(got(k)._2 - c.toDouble / keys.size) < 1e-12)
+    }
+  }
+
+  test("exactGrouped() equals per-group GROUP BY ... HAVING") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(6000)((
+      s"g${rnd.nextInt(3)}",
+      if (rnd.nextDouble() < 0.25) s"hot${rnd.nextInt(2)}"
+      else s"c${rnd.nextInt(300)}"))
+    val df = rows.toDF("g", "key")
+    val got = HeavyHitters
+      .exactGrouped(df, col("g"), col("key"), 0.08)
+      .select("g", "k", "cnt").as[(String, String, Long)]
+      .collect().map { case (g, k, c) => (g, k) -> c }.toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, grp) =>
+      val n = grp.size
+      grp.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c > n * 0.08 }
+        .map { case (k, c) => (g, k) -> c }
+    }
+    assert(got === want)
+  }
+
+  test("no qualifying keys yields an empty frame; nulls ignored") {
+    val df = (0 until 1000).map(i => s"k$i").toDF("key")
+    assert(HeavyHitters.exact(df, col("key"), 0.05).count() === 0)
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (3L, null), (4L, "a"), (5L, "b"))
+      .toDF("id", "key")
+    val hh = HeavyHitters.exact(withNulls, col("key"), 0.5)
+      .as[(String, Long, Double)].collect()
+    // n counts only non-null keys (4): a has 3/4 = 0.75 > 0.5
+    assert(hh.toSeq === Seq(("a", 3L, 0.75)))
+  }
+
+  test("sketch pass shuffles candidates, not the key space") {
+    // the verify plan's aggregate runs on an isin-filtered scan: its
+    // input cardinality is bounded by candidates, so the exchange
+    // carries <= k distinct keys however wide the corpus
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val key = when(col("l_orderkey") % 3 === 0, lit("hot"))
+      .otherwise(concat(lit("cold"), col("l_partkey")))
+    val out = HeavyHitters.exact(li, key, 0.2)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("hot"), "candidate literal should reach the scan")
+    assert(out.as[(String, Long, Double)].collect().map(_._1).toSeq
+      === Seq("hot"))
+  }
+}
