@@ -428,3 +428,49 @@ object MixtureSample {
       .drop("__h", "__rn")
   }
 }
+
+/** Temperature-scaled mixture resampling — the multilingual rebalancing
+  * scheme of mT5/XLM-R: instead of TARGET proportions handed in (that's
+  * [[MixtureSample]]), the mix is DERIVED from the observed counts,
+  * p_s ∝ c_s^α, flattening the head (a 0.8-share crawl language stops
+  * dominating) while keeping tail languages proportionally
+  * over-represented. α is fixed at 0.5 (`sqrt`) deliberately: IEEE-754
+  * `sqrt` is correctly rounded on every engine, so the derived quotas —
+  * and hence the exact sampled set — replay bit-identically cross-engine,
+  * which `pow(x, 0.5)` does not guarantee.
+  *
+  * Quotas: q_s = min(c_s, floor(total · √c_s / W)), W = Σ√c_s folded in
+  * ascending source order (a SEQUENTIAL left fold, mirrored by the
+  * oracle's ordered running sum, so the double accumulation is
+  * bit-identical). Driver state: one (source, count) row per source,
+  * bounded by `maxSources`. Selection is the same per-source
+  * bottom-quota by stable hash as [[MixtureSample]] — exact, not
+  * binomial. */
+object TemperatureMixture {
+  def apply(df: DataFrame, sourceCol: String, total: Long,
+            seedCols: Seq[String], hash: SampleHash = Xx64,
+            maxSources: Int = 10000): DataFrame = {
+    require(total > 0, "total must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(sourceCol).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.length <= maxSources,
+      s"more than $maxSources sources — raise maxSources or pre-filter")
+    val weights = counts.map { case (_, n) => math.sqrt(n.toDouble) }
+    val bigW = weights.foldLeft(0.0)(_ + _) // ascending-source left fold
+    val quotas = counts.zip(weights).map { case ((s, n), w) =>
+      s -> math.min(n, math.floor(total * w / bigW).toLong)
+    }
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (src, q)) =>
+      when(col(sourceCol) === src, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col("__h") +: seedCols.map(col): _*)
+    df.withColumn("__h", SampleHash.keyFor(seedCols, hash))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__h", "__rn")
+  }
+}
