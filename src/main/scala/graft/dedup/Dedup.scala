@@ -881,4 +881,55 @@ object Dedup {
       .select(col(idCol), col("rep_id"),
         (col(idCol) === col("rep_id")).as("is_kept"))
   }
+
+  /** Paragraph-level exact dedup with document reassembly — the Dolma
+    * recipe: boilerplate (nav bars, license blocks, repeated intros)
+    * recurs across millions of pages that are NOT document-level dups,
+    * so dedup runs at paragraph granularity and the documents are
+    * stitched back together from their surviving paragraphs.
+    *
+    * Units here are non-overlapping `window`-token chunks
+    * ([[graft.textanalysis.TextAnalysis.tokenChunks]] with
+    * stride = window; swap in a real paragraph splitter when the corpus
+    * has one). Keep-first: a chunk's canonical home is the globally
+    * smallest (doc, idx) — computed as `min(doc·2^20 + idx)` per
+    * distinct chunk (one map-side-combined aggregate; the arithmetic
+    * key replays in any engine, unlike a struct min) — and every other
+    * occurrence drops, including repeats within one document.
+    *
+    * Shuffle budget: one aggregate + one join on the chunk text (same
+    * key, so AQE reuses the partitioning) and one aggregate on the doc
+    * id for reassembly. Never all-pairs, no windows over the corpus.
+    * `idCol` must be a non-negative integral id; chunk index must fit
+    * 20 bits (1M chunks/doc — far beyond any real document).
+    *
+    * Output: (idCol, n_chunks, n_kept, n_dropped, kept_text) for every
+    * non-blank input doc; a fully-deduped doc keeps an empty string. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int): DataFrame = {
+    val chunks = graft.textanalysis.TextAnalysis
+      .tokenChunks(docs, idCol, textCol, chunkSize = window,
+        stride = window)
+      .select(col(idCol), col("chunk_idx").cast("long").as("__cidx"),
+        col("chunk_text").as("__chunk"))
+      .withColumn("__key",
+        col(idCol).cast("long") * lit(1L << 20) + col("__cidx"))
+    val canon = chunks.groupBy("__chunk")
+      .agg(min("__key").as("__first"))
+    val kept = chunks.join(canon, Seq("__chunk"))
+      .where(col("__key") === col("__first"))
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__cidx").as("i"),
+            col("__chunk").as("c")))), x => x.getField("c")), " ")
+          .as("kept_text"))
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

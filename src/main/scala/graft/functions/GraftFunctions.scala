@@ -96,6 +96,37 @@ object GraftFunctions {
       .otherwise(concat(lit("S/ "), format_number(round(d, 0), 0)))
   }
 
+  /** URL scalars for web-scale curation — the per-row fields every
+    * crawl pipeline groups, filters, and dedups by (per-domain quotas,
+    * blocklists, host-level dedup). Pure `regexp_extract` expressions:
+    * codegen'd, no UDF, and the patterns avoid lookaround so the same
+    * regex replays in RE2-based engines. All return '' on no match
+    * (the regexp_extract contract in both Spark and DuckDB).
+    *
+    * [[urlDomain]] is the last-two-labels approximation of the
+    * registered domain — correct for .com/.org/.io-style TLDs; a real
+    * public-suffix-list lookup needs a broadcast suffix table, out of
+    * scope for a scalar. */
+  def urlScheme(url: Column): Column =
+    regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+
+  /** Hostname without userinfo or port. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+
+  /** Registered domain, last-two-labels approximation. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Path component ('' when the URL has none). */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+
+  /** Value of query parameter `name` ('' when absent). `name` must be
+    * regex-literal (no metacharacters). */
+  def urlParam(url: Column, name: String): Column =
+    regexp_extract(url, s"[?&]$name=([^&#]*)", 1)
+
   /** Register SQL-callable names for the custom expressions on a session.
     * Idempotent; lets `spark.sql("... locale_num(col) ...")` work. */
   def register(spark: SparkSession): Unit = {

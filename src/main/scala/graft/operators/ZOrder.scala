@@ -130,4 +130,45 @@ object ZOrder {
       .withColumn(hCol, hilbertD2(col("__rank0"), col("__rank1"), bits))
       .drop("__rank0", "__rank1")
   }
+
+  /** Data-skipping effectiveness report — the number layout work is FOR:
+    * parquet/lakehouse scans prune a file when its min/max stats exclude
+    * the predicate range, so "how many files does `valueCol BETWEEN lo
+    * AND hi` touch" is the direct measure of a layout. Simulates two
+    * layouts of the same rows into `nFiles` files — value-clustered
+    * (the [[Analytics.qsketchRangeBuckets]] equi-depth assignment, the
+    * TeraSort-sampler shape a real sorted write produces) vs hash-
+    * scattered (md5 mod nFiles, the layout an unsorted ingest produces)
+    * — computes per-file min/max, and reports files touched + rows
+    * behind those files per layout. Both assignments are pure maps
+    * (sketch cuts broadcast); the per-file stats are one map-side-
+    * combined aggregate each. Output: (layout, files_total,
+    * files_touched, rows_scanned), 2 rows. */
+  def skippingReport(df: DataFrame, rowKey: Column, valueCol: String,
+                     lo: Double, hi: Double, nFiles: Int,
+                     k: Int = 1024): DataFrame = {
+    require(nFiles > 1, s"nFiles must exceed 1, got $nFiles")
+    val nn = df.where(col(valueCol).isNotNull)
+    val clustered = Analytics.qsketchRangeBuckets(nn, rowKey, valueCol,
+        k, nFiles)
+      .select(col(valueCol).cast("double").as("v"),
+        col("bucket").as("file"))
+    val scattered = nn.select(col(valueCol).cast("double").as("v"),
+      pmod(conv(substring(md5(rowKey.cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(nFiles.toLong)).cast("int").as("file"))
+    def layoutRow(files: DataFrame, layout: String) = {
+      val touched = col("v_min") <= hi && col("v_max") >= lo
+      files.groupBy("file")
+        .agg(min("v").as("v_min"), max("v").as("v_max"),
+          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(touched, 1L).otherwise(0L)).as("files_touched"),
+          coalesce(sum(when(touched, col("n"))), lit(0L))
+            .as("rows_scanned"))
+        .select(lit(layout).as("layout"), col("files_total"),
+          col("files_touched"), col("rows_scanned"))
+    }
+    layoutRow(clustered, "equidepth")
+      .unionByName(layoutRow(scattered, "hash"))
+  }
 }

@@ -25,6 +25,18 @@ object Round11b {
   /** Temperature resampling budget over the documents corpus. */
   private val TempTotal = 300L
 
+  /** Paragraph-dedup unit: non-overlapping 8-token chunks (the corpus
+    * has no newline paragraphs; 8 tokens gives a healthy duplicate
+    * rate at every SF). */
+  private val ParaWindow = 8
+
+  /** Skipping-report constants: 32 simulated files, 1024-row layout
+    * sketch, a ~2-file price band as the probe predicate. */
+  private val SkipFiles = 32
+  private val SkipK = 1024
+  private val SkipLo = 30000.0
+  private val SkipHi = 34000.0
+
   val defs: Map[String, Q] = Map(
 
     // small-file compaction planning: greedy first-fit bin assignment
@@ -40,6 +52,62 @@ object Round11b {
       Compaction.binSummary(stats, "file_id", "bytes", CompactTarget,
           bucketWidth = 128)
         .orderBy("bin")
+    }),
+
+    // URL scalars over a deterministic URL fixture (scheme/host with
+    // optional userinfo-free port and www, optional path, query,
+    // fragment): pure codegen'd regexp_extract columns — the per-row
+    // fields crawl curation groups and filters by. The oracle builds
+    // the identical URL string and runs the same RE2-safe patterns
+    "scalar_url_parts" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").filter(col("event_id") % 9 === 0)
+      val scheme = when(col("event_id") % 2 === 0, lit("https"))
+        .otherwise(lit("http"))
+      val url = concat(scheme, lit("://"),
+        when(col("user_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), col("user_id") % 20, lit(".example.com"),
+        when(col("user_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+        when(col("event_id") % 3 =!= 0,
+          concat(lit("/p/"), col("event_id"))).otherwise(lit("")),
+        when(col("event_id") % 5 === 0,
+          concat(lit("?ref=u"), col("user_id"), lit("&x=1")))
+          .otherwise(lit("")),
+        when(col("event_id") % 7 === 0, lit("#top")).otherwise(lit("")))
+      import graft.functions.GraftFunctions._
+      ev.select(col("event_id"), url.as("url"))
+        .select(col("event_id"), col("url"),
+          urlScheme(col("url")).as("scheme"),
+          urlHost(col("url")).as("host"),
+          urlDomain(col("url")).as("domain"),
+          urlPath(col("url")).as("path"),
+          urlParam(col("url"), "ref").as("ref"))
+        .orderBy("event_id")
+    }),
+
+    // paragraph-level dedup with document reassembly (the Dolma
+    // recipe): keep-first at chunk granularity — canonical home is the
+    // min arithmetic (doc, idx) key per distinct chunk — then docs are
+    // stitched back from their surviving chunks. One aggregate + one
+    // join on the chunk text, one reassembly aggregate; never
+    // all-pairs
+    "text_paragraph_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.paragraphDedup(
+          tbl(s, dir, "documents"), "doc_id", "text", ParaWindow)
+        .orderBy("doc_id")),
+
+    // data-skipping effectiveness: the same rows laid out equi-depth-
+    // clustered vs hash-scattered into 32 files, per-file min/max
+    // stats, and the file/row cost of a range predicate under each —
+    // the measured "why sorted layout matters" number (the clustered
+    // layout touches ~2 files, the hash layout all 32). Assignments
+    // are pure maps off broadcast sketch cuts; stats are one
+    // map-side-combined aggregate per layout
+    "layout_skipping" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+      graft.operators.ZOrder.skippingReport(li, rowKey,
+          "l_extendedprice", SkipLo, SkipHi, SkipFiles, k = SkipK)
+        .orderBy("layout")
     }),
 
     // temperature-scaled mixture resampling (alpha = 0.5): quotas
@@ -115,6 +183,111 @@ object Round11b {
        SELECT r.lang, r.doc_id
        FROM r JOIN q USING (lang) WHERE rn <= quota
        ORDER BY lang, doc_id""",
+
+    "scalar_url_parts" ->
+      """WITH u AS (
+           SELECT event_id,
+             (CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'http' END)
+             || '://'
+             || (CASE WHEN user_id % 4 = 0 THEN 'www.' ELSE '' END)
+             || 'site' || (user_id % 20)::VARCHAR || '.example.com'
+             || (CASE WHEN user_id % 5 = 0 THEN ':8080' ELSE '' END)
+             || (CASE WHEN event_id % 3 <> 0
+                 THEN '/p/' || event_id::VARCHAR ELSE '' END)
+             || (CASE WHEN event_id % 5 = 0
+                 THEN '?ref=u' || user_id::VARCHAR || '&x=1' ELSE '' END)
+             || (CASE WHEN event_id % 7 = 0 THEN '#top' ELSE '' END)
+               AS url
+           FROM events WHERE event_id % 9 = 0),
+         h AS (SELECT event_id, url,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)
+               AS host
+           FROM u)
+       SELECT event_id, url,
+         regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)
+           AS scheme,
+         host,
+         regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+         regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+       FROM h ORDER BY event_id""",
+
+    "text_paragraph_dedup" ->
+      s"""WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         starts AS (
+           SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1),
+               $ParaWindow)) AS s
+           FROM toks),
+         chunks AS (
+           SELECT doc_id,
+             ((s - 1) // $ParaWindow)::BIGINT AS cidx,
+             array_to_string(t[s:s+${ParaWindow - 1}], ' ') AS chunk,
+             (doc_id * 1048576 + (s - 1) // $ParaWindow)::BIGINT AS key
+           FROM starts),
+         canon AS (SELECT chunk, min(key) AS first_key
+           FROM chunks GROUP BY 1),
+         kept AS (SELECT c.doc_id, c.cidx, c.chunk
+           FROM chunks c JOIN canon n
+             ON c.chunk = n.chunk AND c.key = n.first_key),
+         ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(chunk, ' ' ORDER BY cidx) AS kept_text
+           FROM kept GROUP BY 1),
+         tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+           FROM chunks GROUP BY 1)
+       SELECT tot.doc_id, tot.n_chunks,
+         coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+         (tot.n_chunks - coalesce(ka.n_kept, 0))::BIGINT AS n_dropped,
+         coalesce(ka.kept_text, '') AS kept_text
+       FROM tot LEFT JOIN ka USING (doc_id) ORDER BY doc_id""",
+
+    "layout_skipping" -> {
+      val cutsIdx = (1 until SkipFiles).map(i => s"($i)").mkString(", ")
+      val touched = s"mn <= $SkipHi AND mx >= $SkipLo"
+      s"""WITH s AS (
+           SELECT CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+               l_linenumber::VARCHAR), 1, 15)) AS BIGINT) AS h,
+             l_extendedprice::DOUBLE AS v
+           FROM lineitem ORDER BY h, v LIMIT $SkipK),
+         r AS (SELECT v, h,
+             row_number() OVER (ORDER BY v, h) AS rn,
+             count(*) OVER () AS n FROM s),
+         cuts AS (SELECT r.v AS cut
+           FROM (VALUES $cutsIdx) p(i)
+           JOIN r ON r.rn = CAST(floor((p.i / $SkipFiles.0) * (r.n - 1))
+               AS BIGINT) + 1),
+         base AS (SELECT l_extendedprice::DOUBLE AS v,
+             CAST(('0x' || substr(md5(l_orderkey::VARCHAR || '|' ||
+               l_linenumber::VARCHAR), 1, 15)) AS BIGINT) AS h
+           FROM lineitem),
+         eqf AS (SELECT file, min(v) AS mn, max(v) AS mx,
+             count(*)::BIGINT AS n
+           FROM (SELECT v, (SELECT count(*) FROM cuts c
+               WHERE base.v > c.cut) AS file FROM base)
+           GROUP BY 1),
+         haf AS (SELECT file, min(v) AS mn, max(v) AS mx,
+             count(*)::BIGINT AS n
+           FROM (SELECT v, h % $SkipFiles AS file FROM base)
+           GROUP BY 1)
+       SELECT * FROM (
+         SELECT 'equidepth' AS layout, count(*)::BIGINT AS files_total,
+           sum(CASE WHEN $touched THEN 1 ELSE 0 END)::BIGINT
+             AS files_touched,
+           coalesce(sum(CASE WHEN $touched THEN n END), 0)::BIGINT
+             AS rows_scanned
+         FROM eqf
+         UNION ALL
+         SELECT 'hash', count(*)::BIGINT,
+           sum(CASE WHEN $touched THEN 1 ELSE 0 END)::BIGINT,
+           coalesce(sum(CASE WHEN $touched THEN n END), 0)::BIGINT
+         FROM haf)
+       ORDER BY layout"""
+    },
 
     "agg_heavy_hitters" ->
       s"""WITH t AS (
