@@ -393,5 +393,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             numLit(n, "budget", args(7)).toLong)
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(table, keyCol, minShare) - exact keys above the share threshold via a Misra-Gries sketch + verify pass: (k, cnt, share)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_heavy_hitters expects 3 arguments")
+        val n = "graft_heavy_hitters"
+        graft.operators.HeavyHitters.exact(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "keyCol", args(1))),
+            numLit(n, "minShare", args(2)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_paragraph_dedup"),
+      info("graft_paragraph_dedup",
+        "graft_paragraph_dedup(table, idCol, textCol, window) - keep-first chunk-level dedup with document reassembly: (id, n_chunks, n_kept, n_dropped, kept_text)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_paragraph_dedup expects 4 arguments")
+        val n = "graft_paragraph_dedup"
+        graft.dedup.Dedup.paragraphDedup(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "window", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_temperature_mix"),
+      info("graft_temperature_mix",
+        "graft_temperature_mix(table, sourceCol, total, seedCols) - alpha=0.5 temperature-rebalanced sample with exact per-source quotas (seedCols comma-separated): input rows kept"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_temperature_mix expects 4 arguments")
+        val n = "graft_temperature_mix"
+        graft.operators.TemperatureMixture(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "sourceCol", args(1)),
+            numLit(n, "total", args(2)).toLong,
+            strLit(n, "seedCols", args(3)).split(",").toSeq,
+            hash = graft.operators.Md5)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_compaction_bins"),
+      info("graft_compaction_bins",
+        "graft_compaction_bins(statsTable, fileCol, bytesCol, targetBytes) - greedy first-fit bin per file off an exclusive byte prefix sum: stats cols + (cum_before, bin)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_compaction_bins expects 4 arguments")
+        val n = "graft_compaction_bins"
+        graft.operators.Compaction.planBins(
+            SparkSession.active.table(strLit(n, "statsTable", args.head)),
+            strLit(n, "fileCol", args(1)), strLit(n, "bytesCol", args(2)),
+            numLit(n, "targetBytes", args(3)).toLong)
+          .queryExecution.logical
+      }))
   }
 }

@@ -284,6 +284,46 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         "graft_rag must plan to the Rag.pack pipeline")
       assert(sqlRag.count() > 0, "the packed context must be non-empty")
 
+      val sqlHh = spark.sql(
+        "SELECT * FROM graft_heavy_hitters('tvf_docs','text',0.4)")
+      val apiHh = graft.operators.HeavyHitters.exact(docs,
+        col("text"), 0.4)
+      assert(sqlHh.queryExecution.optimizedPlan
+        .sameResult(apiHh.queryExecution.optimizedPlan),
+        "graft_heavy_hitters must plan to HeavyHitters.exact")
+      assert(sqlHh.collect().map(_.getString(0)).toSeq ===
+        Seq("alpha beta gamma delta epsilon")) // 2/4 of rows
+
+      val sqlPara = spark.sql(
+        "SELECT * FROM graft_paragraph_dedup('tvf_docs','doc_id','text',3)")
+      val apiPara = graft.dedup.Dedup.paragraphDedup(docs, "doc_id",
+        "text", 3)
+      assert(sqlPara.queryExecution.optimizedPlan
+        .sameResult(apiPara.queryExecution.optimizedPlan),
+        "graft_paragraph_dedup must plan to Dedup.paragraphDedup")
+      assert(sqlPara.count() === 4)
+
+      val sqlTemp = spark.sql(
+        "SELECT * FROM graft_temperature_mix('tvf_labeled','lang',3,'doc_id')")
+      val apiTemp = graft.operators.TemperatureMixture(labeled, "lang",
+        3L, Seq("doc_id"), hash = graft.operators.Md5)
+      assert(sqlTemp.queryExecution.optimizedPlan
+        .sameResult(apiTemp.queryExecution.optimizedPlan),
+        "graft_temperature_mix must plan to TemperatureMixture")
+
+      Seq((0L, 100L), (1L, 250L), (2L, 80L), (3L, 400L))
+        .toDF("file_id", "bytes").createOrReplaceTempView("tvf_stats")
+      val sqlBins = spark.sql(
+        "SELECT * FROM graft_compaction_bins('tvf_stats','file_id','bytes',300)")
+      val apiBins = graft.operators.Compaction.planBins(
+        spark.table("tvf_stats"), "file_id", "bytes", 300L)
+      assert(sqlBins.queryExecution.optimizedPlan
+        .sameResult(apiBins.queryExecution.optimizedPlan),
+        "graft_compaction_bins must plan to Compaction.planBins")
+      assert(sqlBins.select("file_id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
