@@ -25,6 +25,12 @@ object Round11b {
   /** Temperature resampling budget over the documents corpus. */
   private val TempTotal = 300L
 
+  /** Streaming heavy hitters: 4 lanes x 16 MG counters; any key with
+    * global share > 0.1 has lane share > 0.1 > 1/17 in at least one
+    * lane, so the lane-candidate union keeps the superset guarantee. */
+  private val HhStreamK = 16
+  private val HhStreamShare = 0.1
+
   /** Paragraph-dedup unit: non-overlapping 8-token chunks (the corpus
     * has no newline paragraphs; 8 tokens gives a healthy duplicate
     * rate at every SF). */
@@ -52,6 +58,27 @@ object Round11b {
       Compaction.binSummary(stats, "file_id", "bytes", CompactTarget,
           bucketWidth = 128)
         .orderBy("bin")
+    }),
+
+    // STREAMING heavy hitters, replayed: per-lane Misra-Gries end
+    // states (the transformWithState processor's batch twin), lane
+    // candidates unioned — mergeability keeps the superset guarantee —
+    // then one exact count over only those keys. The oracle runs the
+    // full GROUP BY ... HAVING: the gate pins that the bounded-state
+    // streaming path lands on the EXACT batch answer. The processor
+    // itself is pinned bit-identical to the replay across micro-batch
+    // splits in HeavyHittersSpec
+    "stream_heavy_hitters" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val key = when(col("user_id") % 3 === 0,
+          concat(lit("hot"), col("user_id") % 2))
+        .otherwise(concat(lit("u"), col("user_id")))
+      val lanes = graft.streaming.StreamingTopK.replayShards(
+        ev, pmod(col("user_id"), lit(4)), col("event_id"), key,
+        HhStreamK)
+      graft.streaming.StreamingTopK.exactFromShards(lanes, ev, key,
+          HhStreamShare)
+        .orderBy("k")
     }),
 
     // URL scalars over a deterministic URL fixture (scheme/host with
@@ -183,6 +210,19 @@ object Round11b {
        SELECT r.lang, r.doc_id
        FROM r JOIN q USING (lang) WHERE rn <= quota
        ORDER BY lang, doc_id""",
+
+    "stream_heavy_hitters" ->
+      s"""WITH t AS (
+           SELECT CASE WHEN user_id % 3 = 0
+                       THEN 'hot' || (user_id % 2)::VARCHAR
+                       ELSE 'u' || user_id::VARCHAR END AS k
+           FROM events),
+         tot AS (SELECT count(*)::BIGINT AS n FROM t)
+       SELECT k, count(*)::BIGINT AS cnt,
+         count(*) / n::DOUBLE AS share
+       FROM t, tot GROUP BY k, n
+       HAVING count(*) > n * $HhStreamShare
+       ORDER BY k""",
 
     "scalar_url_parts" ->
       """WITH u AS (

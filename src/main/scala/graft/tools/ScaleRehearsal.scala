@@ -589,6 +589,30 @@ object ScaleRehearsal {
       f"${sn * 10} rows ${eg10}%.2f s (${eg10 / eg1}%.1fx, ~linear " +
       f"target, 32 groups x 7 cut values of broadcast state)")
 
+    // ---- heavy hitters: k counters per task however wide the key
+    // space; the exact verify pass aggregates <= k candidate keys.
+    // Key space grows with the corpus (rows/60 distinct cold keys),
+    // exactly the regime where a plain GROUP BY would shuffle
+    // millions of keys to find the two hot ones ----
+    def heavyHittersTime(rows: Long): Double = {
+      val df = spark.range(rows).select(
+        when(col("id") % 3 === 0,
+          concat(lit("hot"), col("id") % 2))
+          .otherwise(concat(lit("cold"), pmod(xxhash64(col("id")),
+            lit(rows / 60 max 1L)))).as("k"))
+      val t0 = System.nanoTime()
+      val out = graft.operators.HeavyHitters.exact(df, col("k"), 0.1)
+        .collect()
+      require(out.map(_.getString(0)).sorted.toSeq ==
+        Seq("hot0", "hot1"), s"wrong hitters: ${out.toSeq}")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (hh1, hh10) = (heavyHittersTime(sn), heavyHittersTime(sn * 10))
+    println(f"[rehearsal] heavy hitters: $sn rows ${hh1}%.2f s; " +
+      f"${sn * 10} rows ${hh10}%.2f s (${hh10 / hh1}%.1fx, ~linear " +
+      f"target; 10 MG counters per task + a 2-key verify aggregate " +
+      f"at either size, key space ${sn / 60} -> ${sn / 6} distinct)")
+
     spark.stop()
   }
 }

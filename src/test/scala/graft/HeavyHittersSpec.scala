@@ -85,6 +85,51 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(hh.toSeq === Seq(("a", 3L, 0.75)))
   }
 
+  test("streaming MG equals the batch replay across a micro-batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingTopK
+    import graft.streaming.StreamingTopK.HhEvent
+    val k = 8
+    val evs = (1 to 200).map { i =>
+      HhEvent(i % 3, if (i % 4 == 0) "hot" else s"c${i % 37}")
+    }
+    val (b1, b2) = evs.splitAt(73)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[HhEvent]
+    val q = StreamingTopK.topkStream(input.toDS(), k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_topk_test").start()
+    val frontier = try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val all = spark.table("stream_topk_test").collect()
+        .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_seen"),
+          r.getAs[String]("key"), r.getAs[Long]("lb")))
+      all.groupBy(_._1).values.flatMap { rows =>
+        val maxN = rows.map(_._2).max
+        rows.filter(_._2 == maxN)
+      }.toSet
+    } finally q.stop()
+    // batch twin folds each lane in the same (feed) order: index order
+    val df = evs.zipWithIndex
+      .map { case (e, i) => (e.shard, i.toLong, e.key) }
+      .toDF("shard", "ord", "key")
+    val replay = StreamingTopK.replayShards(df, col("shard"),
+        col("ord"), col("key"), k)
+      .as[(Int, Long, String, Long)].collect().toSet
+    assert(frontier === replay,
+      "micro-batch split must not change any lane's MG end state")
+    // and the exact pass lands on the true answer regardless of order
+    val hh = StreamingTopK.exactFromShards(
+      replay.toSeq.toDF("shard", "n_seen", "key", "lb"),
+      df, col("key"), 0.2)
+      .as[(String, Long, Double)].collect()
+    assert(hh.map(_._1).toSeq === Seq("hot")) // 50/200 = 0.25 > 0.2
+    assert(hh.head._2 === 50L)
+  }
+
   test("sketch pass shuffles candidates, not the key space") {
     // the verify plan's aggregate runs on an isin-filtered scan: its
     // input cardinality is bounded by candidates, so the exchange
