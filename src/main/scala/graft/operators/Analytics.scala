@@ -877,6 +877,39 @@ object Analytics {
         .withColumnRenamed("kmv_est", "est_b")))
   }
 
+  /** Per-group [[kmvSketch]]: each group's k smallest distinct hashes,
+    * drawn by the custom bounded-buffer top-k operator (k-row buffer
+    * per group on each side of one hash exchange after the distinct
+    * collapse — no window sort). "Distinct users per segment over
+    * 100 TB with set-operation support" at k rows of state per group,
+    * where [[hllRegistersGrouped]] answers only cardinality. */
+  def kmvSketchGrouped(df: DataFrame, groupCol: String, keyCol: String,
+                       k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    val hashed = df.select(col(groupCol).as("__g"),
+        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .where(col("h").isNotNull)
+      .groupBy("__g", "h").agg(count(lit(1)).as("__n"))
+      .select(col("__g"), col("h"))
+      .withColumn("negh", -col("h"))
+    topKPerGroupExec(hashed, Seq("__g"), "negh", k, Seq.empty)
+      .select(col("__g"), col("h"))
+  }
+
+  /** Per-group distinct estimate off a [[kmvSketchGrouped]]: exact
+    * below k, else (k−1)/u_k — the same single-division estimator as
+    * [[kmvEstimate]], windowless (one grouped aggregate over ≤ k rows
+    * per group). Output: (__g, kmv_est). */
+  def kmvEstimateGrouped(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__vk"))
+      .select(col("__g"),
+        round(when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("__vk").cast("double") / lit(KmvDomain))), 4)
+          .as("kmv_est"))
+
   /** Bottom-k-by-hash uniform ROW sample — the quantile companion to
     * [[kmvSketch]]: where KMV samples the key's hash domain (distinct
     * values), this samples ROWS uniformly by hashing a caller-supplied

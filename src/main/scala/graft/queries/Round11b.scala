@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Compaction, HeavyHitters, Md5, TemperatureMixture}
+import graft.operators.{Analytics, Compaction, HeavyHitters, Md5,
+  TemperatureMixture}
 
 /** Round-11 continuation gates: the heavy-hitters sketch family and
   * curation/layout planners. Each Spark query has a DuckDB oracle
@@ -24,6 +25,9 @@ object Round11b {
 
   /** Temperature resampling budget over the documents corpus. */
   private val TempTotal = 300L
+
+  /** Grouped-KMV sketch size. */
+  private val KmvGK = 128
 
   /** Streaming heavy hitters: 4 lanes x 16 MG counters; any key with
     * global share > 0.1 has lane share > 0.1 > 1/17 in at least one
@@ -58,6 +62,24 @@ object Round11b {
       Compaction.binSummary(stats, "file_id", "bytes", CompactTarget,
           bucketWidth = 128)
         .orderBy("bin")
+    }),
+
+    // per-group KMV distinct: each segment's bottom-k distinct-hash
+    // sketch via the custom bounded-buffer top-k operator (k rows of
+    // state per group after the distinct collapse — no window sort),
+    // the (k-1)/u_k estimate read off per group; exact distincts ride
+    // along. Completes the grouped sketch symmetry with
+    // agg_hll_grouped, with KMV's set-operation support
+    "agg_kmv_grouped" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val est = Analytics.kmvEstimateGrouped(
+        Analytics.kmvSketchGrouped(ev, "event_type", "event_id", KmvGK),
+        KmvGK)
+      val tru = ev.groupBy(col("event_type").as("__g"))
+        .agg(countDistinct("event_id").as("true_distinct"))
+      est.join(tru, "__g")
+        .select(col("__g").as("g"), col("true_distinct"), col("kmv_est"))
+        .orderBy("g")
     }),
 
     // STREAMING heavy hitters, replayed: per-lane Misra-Gries end
@@ -210,6 +232,25 @@ object Round11b {
        SELECT r.lang, r.doc_id
        FROM r JOIN q USING (lang) WHERE rn <= quota
        ORDER BY lang, doc_id""",
+
+    "agg_kmv_grouped" ->
+      s"""WITH d AS (SELECT DISTINCT event_type AS g,
+             CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+               AS BIGINT) AS h
+           FROM events WHERE event_id IS NOT NULL),
+         s AS (SELECT g, h FROM (
+             SELECT g, h, row_number() OVER (PARTITION BY g
+               ORDER BY h) AS rk FROM d) t
+           WHERE rk <= $KmvGK),
+         a AS (SELECT g, count(*) AS n, max(h) AS vk FROM s GROUP BY 1),
+         tru AS (SELECT event_type AS g,
+             count(DISTINCT event_id)::BIGINT AS true_distinct
+           FROM events GROUP BY 1)
+       SELECT a.g, tru.true_distinct,
+         round(CASE WHEN a.n < $KmvGK THEN a.n::DOUBLE
+           ELSE ${KmvGK - 1}.0 / (a.vk / 1152921504606846976.0) END, 4)
+           AS kmv_est
+       FROM a JOIN tru USING (g) ORDER BY g""",
 
     "stream_heavy_hitters" ->
       s"""WITH t AS (

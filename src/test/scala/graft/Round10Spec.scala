@@ -603,6 +603,33 @@ class Round10Spec extends SparkTestBase {
     assert(scores(13L)._1 === 0.5, "null text must score neutral")
   }
 
+  test("grouped kmv: per-group sketch matches the per-slice sketch") {
+    val k = 64
+    val grouped = Analytics.kmvSketchGrouped(events, "event_type",
+        "event_id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val types = events.select("event_type").distinct()
+      .collect().map(_.getString(0))
+    types.foreach { t =>
+      val direct = Analytics.kmvSketch(
+          events.where(col("event_type") === t), "event_id", k)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(grouped(t) === direct,
+        s"group $t sketch must equal the filtered-slice sketch")
+    }
+    // and the grouped estimate is the per-slice estimate
+    val estG = Analytics.kmvEstimateGrouped(
+        Analytics.kmvSketchGrouped(events, "event_type", "event_id", k), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    types.foreach { t =>
+      val est = Analytics.kmvEstimate(Analytics.kmvSketch(
+        events.where(col("event_type") === t), "event_id", k), k)
+        .head().getDouble(0)
+      assert(estG(t) === est)
+    }
+  }
+
   test("kmv set ops are exact when both sides fit under k") {
     val a = events.where(col("user_id") < 8)
     val b = events.where(col("user_id") >= 4 && col("user_id") < 12)
