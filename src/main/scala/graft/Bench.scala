@@ -96,16 +96,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val calib = s""""calib":{"jvm_hash_loop_s":$calibJvm,""" +
+      s""""spark_range_xxhash_s":$calibSpark}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""calib":{"jvm_hash_loop_s":$calibJvm,""" +
-        s""""spark_range_xxhash_s":$calibSpark},"sf":"$sfDir"}"""
-    println(line)
-    // also persist the line verbatim: the driver scrapes stdout and its
-    // tail truncation has historically lost the front of this (long)
-    // line, leaving only ~40% of the per-query timings auditable. The
-    // file survives intact regardless of log truncation. Override the
-    // path via SPARK_GRAFT_BENCH_OUT.
+        s"""$calib,"sf":"$sfDir"}"""
+    // STDOUT gets a line that FITS: the driver keeps only the last
+    // ~2000 chars of console output, and the full per-query map (200+
+    // gates) is ~7 kB — every round's BENCH artifact parsed to null
+    // because the line's head was cut off. The printed line carries
+    // the suite total, calibration, and the 40 slowest gates (the ones
+    // a regression reader looks at first) at 3-decimal precision —
+    // ~1.3 kB, inside the window with room for sbt's trailer — plus a
+    // pointer to the full-precision file below.
+    def f3(v: Double): String = // Locale.ROOT: a comma separator from
+      String.format(java.util.Locale.ROOT, "%.3f", // the host locale
+        Double.box(v)) // would break the JSON
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"queries":$slow,$calib,""" +
+        s""""queries_full":"see bench file","sf":"$sfDir"}""")
+    // persist the FULL line (every gate, full precision): the stdout
+    // tail can never carry it intact. Override the path via
+    // SPARK_GRAFT_BENCH_OUT.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "target/bench.json")
     try {

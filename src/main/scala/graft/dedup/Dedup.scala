@@ -900,8 +900,12 @@ object Dedup {
     * Shuffle budget: one aggregate + one join on the chunk text (same
     * key, so AQE reuses the partitioning) and one aggregate on the doc
     * id for reassembly. Never all-pairs, no windows over the corpus.
-    * `idCol` must be a non-negative integral id; chunk index must fit
-    * 20 bits (1M chunks/doc — far beyond any real document).
+    * `idCol` must be a non-negative integral id below 2^43; chunk index
+    * must fit 20 bits (1M chunks/doc — far beyond any real document).
+    * Both preconditions are ENFORCED at runtime (a per-row assert in
+    * the chunk scan) because `graft_paragraph_dedup` exposes this to
+    * arbitrary SQL tables and a silent long overflow would corrupt the
+    * keep-first ordering rather than fail.
     *
     * Output: (idCol, n_chunks, n_kept, n_dropped, kept_text) for every
     * non-blank input doc; a fully-deduped doc keeps an empty string. */
@@ -912,6 +916,19 @@ object Dedup {
         stride = window)
       .select(col(idCol), col("chunk_idx").cast("long").as("__cidx"),
         col("chunk_text").as("__chunk"))
+      // runtime guard on the packing preconditions (id in [0, 2^43),
+      // chunk_idx < 2^20): with ANSI off, long overflow in the packed
+      // key is SILENT and keep-first would pick a wrong canonical
+      // occurrence — corrupted output, not an error. assert_true
+      // evaluates null when the condition holds (the filter keeps every
+      // row) and raises with the offending values otherwise; living in
+      // a Filter keeps it from being pruned as an unused projection.
+      .where(assert_true(
+        col(idCol).cast("long").between(0L, (1L << 43) - 1) &&
+          col("__cidx") < (1L << 20),
+        concat(lit(s"paragraphDedup: $idCol/chunk_idx outside packable " +
+          "range [0,2^43)/[0,2^20): "), col(idCol).cast("string"),
+          lit("/"), col("__cidx").cast("string"))).isNull)
       .withColumn("__key",
         col(idCol).cast("long") * lit(1L << 20) + col("__cidx"))
     val canon = chunks.groupBy("__chunk")

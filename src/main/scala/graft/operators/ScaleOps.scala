@@ -415,17 +415,39 @@ object MixtureSample {
     require(total > 0, "total must be positive")
     require(targets.values.forall(v => v >= 0 && v <= 1),
       "target fractions must be in [0,1]")
-    import org.apache.spark.sql.expressions.Window
-    val quota = targets.foldLeft(lit(0L)) { case (acc, (src, frac)) =>
-      when(col(sourceCol) === src,
-        lit(math.floor(total * frac + 0.5).toLong)).otherwise(acc)
+    val quotas = targets.toSeq.map { case (src, frac) =>
+      src -> math.floor(total * frac + 0.5).toLong
     }
+    QuotaSelect(df, sourceCol, quotas, seedCols, hash)
+  }
+}
+
+/** Shared bottom-quota selection: keep each source's `quota` smallest
+  * rows in the stable hash order. The (source, quota) pairs travel as a
+  * broadcast-joined TABLE, not a per-source literal CASE — a
+  * when/otherwise chain is O(|sources|) deep in the generated code and
+  * overflows whole-stage codegen / analyzer recursion at a few thousand
+  * sources (the same cliff [[graft.operators.Analytics]]'s
+  * groupedCutTable avoids the same way), while the join side is
+  * |sources| rows of data whatever their number. Sources absent from
+  * `quotas` (and null sources) contribute nothing — the inner join
+  * drops them, matching the old CASE's `otherwise(0)`. Output column
+  * order is preserved. */
+private[operators] object QuotaSelect {
+  def apply(df: DataFrame, sourceCol: String, quotas: Seq[(String, Long)],
+            seedCols: Seq[String], hash: SampleHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = broadcast(
+      quotas.toDF(sourceCol, "__quota"))
     val w = Window.partitionBy(sourceCol)
       .orderBy(col("__h") +: seedCols.map(col): _*)
     df.withColumn("__h", SampleHash.keyFor(seedCols, hash))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quota)
-      .drop("__h", "__rn")
+      .join(quotaDf, Seq(sourceCol))
+      .filter(col("__rn") <= col("__quota"))
+      .select(df.columns.map(col): _*)
   }
 }
 
@@ -451,26 +473,23 @@ object TemperatureMixture {
             seedCols: Seq[String], hash: SampleHash = Xx64,
             maxSources: Int = 10000): DataFrame = {
     require(total > 0, "total must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val counts = df.where(col(sourceCol).isNotNull)
+    // limit(max+1) bounds the driver materialization BEFORE the guard
+    // fires — without it the collect has already pulled |sources| rows
+    // onto the driver by the time the require can object (the blow-up
+    // it exists to prevent). One extra row is enough to detect overflow
+    // and cheap enough to fetch.
+    val countRows = df.where(col(sourceCol).isNotNull)
       .groupBy(sourceCol).count()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    require(counts.length <= maxSources,
+      .limit(maxSources + 1).collect()
+    require(countRows.length <= maxSources,
       s"more than $maxSources sources — raise maxSources or pre-filter")
+    val counts = countRows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
     val weights = counts.map { case (_, n) => math.sqrt(n.toDouble) }
     val bigW = weights.foldLeft(0.0)(_ + _) // ascending-source left fold
     val quotas = counts.zip(weights).map { case ((s, n), w) =>
       s -> math.min(n, math.floor(total * w / bigW).toLong)
-    }
-    val quota = quotas.foldLeft(lit(0L)) { case (acc, (src, q)) =>
-      when(col(sourceCol) === src, lit(q)).otherwise(acc)
-    }
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(col("__h") +: seedCols.map(col): _*)
-    df.withColumn("__h", SampleHash.keyFor(seedCols, hash))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quota)
-      .drop("__h", "__rn")
+    }.toSeq
+    QuotaSelect(df, sourceCol, quotas, seedCols, hash)
   }
 }

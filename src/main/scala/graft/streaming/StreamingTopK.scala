@@ -96,18 +96,33 @@ object StreamingTopK {
     * exact count over only those keys. The superset guarantee survives
     * the union because each lane's summary covers its own share of the
     * stream. Output: (k, cnt, share) — identical to the batch
-    * operator's contract. */
+    * operator's contract.
+    *
+    * The total `n` is derived from the CORPUS, inside the same scan
+    * that counts the candidates (non-candidate rows collapse into one
+    * null group, so `n = Σ cnt`): a lane whose MG state decremented to
+    * empty emits no summary rows at all, so any n reconstructed from
+    * lane emissions can be missing or stale — undercounting n lowers
+    * the `cnt > n·minShare` bar (false positives) and inflates every
+    * reported share. Candidate-count and total come out of ONE
+    * aggregate; the ≤ shards·k + 1 row result joins its own 1-row sum,
+    * both broadcast-sized. Empty candidates / empty corpus yield an
+    * empty result instead of an NPE. */
   def exactFromShards(laneStates: DataFrame, corpus: DataFrame,
                       keyCol: Column, minShare: Double): DataFrame = {
     val cands = laneStates.select(col("key")).distinct()
       .collect().map(_.getString(0)).toSeq
     val keyed = corpus.select(keyCol.cast("string").as("k"))
       .where(col("k").isNotNull)
-    val n = laneStates.groupBy("shard").agg(max("n_seen").as("n"))
-      .agg(sum("n")).head().getLong(0)
-    keyed.where(col("k").isin(cands: _*))
-      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > lit(n * minShare))
-      .withColumn("share", col("cnt") / lit(n.toDouble))
+    val counts = keyed.groupBy(
+        when(col("k").isin(cands: _*), col("k")).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ shards·k + 1 rows; corpus scans ONCE
+    val tot = counts.agg(sum("cnt").as("n"))
+    counts.where(col("k").isNotNull)
+      .crossJoin(broadcast(tot))
+      .where(col("cnt") > col("n") * lit(minShare))
+      .select(col("k"), col("cnt"),
+        (col("cnt") / col("n").cast("double")).as("share"))
   }
 }

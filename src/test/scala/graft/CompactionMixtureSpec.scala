@@ -31,6 +31,27 @@ class CompactionMixtureSpec extends SparkTestBase {
     assert(byBin.values.sum === rows.map(_._2).sum)
   }
 
+  test("temperature mixture: quotas join as data, guard bounds collect") {
+    // the per-source quota must travel as a broadcast-joined TABLE —
+    // a literal when/otherwise chain is O(|sources|) deep in generated
+    // code and overflows codegen at a few thousand sources
+    val df = (0 until 1200).flatMap(s =>
+        (0 until 3).map(i => (f"s$s%04d", s * 3 + i)))
+      .toDF("src", "id")
+    val out = TemperatureMixture(df, "src", total = 1200L, Seq("id"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("CASE WHEN"),
+      "quota must not be a per-source literal CASE chain")
+    assert(out.count() > 0)
+    assert(out.columns.toSeq === Seq("src", "id"), "column order kept")
+    // the maxSources guard fires BEFORE materializing every source
+    val e = intercept[IllegalArgumentException] {
+      TemperatureMixture(df, "src", total = 10L, Seq("id"),
+        maxSources = 100)
+    }
+    assert(e.getMessage.contains("more than 100 sources"))
+  }
+
   test("temperature mixture: sqrt quotas, head flattened, exact sets") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val total = 200L

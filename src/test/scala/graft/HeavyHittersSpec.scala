@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{HeavyHitters, MisraGries}
+import graft.streaming.StreamingTopK
 
 /** Misra-Gries sketch + exact heavy hitters: superset guarantee under
   * arbitrary reduce/merge trees, exactness of the verify pass vs a full
@@ -128,6 +129,49 @@ class HeavyHittersSpec extends SparkTestBase {
       .as[(String, Long, Double)].collect()
     assert(hh.map(_._1).toSeq === Seq("hot")) // 50/200 = 0.25 > 0.2
     assert(hh.head._2 === 50L)
+  }
+
+  test("exactFromShards: n comes from the corpus, not lane emissions") {
+    // lane 0's MG state EMPTIES (k=2, three distinct keys once each:
+    // the third insert decrements both counters to zero), so
+    // replayShards emits no rows at all for it — a lane-derived n
+    // would miss lane 0's 3 rows, lowering the threshold and inflating
+    // every share. The corpus-derived n must count all 13 rows.
+    val lane0 = Seq("a", "b", "c").map(k => (0, "x" + k))
+    val lane1 = (Seq.fill(8)("hot") ++ Seq("d", "e")).map(k => (1, k))
+    val df = (lane0 ++ lane1).zipWithIndex
+      .map { case ((sh, k), i) => (sh, i.toLong, k) }
+      .toDF("shard", "ord", "key")
+    val lanes = StreamingTopK.replayShards(df, col("shard"),
+      col("ord"), col("key"), k = 2)
+    assert(lanes.where(col("shard") === 0).count() === 0,
+      "test premise: lane 0's summary must be empty")
+    val hh = StreamingTopK.exactFromShards(lanes, df, col("key"), 0.5)
+      .as[(String, Long, Double)].collect()
+    // hot: 8/13 = 0.615 > 0.5 — but only against the TRUE n of 13
+    assert(hh.toSeq === Seq(("hot", 8L, 8.0 / 13.0)))
+  }
+
+  test("exactFromShards: empty lane states / empty corpus, no NPE") {
+    val empty = Seq.empty[(Int, Long, String, Long)]
+      .toDF("shard", "n_seen", "key", "lb")
+    val corpus = Seq((1, "a"), (2, "b")).toDF("id", "key")
+    assert(StreamingTopK.exactFromShards(empty, corpus, col("key"), 0.1)
+      .count() === 0)
+    val lanes = Seq((0, 2L, "a", 2L)).toDF("shard", "n_seen", "key", "lb")
+    val noCorpus = corpus.where(lit(false))
+    assert(StreamingTopK.exactFromShards(lanes, noCorpus, col("key"), 0.1)
+      .count() === 0)
+  }
+
+  test("exactGrouped: maxGroups guard fires without unbounded collect") {
+    val df = Seq(("g1", "a"), ("g2", "b"), ("g3", "c"))
+      .toDF("g", "k")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactGrouped(df, col("g"), col("k"), 0.4,
+        maxGroups = 2)
+    }
+    assert(e.getMessage.contains("more than 2 groups"))
   }
 
   test("sketch pass shuffles candidates, not the key space") {

@@ -36,6 +36,26 @@ class ParagraphUrlSpec extends SparkTestBase {
     assert(out === ((7L, 3L, 1L, 2L, "p q r s")))
   }
 
+  test("paragraphDedup: out-of-range ids fail loudly, never overflow") {
+    // with ANSI off, doc_id·2^20 overflows SILENTLY for ids >= 2^43 —
+    // keep-first would then pick a wrong canonical occurrence. The
+    // runtime assert turns that corruption into an error.
+    val bad = Seq((-1L, "w w w w"), (5L, "w w w w"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.dedup.Dedup.paragraphDedup(bad, "doc_id", "text", 4)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("packable")))
+    val huge = Seq(((1L << 43), "w w w w")).toDF("doc_id", "text")
+    intercept[Exception] {
+      graft.dedup.Dedup.paragraphDedup(huge, "doc_id", "text", 4)
+        .collect()
+    }
+  }
+
   test("url scalars: scheme/host/domain/path/param edges") {
     val urls = Seq(
       "https://www.example.com/a/b?ref=x&y=2#frag",
