@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap repair for time series — linear interpolation between the
+  * bracketing observations, the standard-issue sibling of the
+  * fill-forward resampler (`window_fill_forward`): sensor dropouts,
+  * missing daily prices, and sparse metric scrapes all repair as
+  * `v0 + (v1 − v0)·(t − t0)/(t1 − t0)` where (t0, v0) / (t1, v1) are
+  * the nearest non-null observations before/after within the series.
+  * Leading gaps backfill from the first observation, trailing gaps
+  * carry the last forward; a series with no observation at all stays
+  * null.
+  *
+  * Shape: two frames over the same per-key ordering — `last(…, ignore
+  * nulls)` over (-∞, 0] for the previous observation, `first(…, ignore
+  * nulls)` over [0, +∞) for the next — then one pure-map arithmetic
+  * column. One shuffle on the key; each series sorts within its
+  * partition (the usual per-key window contract — a single series
+  * longer than a task's memory needs range-lane splitting, which none
+  * of the repo's series shapes approach).
+  *
+  * Replayability: the interpolation expression is written with the
+  * exact parenthesization above; both engines evaluate the same three
+  * IEEE ops on the same operands, so gates round only at the edge.
+  * Output: df + `outCol` (double). */
+object Resample {
+  def interpolateLinear(df: DataFrame, keyCols: Seq[String],
+                        tCol: String, vCol: String,
+                        outCol: String): DataFrame = {
+    val t = col(tCol).cast("double")
+    val v = col(vCol).cast("double")
+    val order = Window.partitionBy(keyCols.map(col): _*).orderBy(tCol)
+    val before = order.rowsBetween(Window.unboundedPreceding, 0)
+    val after = order.rowsBetween(0, Window.unboundedFollowing)
+    val prevV = last(v, ignoreNulls = true).over(before)
+    val prevT = last(when(v.isNotNull, t), ignoreNulls = true).over(before)
+    val nextV = first(v, ignoreNulls = true).over(after)
+    val nextT = first(when(v.isNotNull, t), ignoreNulls = true).over(after)
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNull, nextV)
+        .when(nextV.isNull, prevV)
+        .otherwise(prevV +
+          (nextV - prevV) * (t - prevT) / (nextT - prevT)))
+  }
+}

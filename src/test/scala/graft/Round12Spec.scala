@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.LabelProp
+import graft.operators.{Cooccur, KsDrift, Pareto, Resample}
+import graft.textanalysis.InvertedIndex
+
+/** Round-12 operators vs in-memory brute-force oracles: skyline, label
+  * propagation, frequent pairs, exact KS, linear interpolation, and the
+  * df-capped inverted index. */
+class Round12Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("skyline2D equals the brute-force dominance filter") {
+    val rnd = new scala.util.Random(19)
+    val pts = Seq.fill(4000)((rnd.nextInt(200).toDouble,
+      rnd.nextInt(200).toDouble))
+    val distinct = pts.distinct
+    val truth = distinct.filter { case (x, y) =>
+      !distinct.exists { case (px, py) =>
+        (px, py) != (x, y) && px <= x && py <= y
+      }
+    }.toSet
+    val df = pts.toDF("a", "b")
+    val got = Pareto.skyline2D(df, col("a"), col("b"), k = 256, nLanes = 8)
+      .as[(Double, Double, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet === truth)
+    // multiplicities come from the corpus, not the distinct collapse
+    val counts = pts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (x, y, n) => assert(n === counts((x, y))) }
+  }
+
+  test("skyline2D: single lane and many lanes agree") {
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.fill(500)((rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    val df = pts.toDF("a", "b")
+    val one = Pareto.skyline2D(df, col("a"), col("b"), nLanes = 2)
+      .as[(Double, Double, Long)].collect().toSet
+    val many = Pareto.skyline2D(df, col("a"), col("b"), nLanes = 16)
+      .as[(Double, Double, Long)].collect().toSet
+    assert(one === many)
+  }
+
+  test("labelProp: star adopts hub label, triangle converges to min") {
+    // star 10-(11,12,13) plus triangle 1-2-3 and isolated edge 20-21
+    val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L),
+      (1L, 2L), (2L, 3L), (3L, 1L), (20L, 21L))
+      .toDF("s", "d")
+    val got = LabelProp(edges, "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // triangle: every node's neighbors tie 1-1, min label wins each
+    // round; after round 1 labels are (1,2,3)->(2,1,1), round 2 -> all
+    // reach 1 except oscillations — just pin the fixture outcome
+    assert(got(11L) === 10L && got(12L) === 10L && got(13L) === 10L)
+    assert(Set(got(1L), got(2L), got(3L)).subsetOf(Set(1L, 2L, 3L)))
+    // a pair oscillates between the two labels under synchronous
+    // updates (the known LPA bipartite oscillation; deterministic)
+    assert(Set(got(20L), got(21L)).subsetOf(Set(20L, 21L)))
+    // determinism: a second run is identical
+    val again = LabelProp(edges, "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === again)
+  }
+
+  test("labelProp matches a brute-force synchronous replay") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong,
+      rnd.nextInt(40).toLong)).filter(e => e._1 != e._2)
+    val und = edges.flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = lab.map { case (n, _) =>
+        val freq = adj(n).map(lab).groupBy(identity).view
+          .mapValues(_.size).toMap
+        val best = freq.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        n -> best
+      }
+    }
+    val got = LabelProp(edges.toDF("s", "d"), "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === lab)
+  }
+
+  test("frequentPairs equals brute force; infrequent items pruned") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(2000)((rnd.nextInt(100).toLong,
+      rnd.nextInt(30).toLong))
+    val minSup = 8L
+    val occ = rows.distinct
+    val byBasket = occ.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val truth = byBasket.values.flatMap { items =>
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minSup).toMap
+    val got = Cooccur.frequentPairs(rows.toDF("b", "i"),
+        col("b"), col("i"), minSup)
+      .as[(Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(got === truth)
+  }
+
+  test("ks: matches brute force, is order-free, detects a shift") {
+    val rnd = new scala.util.Random(53)
+    val a = Seq.fill(3000)(rnd.nextGaussian())
+    val b = Seq.fill(2500)(rnd.nextGaussian() + 0.3)
+    def brute(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val pool = (xs ++ ys).distinct
+      pool.map { v =>
+        math.abs(xs.count(_ <= v).toDouble / xs.size -
+          ys.count(_ <= v).toDouble / ys.size)
+      }.max
+    }
+    val want = math.floor(brute(a, b) * 1e6 + 0.5) / 1e6
+    val got = KsDrift.ks(a.toDF("v"), b.toDF("v"), "v",
+        k = 512, nLanes = 8)
+      .as[(Double, Long, Long)].head()
+    assert(got === ((want, a.size.toLong, b.size.toLong)))
+    assert(got._1 > 0.05, "a 0.3-sigma shift must register")
+    // identical samples → statistic 0
+    val zero = KsDrift.ks(a.toDF("v"), a.toDF("v"), "v", nLanes = 4)
+      .as[(Double, Long, Long)].head()
+    assert(zero._1 === 0.0)
+  }
+
+  test("ks: an empty side yields an empty frame, not a crash") {
+    val a = Seq(1.0, 2.0).toDF("v")
+    val none = a.where(lit(false))
+    assert(KsDrift.ks(a, none, "v").count() === 0)
+    assert(KsDrift.ks(none, a, "v").count() === 0)
+  }
+
+  test("interpolateLinear: mid gaps linear, edges clamped") {
+    val rows = Seq[(Long, Long, Option[Double])](
+      (1L, 0L, None), (1L, 10L, Some(10.0)), (1L, 12L, None),
+      (1L, 18L, None), (1L, 20L, Some(30.0)), (1L, 25L, None),
+      (2L, 1L, None), (2L, 2L, None), // all-null series stays null
+      (3L, 5L, Some(7.0)))
+    val out = Resample.interpolateLinear(
+        rows.toDF("k", "t", "v"), Seq("k"), "t", "v", "vf")
+      .select("k", "t", "vf").as[(Long, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 0L)) === Some(10.0)) // leading backfill
+    assert(out((1L, 12L)) === Some(10.0 + 20.0 * 2.0 / 10.0)) // = 14
+    assert(out((1L, 18L)) === Some(10.0 + 20.0 * 8.0 / 10.0)) // = 26
+    assert(out((1L, 25L)) === Some(30.0)) // trailing carry-forward
+    assert(out((2L, 1L)) === None && out((2L, 2L)) === None)
+    assert(out((3L, 5L)) === Some(7.0))
+  }
+
+  test("invertedIndex: df window enforced, postings sorted, AND lookup") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta gamma delta"),
+      (3L, "gamma delta beta beta"), // in-doc repeat counts once
+      (4L, "epsilon zeta"),
+      (5L, "Beta EPSILON")) // case folds
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text",
+      minDf = 2, maxDf = 3)
+    val m = idx.as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // beta df=4 > maxDf (stopword cut); alpha/zeta df=1 < minDf
+    assert(m.keySet === Set("gamma", "delta", "epsilon"))
+    assert(m("gamma") === ((3L, Seq(1L, 2L, 3L))))
+    assert(m("delta") === ((2L, Seq(2L, 3L))))
+    assert(m("epsilon") === ((2L, Seq(4L, 5L))))
+    val hits = InvertedIndex.lookupAll(idx, Seq("GAMMA", "delta"))
+      .as[Long].collect().sorted
+    assert(hits.toSeq === Seq(2L, 3L))
+  }
+}
