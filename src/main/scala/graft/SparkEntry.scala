@@ -13,7 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Relational2.defs ++ Extensions.defs ++
       Pipelines.defs ++ Round7.defs ++ Analytics7.defs ++ Round9.defs ++
-      Round10.defs ++ Round11.defs ++ Round11b.defs
+      Round10.defs ++ Round11.defs ++ Round11b.defs ++ Round12.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +21,5 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ Extensions.oracles ++
       Pipelines.oracles ++ Round7.oracles ++ Analytics7.oracles ++
       Round9.oracles ++ Round10.oracles ++ Round11.oracles ++
-      Round11b.oracles
+      Round11b.oracles ++ Round12.oracles
 }
