@@ -451,5 +451,90 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             numLit(n, "targetBytes", args(3)).toLong)
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_skyline"),
+      info("graft_skyline",
+        "graft_skyline(table, xCol, yCol) - 2-D min-min Pareto frontier over distinct pairs: (x, y, n_rows)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_skyline expects 3 arguments")
+        val n = "graft_skyline"
+        graft.operators.Pareto.skyline2D(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "xCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "yCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_label_prop"),
+      info("graft_label_prop",
+        "graft_label_prop(edgesTable, srcCol, dstCol, rounds) - synchronous label propagation with min-label tie-break: (node, label)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_label_prop expects 4 arguments")
+        val n = "graft_label_prop"
+        graft.graph.LabelProp(
+            SparkSession.active.table(strLit(n, "edgesTable", args.head)),
+            strLit(n, "srcCol", args(1)), strLit(n, "dstCol", args(2)),
+            numLit(n, "rounds", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_cooccur_pairs"),
+      info("graft_cooccur_pairs",
+        "graft_cooccur_pairs(table, basketCol, itemCol, minSupport) - A-Priori-pruned frequent co-occurring pairs: (item_a, item_b, pair_cnt)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_cooccur_pairs expects 4 arguments")
+        val n = "graft_cooccur_pairs"
+        graft.operators.Cooccur.frequentPairs(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "basketCol", args(1))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "itemCol", args(2))),
+            numLit(n, "minSupport", args(3)).toLong)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_ks_drift"),
+      info("graft_ks_drift",
+        "graft_ks_drift(baseTable, currentTable, valueCol) - exact two-sample Kolmogorov-Smirnov statistic: (ks_stat, n_base, n_current)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_ks_drift expects 3 arguments")
+        val n = "graft_ks_drift"
+        graft.operators.KsDrift.ks(
+            SparkSession.active.table(strLit(n, "baseTable", args.head)),
+            SparkSession.active.table(strLit(n, "currentTable", args(1))),
+            strLit(n, "valueCol", args(2)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_interpolate"),
+      info("graft_interpolate",
+        "graft_interpolate(table, keyCols, tCol, vCol) - linear gap interpolation per series, edges clamped (keyCols comma-separated): input cols + v_interp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_interpolate expects 4 arguments")
+        val n = "graft_interpolate"
+        graft.operators.Resample.interpolateLinear(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "keyCols", args(1)).split(",").toSeq,
+            strLit(n, "tCol", args(2)), strLit(n, "vCol", args(3)),
+            "v_interp")
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_inverted_index"),
+      info("graft_inverted_index",
+        "graft_inverted_index(table, idCol, textCol, minDf, maxDf) - df-windowed inverted index over lowercased whitespace tokens: (term, df, postings)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"graft_inverted_index expects 5 arguments")
+        val n = "graft_inverted_index"
+        graft.textanalysis.InvertedIndex.build(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "minDf", args(3)).toLong,
+            numLit(n, "maxDf", args(4)).toLong)
+          .queryExecution.logical
+      }))
   }
 }

@@ -41,6 +41,10 @@ object Round12 {
     * lookup semantics from the df window). */
   private val LookupTerms = Seq("join", "window", "hash")
 
+  /** Point-in-time lag: features read as of 1 hour (in µs) before each
+    * fact — the anti-leakage margin of a feature-store join. */
+  private val PitLagUs = 3600000000L
+
   val defs: Map[String, Q] = Map(
 
     // Pareto frontier of (price, size) over part — the skyline rows no
@@ -126,6 +130,41 @@ object Round12 {
         "doc_id", "text")
       InvertedIndex.lookupAll(idx, LookupTerms)
         .orderBy("doc_id")
+    }),
+
+    // BM25 served from the index: the same query and the same oracle
+    // as the corpus-scan `text_bm25` gate — per-query work is the
+    // query terms' posting slices + the doc-length table, the text
+    // never re-tokenizes. Bit-identity with the scan scorer is
+    // engineered (plan-literal pivot, same fixed-order score
+    // expression) and separately spec-pinned
+    "text_index_bm25" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      InvertedIndex.bm25FromIndex(
+          InvertedIndex.postings(docs, "doc_id", "text"),
+          InvertedIndex.docStats(docs, "doc_id", "text"),
+          "doc_id", Round7.Bm25Terms)
+        .orderBy("doc_id")
+    }),
+
+    // point-in-time feature join — the leakage-free feature-store
+    // capstone composing pipeline_scd2's versioned dimension with the
+    // as-of join: each purchase fact reads the user's feature value AS
+    // OF one hour before the event (per-(user, instant) versions
+    // collapse by max event_id, so both engines pick the same row).
+    // The oracle is DuckDB's native ASOF LEFT JOIN
+    "pipeline_feature_pit" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val us = expr("ts div 1000")
+      val dim = ev.groupBy(col("user_id"), us.as("valid_from"))
+        .agg(expr("max_by(value, event_id)").as("feature"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (us - PitLagUs).as("q_us"))
+      graft.operators.AsOfJoin(facts, dim, Seq("user_id"),
+          leftTime = "q_us", rightTime = "valid_from",
+          payload = Seq("valid_from", "feature"))
+        .orderBy("event_id")
     }))
 
   /** DuckDB replay of [[graft.graph.LabelProp]]: the same synchronous
@@ -245,5 +284,22 @@ object Round12 {
          WHERE term IN (${LookupTerms.map(t => s"'$t'").mkString(", ")})
          GROUP BY doc_id
          HAVING count(DISTINCT term) = ${LookupTerms.distinct.size}
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    // the index-served scorer must land on the very same numbers the
+    // corpus-scan gate pins — same oracle, generated from the same
+    // term constants
+    "text_index_bm25" -> Round7.oracles("text_bm25"),
+
+    "pipeline_feature_pit" ->
+      s"""WITH dim AS (SELECT user_id, epoch_us(ts) AS valid_from,
+             arg_max(value, event_id) AS feature
+           FROM events GROUP BY 1, 2),
+         f AS (SELECT user_id, event_id,
+             epoch_us(ts) - $PitLagUs AS q_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT f.user_id, f.event_id, f.q_us, d.valid_from, d.feature
+         FROM f ASOF LEFT JOIN dim d
+           ON f.user_id = d.user_id AND d.valid_from <= f.q_us
+         ORDER BY event_id""")
 }

@@ -1,6 +1,6 @@
 package graft.textanalysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Inverted index — term → sorted posting list of document ids, the
@@ -45,6 +45,76 @@ object InvertedIndex {
       .groupBy("term")
       .agg(max("df").as("df"),
         sort_array(collect_list(col(idCol))).as("postings"))
+  }
+
+  /** Scored posting TABLE — (term, doc_id-named-`idCol`, tf) — the
+    * relational layout of the index for ranked retrieval: one grouped
+    * count over the exploded (doc, token) pairs, no lists anywhere.
+    * Partition/bucket this by `term` in a real layout and a query's
+    * terms prune to their own slices. */
+  def postings(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(transform(TextAnalysis.tokens(col(textCol)),
+          t => lower(t))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-document length table (idCol, dl) — BM25's normalizer,
+    * computed once at index time instead of per query. */
+  def docStats(docs: DataFrame, idCol: String,
+               textCol: String): DataFrame =
+    docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("dl"))
+
+  /** BM25 scored from the index — bit-identical to the corpus-scan
+    * scorer [[TextAnalysis.bm25]], but the only per-query work is the
+    * query terms' posting slices plus the doc-length table: the text
+    * never re-tokenizes and the corpus never rescans (at 100 TB the
+    * postings slice for 3 terms is megabytes; the corpus is not).
+    *
+    * Bit-identity is engineered, not approximate: the filtered
+    * postings PIVOT into one tf column per query term (plan-literal
+    * pivot values), every doc joins its dl, and the score is the SAME
+    * fixed-order expression tree as the scan scorer — per-term
+    * df/N/avgdl from one 1-row broadcast aggregate, terms summed in
+    * query order, never a double-summing aggregate whose addition
+    * order could drift. Docs containing no query term score 0.0 via
+    * the left join, exactly like the scan's zero tf rows. Output:
+    * (idCol, bm25) — same contract, same rounding. */
+  def bm25FromIndex(postings: DataFrame, docStats: DataFrame,
+                    idCol: String, queryTerms: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25FromIndex: empty query")
+    val terms = queryTerms.map(_.toLowerCase)
+    val tfs = postings.where(col("term").isin(terms: _*))
+      .groupBy(col(idCol)).pivot("term", terms).agg(first("tf"))
+    val withTf = docStats.join(tfs, Seq(idCol), "left")
+      .select(col(idCol) +: col("dl").as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          coalesce(col(s"`$t`"), lit(0L)).cast("double").as(s"__tf$i")
+        }: _*)
+    val statAggs: Seq[Column] =
+      count(lit(1)).cast("double").as("__n") +:
+        avg("__dl").as("__avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1).otherwise(0))
+            .cast("double").as(s"__df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + lit(0.5)) /
+          (col(s"__df$i") + lit(0.5)))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") /
+          col("__avgdl")))
+    }.reduce(_ + _)
+    scored.select(col(idCol),
+      (TextAnalysis.round4(score) + lit(0.0)).as("bm25"))
   }
 
   def lookupAll(index: DataFrame, terms: Seq[String]): DataFrame = {

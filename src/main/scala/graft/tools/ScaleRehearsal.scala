@@ -613,6 +613,81 @@ object ScaleRehearsal {
       f"target; 10 MG counters per task + a 2-key verify aggregate " +
       f"at either size, key space ${sn / 60} -> ${sn / 6} distinct)")
 
+    // ---- round-12 family ----
+
+    // skyline: the corpus collapses to distinct (x, y) pairs before
+    // anything ordered runs; pair space is held at ~1M cells so the
+    // 10x corpus exercises the collapse, not a wider frontier
+    def skylineTime(rows: Long): Double = {
+      val df = spark.range(rows).select(
+        pmod(xxhash64(col("id")), lit(1000L)).cast("double").as("x"),
+        pmod(xxhash64(col("id") + 7), lit(1000L)).cast("double").as("y"))
+      val t0 = System.nanoTime()
+      val out = graft.operators.Pareto
+        .skyline2D(df, col("x"), col("y")).collect()
+      require(out.nonEmpty, "empty skyline")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (sk1, sk10) = (skylineTime(sn), skylineTime(sn * 10))
+    println(f"[rehearsal] skyline: $sn rows ${sk1}%.2f s; ${sn * 10} " +
+      f"rows ${sk10}%.2f s (${sk10 / sk1}%.1fx, ~linear target; ordered " +
+      f"work touches only the ~1M distinct pairs, laned, at either size)")
+
+    // exact KS: distinct-value grouping + laned prefix sums; the
+    // planted 0-vs-shifted split must register whatever the size
+    def ksTime(rows: Long): Double = {
+      val v = pmod(xxhash64(col("id")), lit(100000L)).cast("double")
+      val a = spark.range(rows).select(v.as("v"))
+      val b = spark.range(rows).select((v + lit(5000.0)).as("v"))
+      val t0 = System.nanoTime()
+      val out = graft.operators.KsDrift.ks(a, b, "v")
+        .collect()
+      require(out.head.getDouble(0) > 0.04,
+        s"planted shift not detected: ${out.toSeq}")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (ks1, ks10) = (ksTime(sn), ksTime(sn * 10))
+    println(f"[rehearsal] ks drift: 2x$sn rows ${ks1}%.2f s; " +
+      f"2x${sn * 10} rows ${ks10}%.2f s (${ks10 / ks1}%.1fx, ~linear " +
+      f"target; 100k distinct pooled values, 32 lanes at either size)")
+
+    // label propagation: 3 rounds of join + argmax agg over a random
+    // graph whose node AND edge space scale with the corpus
+    def lpaTime(rows: Long): Double = {
+      val m = rows / 10
+      val e = spark.range(rows).select(
+        pmod(xxhash64(col("id")), lit(m)).as("s"),
+        pmod(xxhash64(col("id") + 13), lit(m)).as("d"))
+      val t0 = System.nanoTime()
+      val n = graft.graph.LabelProp(e, "s", "d", rounds = 3).count()
+      require(n > 0, "empty LPA output")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (lp1, lp10) = (lpaTime(sn), lpaTime(sn * 10))
+    println(f"[rehearsal] label prop: $sn edges ${lp1}%.2f s; " +
+      f"${sn * 10} edges ${lp10}%.2f s (${lp10 / lp1}%.1fx, ~linear " +
+      f"target; per round one equi-join + one partial-agg argmax, " +
+      f"shuffle bounded by (node, distinct neighbor label) pairs)")
+
+    // frequent pairs: item space scales with the corpus (density held
+    // at ~6 frequent items per basket), so pair generation stays
+    // A-Priori-bounded rather than quadratic in basket size
+    def cooccurTime(rows: Long): Double = {
+      val items = rows / 20000 max 61L
+      val df = spark.range(rows).select(
+        (col("id") / 6).as("b"),
+        pmod(xxhash64(col("id")), lit(items)).as("i"))
+      val t0 = System.nanoTime()
+      val n = graft.operators.Cooccur
+        .frequentPairs(df, col("b"), col("i"), minSupport = 8L).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (co1, co10) = (cooccurTime(sn), cooccurTime(sn * 10))
+    println(f"[rehearsal] frequent pairs: $sn rows ${co1}%.2f s; " +
+      f"${sn * 10} rows ${co10}%.2f s (${co10 / co1}%.1fx, ~linear " +
+      f"target; ~6 frequent items per basket at either size, item " +
+      f"space ${sn / 20000} -> ${sn / 2000})")
+
     spark.stop()
   }
 }

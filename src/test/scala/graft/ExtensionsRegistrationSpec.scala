@@ -324,6 +324,73 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
         Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
 
+      Seq((1.0, 5.0), (2.0, 3.0), (3.0, 1.0), (4.0, 4.0), (2.5, 2.0))
+        .toDF("x", "y").createOrReplaceTempView("tvf_pts")
+      val sqlSky = spark.sql(
+        "SELECT * FROM graft_skyline('tvf_pts','x','y')")
+      val apiSky = graft.operators.Pareto.skyline2D(
+        spark.table("tvf_pts"), col("x"), col("y"))
+      assert(sqlSky.queryExecution.optimizedPlan
+        .sameResult(apiSky.queryExecution.optimizedPlan),
+        "graft_skyline must plan to Pareto.skyline2D")
+      assert(sqlSky.select("x", "y").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSet ===
+        Set((1.0, 5.0), (2.0, 3.0), (3.0, 1.0), (2.5, 2.0)))
+
+      Seq((10L, 11L), (10L, 12L), (10L, 13L))
+        .toDF("s", "d").createOrReplaceTempView("tvf_edges")
+      val sqlLpa = spark.sql(
+        "SELECT * FROM graft_label_prop('tvf_edges','s','d',1)")
+      val apiLpa = graft.graph.LabelProp(spark.table("tvf_edges"),
+        "s", "d", 1)
+      assert(sqlLpa.queryExecution.optimizedPlan
+        .sameResult(apiLpa.queryExecution.optimizedPlan),
+        "graft_label_prop must plan to LabelProp")
+      assert(sqlLpa.where(col("node") === 11L).head().getLong(1) === 10L)
+
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+        (3L, 9L)).toDF("b", "i").createOrReplaceTempView("tvf_baskets")
+      val sqlCo = spark.sql(
+        "SELECT * FROM graft_cooccur_pairs('tvf_baskets','b','i',2)")
+      val apiCo = graft.operators.Cooccur.frequentPairs(
+        spark.table("tvf_baskets"), col("b"), col("i"), 2L)
+      assert(sqlCo.queryExecution.optimizedPlan
+        .sameResult(apiCo.queryExecution.optimizedPlan),
+        "graft_cooccur_pairs must plan to Cooccur.frequentPairs")
+      assert(sqlCo.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq((1L, 2L, 3L))) // item 9 infrequent, pruned pre-join
+
+      // KS materializes its per-lane sums (localCheckpoint), so two
+      // invocations are distinct RDD plans — value check, like
+      // graft_exact_quantiles above
+      val sqlKs = spark.sql(
+        "SELECT * FROM graft_ks_drift('tvf_base','tvf_cur','v')")
+      val apiKs = graft.operators.KsDrift.ks(spark.table("tvf_base"),
+        spark.table("tvf_cur"), "v")
+      assert(sqlKs.head() === apiKs.head(),
+        "graft_ks_drift must compute KsDrift.ks's numbers")
+      assert(sqlKs.head().getDouble(0) > 0.0,
+        "stretched values must show drift")
+
+      val sqlInterp = spark.sql(
+        "SELECT * FROM graft_interpolate('tvf_series','key','id','v')")
+      val apiInterp = graft.operators.Resample.interpolateLinear(
+        spark.table("tvf_series"), Seq("key"), "id", "v", "v_interp")
+      assert(sqlInterp.queryExecution.optimizedPlan
+        .sameResult(apiInterp.queryExecution.optimizedPlan),
+        "graft_interpolate must plan to Resample.interpolateLinear")
+
+      val sqlIdx = spark.sql(
+        "SELECT * FROM graft_inverted_index('tvf_docs','doc_id','text',2,3)")
+      val apiIdx = graft.textanalysis.InvertedIndex.build(docs,
+        "doc_id", "text", 2L, 3L)
+      assert(sqlIdx.queryExecution.optimizedPlan
+        .sameResult(apiIdx.queryExecution.optimizedPlan),
+        "graft_inverted_index must plan to InvertedIndex.build")
+      assert(sqlIdx.where(col("term") === "alpha").head()
+        .getAs[Seq[Long]]("postings") === Seq(1L, 2L, 3L))
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {

@@ -148,6 +148,21 @@ class Round12Spec extends SparkTestBase {
     assert(out((3L, 5L)) === Some(7.0))
   }
 
+  test("bm25FromIndex is bit-identical to the corpus-scan scorer") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val terms = Seq("hash", "join", "vector")
+    val scan = graft.textanalysis.TextAnalysis
+      .bm25(docs, "doc_id", "text", terms)
+      .as[(Long, Double)].collect().toMap
+    val idx = InvertedIndex.bm25FromIndex(
+        InvertedIndex.postings(docs, "doc_id", "text"),
+        InvertedIndex.docStats(docs, "doc_id", "text"),
+        "doc_id", terms)
+      .as[(Long, Double)].collect().toMap
+    assert(idx === scan) // every doc, including the 0.0 scores
+    assert(idx.values.exists(_ > 0.0), "fixture must have real scores")
+  }
+
   test("invertedIndex: df window enforced, postings sorted, AND lookup") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
