@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Percent-rank feature normalization — `percent_rank()` semantics
+  * ((rank − 1)/(n − 1), ties share the rank of their first position)
+  * without the one-task global window that `percent_rank() OVER
+  * (ORDER BY v)` plans to: heavy-tailed features (prices, token
+  * counts, degree counts) normalize onto [0, 1] for training by
+  * exactly this transform, and at 100 TB the window form funnels every
+  * row through a single task.
+  *
+  * Decomposition (the same two-level lane shape as [[KsDrift]] /
+  * [[BucketedPrefixSum]]): collapse to distinct values with counts
+  * (map-side combined), lane by equi-depth sketch cuts
+  * ([[Analytics.qsketchRangeBuckets]] — pure-map assignment, lanes
+  * respect value order), per-lane EXCLUSIVE prefix-count plus an
+  * exclusive per-lane offset (nLanes-row window), giving each distinct
+  * value its strictly-below count; rows then join their value's rank
+  * in one equi-join. `below/(n − 1)` is a single IEEE division — exact
+  * on any engine; callers round at the edge. Ties: every duplicate of
+  * a value shares `below`, which IS percent_rank's tie rule.
+  *
+  * Output: the input rows + `rank_pct` (null-`valueCol` rows are
+  * dropped, like the window form drops nothing but ranks nulls first —
+  * callers who need nulls keep them upstream). A single-row corpus
+  * gets rank_pct 0.0 (the 0/0 guard). */
+object RankNormalize {
+  def apply(df: DataFrame, valueCol: String, k: Int = 1024,
+            nLanes: Int = 32): DataFrame = {
+    val nn = df.where(col(valueCol).isNotNull)
+    val vals = nn.groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val laned = Analytics.qsketchRangeBuckets(vals,
+      col("__v"), "__v", k, nLanes)
+    val wIn = Window.partitionBy("bucket").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAcross = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketSums = laned.groupBy("bucket")
+      .agg(sum("__c").as("__t")).localCheckpoint() // ≤ nLanes rows
+    val offsets = bucketSums
+      .withColumn("__off", coalesce(sum("__t").over(wAcross), lit(0L)))
+      .select("bucket", "__off")
+    val totals = bucketSums.agg(sum("__t").as("__n"))
+    val ranked = laned
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("__below",
+        coalesce(sum("__c").over(wIn), lit(0L)) + col("__off"))
+      .crossJoin(broadcast(totals))
+      .select(col("__v"),
+        when(col("__n") > 1, col("__below").cast("double") /
+          (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("rank_pct"))
+    nn.join(ranked, nn(valueCol).cast("double") === ranked("__v"))
+      .drop("__v")
+  }
+}

@@ -176,9 +176,9 @@ object Round10 {
 
   /** NB classifier constants: positive class, train/holdout residue,
     * Laplace alpha. */
-  private val NbPosLang = "en"
-  private val NbHoldoutMod = 3L
-  private val NbAlpha = 0.5
+  private[queries] val NbPosLang = "en"
+  private[queries] val NbHoldoutMod = 3L
+  private[queries] val NbAlpha = 0.5
 
   /** The simulated after-migration orders table (Spark side). */
   private def ordersAfter(before: org.apache.spark.sql.DataFrame) = {
@@ -657,7 +657,7 @@ object Round10 {
   /** The NB model as a DuckDB CTE chain (mirrors [[NaiveBayes.train]]
     * on the non-holdout slice; all probability arithmetic forced to
     * DOUBLE so the division replays Spark's bit-for-bit). */
-  private def nbModelCtes: String =
+  private[queries] def nbModelCtes: String =
     s"""toks AS (SELECT doc_id, lang,
          regexp_split_to_array(trim(text), '\\s+') AS t
        FROM documents
