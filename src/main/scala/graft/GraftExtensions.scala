@@ -536,5 +536,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             numLit(n, "maxDf", args(4)).toLong)
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_negatives"),
+      info("graft_negatives",
+        "graft_negatives(posTable, userCol, itemCol, nItems, k) - deterministic md5-draw negative samples per user: (user, neg_item, draw)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_negatives expects 5 arguments")
+        val n = "graft_negatives"
+        graft.operators.NegativeSample(
+            SparkSession.active.table(strLit(n, "posTable", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "userCol", args(1))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "itemCol", args(2))),
+            numLit(n, "nItems", args(3)).toLong,
+            numLit(n, "k", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_rank_pct"),
+      info("graft_rank_pct",
+        "graft_rank_pct(table, valueCol) - percent_rank normalization without a one-task window: input cols + rank_pct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_rank_pct expects 2 arguments")
+        val n = "graft_rank_pct"
+        graft.operators.RankNormalize(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "valueCol", args(1)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_term_mi"),
+      info("graft_term_mi",
+        "graft_term_mi(table, idCol, textCol, labelCol, posValue, minDf) - term-label mutual information over the 2x2 contingency: (term, df, mi)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6, s"graft_term_mi expects 6 arguments")
+        val n = "graft_term_mi"
+        graft.textanalysis.TermStats.termMutualInfo(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "labelCol", args(3))) ===
+              strLit(n, "posValue", args(4)),
+            numLit(n, "minDf", args(5)).toLong)
+          .queryExecution.logical
+      }))
   }
 }

@@ -50,6 +50,11 @@ object Pareto {
     // nLanes rows total — the only unpartitioned window in the plan
     val wAcross = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // NOT materialized, deliberately: min is distinct-insensitive, so
+    // the optimizer collapses this branch to a column-pruned RAW scan
+    // + two-level min (observed in PLANS.md) — one extra cheap scan,
+    // but the distinct-pair aggregate runs exactly once, on the main
+    // branch. A checkpoint here would force the pairs aggregate twice.
     val offsets = laned.groupBy("bucket").agg(min("y").as("__laneMin"))
       .withColumn("__off", min("__laneMin").over(wAcross))
       .select("bucket", "__off")

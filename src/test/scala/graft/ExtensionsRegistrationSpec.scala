@@ -391,6 +391,40 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(sqlIdx.where(col("term") === "alpha").head()
         .getAs[Seq[Long]]("postings") === Seq(1L, 2L, 3L))
 
+      Seq((1L, 1L), (1L, 2L), (2L, 3L))
+        .toDF("u", "i").createOrReplaceTempView("tvf_pos")
+      val sqlNeg = spark.sql(
+        "SELECT * FROM graft_negatives('tvf_pos','u','i',10,3)")
+      val apiNeg = graft.operators.NegativeSample(
+        spark.table("tvf_pos"), col("u"), col("i"), 10L, 3)
+      assert(sqlNeg.queryExecution.optimizedPlan
+        .sameResult(apiNeg.queryExecution.optimizedPlan),
+        "graft_negatives must plan to NegativeSample")
+      assert(sqlNeg.groupBy("user").count().collect()
+        .forall(_.getLong(1) === 3L))
+
+      // rank_pct materializes its lane sums (localCheckpoint) — value
+      // check, like graft_ks_drift
+      val sqlRp = spark.sql(
+        "SELECT * FROM graft_rank_pct('tvf_base','v')")
+      val apiRp = graft.operators.RankNormalize(
+        spark.table("tvf_base"), "v")
+      assert(sqlRp.select("id", "rank_pct").collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toMap ===
+        apiRp.select("id", "rank_pct").collect().map(r =>
+          (r.getLong(0), r.getDouble(1))).toMap,
+        "graft_rank_pct must compute RankNormalize's numbers")
+
+      val sqlMi = spark.sql(
+        "SELECT * FROM graft_term_mi('tvf_labeled','doc_id','text'," +
+          "'lang','en',1)")
+      val apiMi = graft.textanalysis.TermStats.termMutualInfo(
+        labeled, "doc_id", "text", col("lang") === "en", 1L)
+      assert(sqlMi.queryExecution.optimizedPlan
+        .sameResult(apiMi.queryExecution.optimizedPlan),
+        "graft_term_mi must plan to TermStats.termMutualInfo")
+      assert(sqlMi.where(col("term") === "alpha").head().getLong(1) === 2L)
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
