@@ -68,4 +68,52 @@ object PageRank {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Personalized PageRank — the random walk restarts INTO the source
+    * set instead of uniformly ("what's near these seed entities"):
+    * restart(v) = 1/|S| for v ∈ sources, 0 elsewhere; rank₀ = restart
+    * and each iteration applies (1−d)·restart + d·Σ contributions.
+    * Nodes unreachable from the sources stay at exactly 0, which is
+    * the point — PPR scores locality, global PageRank scores
+    * prominence. Same per-iteration shape and lineage-truncation
+    * contract as [[apply]]; the oracle unrolls the same recurrence
+    * with the restart CASE inlined. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: Seq[String], iterations: Int,
+                   damping: Double = 0.85,
+                   checkpointEvery: Int = 0,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val mass = 1.0 / sources.size // same double the oracle inlines
+    val restart = when(col("node").isin(sources: _*), lit(mass))
+      .otherwise(lit(0.0))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val withDeg = e.join(outDeg, "src")
+    var ranks = nodes.withColumn("rank", restart)
+    var it = 0
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("rank") / col("out_deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * restart +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      it += 1
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 &&
+        it < iterations) ranks = truncate(ranks)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
 }

@@ -21,6 +21,19 @@ object Round12c {
     * double expression per row. */
   private val CorrWindow = 8
 
+  /** Personalized-PageRank seeds (customer nodes) and rounds. */
+  private val PprSources = Seq("c1", "c7", "c13")
+  private val PprIters = 3
+  private val PprD = 0.85
+
+  /** Sparse-cosine fixture: a 1-in-17 doc slice (the synthetic corpus
+    * shares nearly every term across nearly every doc, so doc pairs
+    * are dense — the slice keeps the gate's pair space honest while
+    * the operator's df cap is what bounds fanout at scale). */
+  private val SpcSliceMod = 17
+  private val SpcMaxDfFrac = 0.9
+  private val SpcMinSim = 0.8
+
   val defs: Map[String, Q] = Map(
 
     // MMR diversified re-rank: relevance-ordered pool in, diverse
@@ -69,6 +82,37 @@ object Round12c {
               sqrt(dx.cast("double") * dy.cast("double")))
             * 1e6 + 0.5) / 1e6).as("rcorr"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // personalized PageRank: the walk restarts into 3 seed customers —
+    // locality scores, with unreachable nodes at exactly 0. Same
+    // join + partial-agg iteration as graph_pagerank; the oracle
+    // unrolls the restart-weighted recurrence
+    "graph_ppr" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string"))
+          .as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      graft.graph.PageRank.personalized(edges, "src", "dst",
+          PprSources, PprIters, PprD)
+        .orderBy("node")
+    }),
+
+    // sparse TF-IDF cosine pairs through the posting table: documents
+    // meet only on shared terms (postings self-join), weights are
+    // 1e6-scaled longs so dot products and norms are exact integer
+    // sums and the cosine is one replayable double division
+    "sim_sparse_cosine_pairs" -> ((s, dir) => {
+      val slice = tbl(s, dir, "documents")
+        .where(col("doc_id") % SpcSliceMod === 0)
+      val n = slice.count()
+      graft.textanalysis.InvertedIndex.sparseCosinePairs(
+          slice, "doc_id", "text", n, SpcMaxDfFrac, SpcMinSim)
+        .select(col("doc_a"), col("doc_b"),
+          (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
+        .orderBy("doc_a", "doc_b")
     }))
 
   /** The k greedy MMR steps unrolled as CTEs: sel_r = sel_{r-1} plus
@@ -106,9 +150,75 @@ object Round12c {
        FROM sel$k ORDER BY rank"""
   }
 
+  /** The PPR recurrence unrolled: r0 = restart, each round
+    * (1−d)·restart + d·Σ contributions. */
+  private def pprOracleSql(sources: Seq[String], iters: Int,
+                           d: Double): String = {
+    val mass = 1.0 / sources.size // same Scala double the plan uses
+    val srcList = sources.map(s => s"'$s'").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT dst, sum(r.rank / deg.d) AS s
+           FROM e JOIN deg USING (src) JOIN r${i - 1} r ON e.src = r.node
+           GROUP BY dst),
+         r$i AS (SELECT node, ${1.0 - d} * restart
+             + $d * COALESCE(s, 0.0) AS rank, restart
+           FROM nodes LEFT JOIN c$i ON node = dst)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+           's' || l_suppkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       nodes AS (SELECT node,
+           CASE WHEN node IN ($srcList) THEN $mass ELSE 0.0 END
+             AS restart
+         FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       r0 AS (SELECT node, restart AS rank, restart FROM nodes),
+       $steps
+       SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
 
     "sim_mmr_rerank" -> mmrOracleSql(MmrPool, MmrK, MmrLambda),
+
+    "graph_ppr" -> pprOracleSql(PprSources, PprIters, PprD),
+
+    "sim_sparse_cosine_pairs" ->
+      s"""WITH slice AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % $SpcSliceMod = 0),
+         nn AS (SELECT count(*)::BIGINT AS n FROM slice),
+         tf AS (SELECT doc_id AS d, lower(w) AS term,
+             count(*)::BIGINT AS tf
+           FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+             FROM slice)
+           WHERE length(w) > 0 GROUP BY 1, 2),
+         dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf
+           GROUP BY 1
+           HAVING count(*) >= 2 AND count(*) <=
+             floor($SpcMaxDfFrac * (SELECT n FROM nn))),
+         wtd AS (SELECT t.term, t.d,
+             floor(t.tf::DOUBLE *
+               ln((SELECT n FROM nn)::DOUBLE / f.df::DOUBLE) * 1000000
+               + 0.5)::BIGINT AS w
+           FROM tf t JOIN dfs f USING (term)),
+         norms AS (SELECT d, sum(w * w)::BIGINT AS nrm FROM wtd
+           GROUP BY 1),
+         num AS (SELECT l.d AS doc_a, r.d AS doc_b,
+             sum(l.w * r.w)::BIGINT AS num
+           FROM wtd l JOIN wtd r
+             ON l.term = r.term AND l.d < r.d
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           floor((num::DOUBLE /
+             (sqrt(n1.nrm::DOUBLE) * sqrt(n2.nrm::DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS cos
+         FROM num
+           JOIN norms n1 ON num.doc_a = n1.d
+           JOIN norms n2 ON num.doc_b = n2.d
+         WHERE num::DOUBLE /
+           (sqrt(n1.nrm::DOUBLE) * sqrt(n2.nrm::DOUBLE)) >= $SpcMinSim
+         ORDER BY doc_a, doc_b""",
 
     "window_rolling_corr" ->
       s"""WITH ev AS (SELECT user_id, event_id,

@@ -117,6 +117,57 @@ object InvertedIndex {
       (TextAnalysis.round4(score) + lit(0.0)).as("bm25"))
   }
 
+  /** All-pairs TF-IDF cosine ABOVE a threshold via the posting table —
+    * the sparse-vector sibling of the dense `dedup_cosine_pairs`: two
+    * documents meet only through terms they share, so the pair space
+    * is generated by a postings self-join on the term, never a doc ×
+    * doc product. The df window is the fanout bound (a term in df
+    * docs contributes ≤ df²/2 pairs — cap stopwords out exactly like
+    * [[build]]); `nDocs` is passed in so the operator stays lazy.
+    *
+    * Replayability is engineered integer-side: weights are
+    * tf·ln(N/df) scaled to 1e6 and floored into LONGS, so per-pair
+    * dot products and per-doc norms are EXACT integer sums (order-
+    * free) and the cosine is one double expression
+    * `num / (√n₁ · √n₂)` both engines evaluate identically. Output:
+    * (doc_a, doc_b, cos) for pairs with cos ≥ minSim, doc_a < doc_b. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        nDocs: Long, maxDfFrac: Double,
+                        minSim: Double): DataFrame = {
+    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, s"maxDfFrac in (0,1]")
+    val maxDf = math.floor(maxDfFrac * nDocs).toLong
+    val tf = docs
+      .select(col(idCol).as("__d"),
+        explode(transform(TextAnalysis.tokens(col(textCol)),
+          t => lower(t))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("__d", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2L, maxDf)) // df 1 cannot pair
+    val weighted = tf.join(dfs, "term")
+      .select(col("term"), col("__d"),
+        floor(col("tf").cast("double") *
+          log(lit(nDocs.toDouble) / col("df").cast("double")) * 1e6
+          + 0.5).cast("long").as("w"))
+    val norms = weighted.groupBy("__d")
+      .agg(sum(col("w") * col("w")).as("nn"))
+    val num = weighted.as("l")
+      .join(weighted.as("r"),
+        col("l.term") === col("r.term") && col("l.__d") < col("r.__d"))
+      .groupBy(col("l.__d").as("doc_a"), col("r.__d").as("doc_b"))
+      .agg(sum(col("l.w") * col("r.w")).as("num"))
+    num
+      .join(norms.select(col("__d").as("doc_a"), col("nn").as("n1")),
+        Seq("doc_a"))
+      .join(norms.select(col("__d").as("doc_b"), col("nn").as("n2")),
+        Seq("doc_b"))
+      .withColumn("cos", col("num").cast("double") /
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+      .where(col("cos") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
   def lookupAll(index: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
     val distinctTerms = terms.map(_.toLowerCase).distinct

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+import graft.textanalysis.InvertedIndex
+
+/** Personalized PageRank + sparse-cosine pairs vs in-memory oracles. */
+class Round12cSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("personalized PR: locality, zero off-component, mass at seeds") {
+    // two disconnected components; seeds only in the first
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "x")).toDF("s", "d")
+    val pr = PageRank.personalized(edges, "s", "d", Seq("a"),
+        iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(pr("x") === 0.0 && pr("y") === 0.0,
+      "nodes unreachable from the seeds must score exactly 0")
+    assert(pr("a") > 0.0 && pr("b") > 0.0 && pr("c") > 0.0)
+    // round 1 pushes the whole seed mass to b: b leads the cycle
+    assert(pr("b") > pr("c"), "mass flows along the cycle from the seed")
+    // global PR on the same graph ranks the second component > 0
+    val global = PageRank(edges, "s", "d", iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(global("x") > 0.0, "contrast: global PR has no locality")
+  }
+
+  test("sparseCosinePairs equals the brute-force tf-idf cosine") {
+    val docs = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "apple banana cherry"),
+      (3L, "dog cat mouse"),
+      (4L, "dog cat mouse dog"),
+      (5L, "apple dog zebra"))
+      .toDF("doc_id", "text")
+    val n = 5L
+    val got = InvertedIndex.sparseCosinePairs(docs, "doc_id", "text",
+        n, maxDfFrac = 1.0, minSim = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute force with the same 1e6-scaled long weights
+    val corpus = Seq(
+      1L -> Seq("apple", "banana", "cherry", "apple"),
+      2L -> Seq("apple", "banana", "cherry"),
+      3L -> Seq("dog", "cat", "mouse"),
+      4L -> Seq("dog", "cat", "mouse", "dog"),
+      5L -> Seq("apple", "dog", "zebra"))
+    val dfm = corpus.flatMap(_._2.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def wts(toks: Seq[String]): Map[String, Long] =
+      toks.groupBy(identity).view.mapValues(_.size).toMap
+        .filter { case (t, _) => dfm(t) >= 2 } // df window
+        .map { case (t, tf) =>
+          t -> math.floor(tf * math.log(n.toDouble / dfm(t)) * 1e6
+            + 0.5).toLong
+        }.toMap
+    val wmap = corpus.map { case (id, t) => id -> wts(t) }.toMap
+    for (a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b) {
+      val (wa, wb) = (wmap(a), wmap(b))
+      val shared = wa.keySet.intersect(wb.keySet)
+      val num = shared.toSeq.map(t => wa(t) * wb(t)).sum
+      val na = wa.values.map(w => w * w).sum
+      val nb = wb.values.map(w => w * w).sum
+      if (num > 0) {
+        val cos = num.toDouble /
+          (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+        assert(math.abs(got((a, b)) - cos) < 1e-12,
+          s"pair ($a,$b): ${got.get((a, b))} vs $cos")
+      } else assert(!got.contains((a, b)),
+        s"pair ($a,$b) shares no surviving term")
+    }
+  }
+}
