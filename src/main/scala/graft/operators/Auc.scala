@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact ROC AUC, distributed — the Mann-Whitney identity without a
+  * global rank window: AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)
+  * decomposes over DISTINCT scores s as
+  * Σ_s pos(s)·(negBelow(s) + ½·neg(s)) / (np·nn), where negBelow is an
+  * exclusive prefix count in score order — exactly the [[LanedPrefix]]
+  * shape (the `percent_rank` / KS machinery), so "AUC over 10¹¹ scored
+  * rows" is one distinct-collapse, one laned prefix, one 1-row
+  * reduce — never a one-task ORDER BY rank window.
+  *
+  * Exactness is integer-side: the ½ clears by doubling —
+  * 2·AUC·np·nn = Σ pos(s)·(2·negBelow(s) + neg(s)) is an EXACT long
+  * (order-free sum), and AUC is ONE double division at the end,
+  * replayable on any engine. Degenerate inputs (no positives or no
+  * negatives) return an empty frame rather than 0/0. Output: one row
+  * (auc, n_pos, n_neg), auc floor-rounded to 1e-6. */
+object Auc {
+  def auc(scored: DataFrame, scoreCol: Column, labelCol: Column,
+          k: Int = 1024, nLanes: Int = 32): DataFrame = {
+    val base = scored.select(scoreCol.cast("double").as("s"),
+        labelCol.cast("boolean").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+    val vals = base.groupBy("s")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+    // pos rides along so BOTH totals come off the helper's one
+    // checkpointed lane-sums pass (its pos_cum is simply unused)
+    val (cum, totals) = LanedPrefix.withPrefix(vals, "s",
+      Seq("neg", "pos"), k, nLanes, inclusive = false)
+    cum
+      .select((col("pos") * (lit(2L) * col("neg_cum") + col("neg")))
+        .as("u2"))
+      .agg(sum("u2").as("u2"))
+      .crossJoin(broadcast(totals.select(col("neg_tot").as("nn"),
+        col("pos_tot").as("np"))))
+      .where(col("np") > 0 && col("nn") > 0)
+      .select(
+        (floor(col("u2").cast("double") /
+          (lit(2.0) * col("np").cast("double") *
+            col("nn").cast("double")) * 1e6 + 0.5) / 1e6).as("auc"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+}

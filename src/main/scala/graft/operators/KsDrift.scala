@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact two-sample Kolmogorov–Smirnov statistic — the
@@ -38,31 +37,14 @@ object KsDrift {
       lit(0L).as("ca"), lit(1L).as("cb"))
     val vals = a.unionByName(b).where(col("v").isNotNull)
       .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
-    val laned = Analytics.qsketchRangeBuckets(vals,
-      col("v"), "v", k, nLanes)
-    val wIn = Window.partitionBy("bucket").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // nLanes rows — the only unpartitioned window in the plan
-    val wAcross = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // ≤ nLanes rows, materialized so offsets AND totals read the
-    // per-lane sums from one pass over the grouped values
-    val bucketSums = laned.groupBy("bucket")
-      .agg(sum("ca").as("ta"), sum("cb").as("tb"))
-      .localCheckpoint()
-    val offsets = bucketSums
-      .withColumn("offa", coalesce(sum("ta").over(wAcross), lit(0L)))
-      .withColumn("offb", coalesce(sum("tb").over(wAcross), lit(0L)))
-      .select("bucket", "offa", "offb")
-    val totals = bucketSums.agg(sum("ta").as("na"), sum("tb").as("nb"))
-    laned
-      .join(broadcast(offsets), Seq("bucket"))
-      .withColumn("cuma", sum("ca").over(wIn) + col("offa"))
-      .withColumn("cumb", sum("cb").over(wIn) + col("offb"))
-      .crossJoin(broadcast(totals))
+    val (cum, totals) = LanedPrefix.withPrefix(vals, "v",
+      Seq("ca", "cb"), k, nLanes, inclusive = true)
+    cum
+      .crossJoin(broadcast(
+        totals.select(col("ca_tot").as("na"), col("cb_tot").as("nb"))))
       .where(col("na") > 0 && col("nb") > 0)
-      .select(abs(col("cuma") / col("na").cast("double") -
-        col("cumb") / col("nb").cast("double")).as("d"),
+      .select(abs(col("ca_cum") / col("na").cast("double") -
+        col("cb_cum") / col("nb").cast("double")).as("d"),
         col("na"), col("nb"))
       .agg((floor(max(col("d")) * 1e6 + 0.5) / 1e6).as("ks_stat"),
         max("na").as("n_base"), max("nb").as("n_current"))

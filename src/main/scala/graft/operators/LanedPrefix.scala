@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-level distributed prefix sum over a VALUE-ordered domain —
+  * the shape [[KsDrift]], [[RankNormalize]], and [[Auc]] all share
+  * (and [[BucketedPrefixSum]] pioneered for dense integer ids): lane
+  * the distinct-value rows by equi-depth sketch cuts
+  * ([[Analytics.qsketchRangeBuckets]] — pure-map assignment off
+  * broadcast literals, lanes respect value order), run the per-lane
+  * window prefix (bounded by the lane), and add an exclusive
+  * cross-lane offset read off the ≤ nLanes-row per-lane totals (the
+  * only unpartitioned window, materialized once via localCheckpoint so
+  * offsets and grand totals share one pass).
+  *
+  * Input: `vals` with one row per DISTINCT `orderCol` value and long
+  * `sumCols` counts. Output: (`vals` + a `<c>_cum` prefix column per
+  * sum column — inclusive or exclusive of the current row — plus a
+  * lane `bucket`, and a broadcastable 1-row totals frame with
+  * `<c>_tot` columns). Never a one-task window over the data. */
+object LanedPrefix {
+  def withPrefix(vals: DataFrame, orderCol: String,
+                 sumCols: Seq[String], k: Int, nLanes: Int,
+                 inclusive: Boolean): (DataFrame, DataFrame) = {
+    require(sumCols.nonEmpty, "at least one sum column")
+    val laned = Analytics.qsketchRangeBuckets(vals,
+      col(orderCol), orderCol, k, nLanes)
+    val hi = if (inclusive) 0L else -1L
+    val wIn = Window.partitionBy("bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val wAcross = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sums = laned.groupBy("bucket")
+      .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)
+      .localCheckpoint() // ≤ nLanes rows; one pass feeds offsets + totals
+    val offsets = sumCols.foldLeft(sums) { (df, c) =>
+      df.withColumn(s"__off_$c",
+        coalesce(sum(s"__t_$c").over(wAcross), lit(0L)))
+    }.select(col("bucket") +: sumCols.map(c => col(s"__off_$c")): _*)
+    val totals = sums.agg(
+      sum(s"__t_${sumCols.head}").as(s"${sumCols.head}_tot"),
+      sumCols.tail.map(c => sum(s"__t_$c").as(s"${c}_tot")): _*)
+    val out = sumCols.foldLeft(
+        laned.join(broadcast(offsets), Seq("bucket"))) { (df, c) =>
+      df.withColumn(s"${c}_cum",
+        coalesce(sum(c).over(wIn), lit(0L)) + col(s"__off_$c"))
+    }.drop(sumCols.map(c => s"__off_$c"): _*)
+    (out, totals)
+  }
+}

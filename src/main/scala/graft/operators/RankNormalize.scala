@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Percent-rank feature normalization — `percent_rank()` semantics
@@ -33,25 +32,12 @@ object RankNormalize {
     val nn = df.where(col(valueCol).isNotNull)
     val vals = nn.groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val laned = Analytics.qsketchRangeBuckets(vals,
-      col("__v"), "__v", k, nLanes)
-    val wIn = Window.partitionBy("bucket").orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAcross = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketSums = laned.groupBy("bucket")
-      .agg(sum("__c").as("__t")).localCheckpoint() // ≤ nLanes rows
-    val offsets = bucketSums
-      .withColumn("__off", coalesce(sum("__t").over(wAcross), lit(0L)))
-      .select("bucket", "__off")
-    val totals = bucketSums.agg(sum("__t").as("__n"))
-    val ranked = laned
-      .join(broadcast(offsets), Seq("bucket"))
-      .withColumn("__below",
-        coalesce(sum("__c").over(wIn), lit(0L)) + col("__off"))
-      .crossJoin(broadcast(totals))
+    val (cum, totals) = LanedPrefix.withPrefix(vals, "__v",
+      Seq("__c"), k, nLanes, inclusive = false)
+    val ranked = cum
+      .crossJoin(broadcast(totals.select(col("__c_tot").as("__n"))))
       .select(col("__v"),
-        when(col("__n") > 1, col("__below").cast("double") /
+        when(col("__n") > 1, col("__c_cum").cast("double") /
           (col("__n") - 1).cast("double"))
           .otherwise(lit(0.0)).as("rank_pct"))
     nn.join(ranked, nn(valueCol).cast("double") === ranked("__v"))

@@ -4,8 +4,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-12 fourth batch: time-decayed counts with exact dyadic
-  * weights, and a robust (median-slope) trend per series. */
+  * weights, a robust (median-slope) trend per series, exact
+  * distributed ROC AUC, and hard-negative mining. */
 object Round12d {
+
+  /** AUC on the NB holdout — same model/holdout constants as the
+    * classifier gates. */
+
+  /** Hard-negative fixture: positives are the vectors touched by the
+    * user-bucket-7 events; negatives are the 10 most centroid-similar
+    * non-positives. */
+  private val HnUserBucket = 7
+  private val HnK = 10
 
   /** Exponential decay with a 1-day half-life over integer day
     * buckets, capped at 40 days: weight(d days ago) = 2^(40−d) as a
@@ -68,6 +78,53 @@ object Round12d {
           (floor(median(col("slope")) * 1e6 + 0.5) / 1e6)
             .as("med_slope"))
         .orderBy("user_id")
+    }),
+
+    // exact distributed ROC AUC of the NB classifier on its holdout —
+    // the Mann-Whitney identity over distinct scores via the laned
+    // prefix machinery (no global rank window); the doubled count
+    // clears the tie half, so 2·AUC·np·nn is an exact long and AUC is
+    // one division. The oracle runs the same identity with one window
+    "text_classifier_auc" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val model = graft.textanalysis.NaiveBayes.train(
+        docs.where(col("doc_id") % Round10.NbHoldoutMod =!= 0),
+        "text", col("lang") === Round10.NbPosLang, Round10.NbAlpha)
+      val holdout = docs.where(col("doc_id") % Round10.NbHoldoutMod === 0)
+      graft.operators.Auc.auc(
+        graft.textanalysis.NaiveBayes.score(model, holdout,
+            "doc_id", "text")
+          .join(holdout.select("doc_id", "lang"), Seq("doc_id")),
+        col("nb_score"), col("lang") === Round10.NbPosLang)
+    }),
+
+    // hard-negative mining for contrastive training: the negatives
+    // that MATTER are the ones most similar to what the user engaged
+    // with — centroid of the positives (4dp per dim, the agg_centroids
+    // replay convention), cosine top-k over the corpus, positives
+    // anti-joined out
+    "sample_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val nv = emb.count()
+      val pos = tbl(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("user_id") % 50 === HnUserBucket)
+        .select(pmod(col("event_id"), lit(nv)).cast("long").as("vec_id"))
+        .distinct()
+      val cent = emb.join(pos, "vec_id")
+        .select(posexplode(graft.similarity.Similarity
+          .toVec(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy("dim").agg((round(avg("x"), 4) + lit(0.0)).as("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c)))," +
+          " s -> s.c)").as("cv"))
+      emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          (round(graft.similarity.Similarity.cosine(
+            graft.similarity.Similarity.toVec(col("embedding")),
+            col("cv")), 4) + lit(0.0)).as("sim"))
+        .join(pos, Seq("vec_id"), "left_anti")
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(HnK)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +159,59 @@ object Round12d {
            FROM lagged WHERE px IS NOT NULL)
          SELECT user_id, count(*)::BIGINT AS n_slopes,
            floor(median(slope) * 1000000 + 0.5) / 1000000 AS med_slope
-         FROM slopes GROUP BY 1 ORDER BY 1""")
+         FROM slopes GROUP BY 1 ORDER BY 1""",
+
+    "text_classifier_auc" ->
+      s"""WITH ${Round10.nbModelCtes},
+           sc AS (SELECT doc_id, unnest(t) AS token FROM toks
+             WHERE doc_id % ${Round10.NbHoldoutMod} = 0),
+           joined AS (SELECT doc_id, coalesce(m.ratio, 0.5) AS r
+             FROM sc LEFT JOIN model m USING (token)),
+           scored AS (SELECT doc_id,
+               floor(avg(r) * 10000 + 0.5) / 10000 AS nb_score
+             FROM joined GROUP BY doc_id),
+           ho AS (SELECT d.doc_id, d.lang,
+               coalesce(s.nb_score, 0.5) AS nb_score
+             FROM (SELECT doc_id, lang FROM documents
+               WHERE doc_id % ${Round10.NbHoldoutMod} = 0) d
+             LEFT JOIN scored s USING (doc_id)),
+           vals AS (SELECT nb_score AS s,
+               sum(CASE WHEN lang = '${Round10.NbPosLang}' THEN 1
+                 ELSE 0 END)::BIGINT AS pos,
+               sum(CASE WHEN lang = '${Round10.NbPosLang}' THEN 0
+                 ELSE 1 END)::BIGINT AS neg
+             FROM ho GROUP BY 1),
+           c AS (SELECT pos, neg,
+               coalesce(sum(neg) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS negb
+             FROM vals),
+           t AS (SELECT sum(pos)::BIGINT AS np, sum(neg)::BIGINT AS nn
+             FROM vals)
+         SELECT floor(sum(pos * (2 * negb + neg))::DOUBLE /
+             (2.0 * np::DOUBLE * nn::DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS auc,
+           np AS n_pos, nn AS n_neg
+         FROM c, t GROUP BY np, nn""",
+
+    "sample_hard_negatives" ->
+      s"""WITH nv AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+         pos AS (SELECT DISTINCT
+             (event_id % (SELECT n FROM nv))::BIGINT AS vec_id
+           FROM events
+           WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+             AND user_id % 50 = $HnUserBucket),
+         cent AS (SELECT list(c ORDER BY dim) AS cv FROM (
+             SELECT i AS dim,
+               round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS c
+             FROM embeddings e JOIN pos USING (vec_id),
+               generate_series(1, 64) AS g(i)
+             GROUP BY i)),
+         scored AS (SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], cv), 4)
+               + 0.0 AS sim
+           FROM embeddings, cent)
+         SELECT vec_id, sim FROM scored
+         WHERE vec_id NOT IN (SELECT vec_id FROM pos)
+         ORDER BY sim DESC, vec_id LIMIT $HnK""")
 }

@@ -26,6 +26,27 @@ class Round12cSpec extends SparkTestBase {
     assert(global("x") > 0.0, "contrast: global PR has no locality")
   }
 
+  test("auc equals brute-force Mann-Whitney, ties at half credit") {
+    val rnd = new scala.util.Random(71)
+    // coarse scores force heavy ties — the half-credit path matters
+    val rows = Seq.fill(2000)((rnd.nextInt(20) / 20.0,
+      rnd.nextBoolean()))
+    val df = rows.toDF("s", "y")
+    val got = graft.operators.Auc.auc(df, col("s"), col("y"),
+        k = 256, nLanes = 8)
+      .as[(Double, Long, Long)].head()
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; q <- neg) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val want = math.floor(wins / (pos.size.toDouble * neg.size) * 1e6
+      + 0.5) / 1e6
+    assert(got === ((want, pos.size.toLong, neg.size.toLong)))
+    // degenerate: single-class input yields an empty frame, not 0/0
+    assert(graft.operators.Auc.auc(df.where(col("y")), col("s"),
+      col("y")).count() === 0)
+  }
+
   test("sparseCosinePairs equals the brute-force tf-idf cosine") {
     val docs = Seq(
       (1L, "apple banana cherry apple"),
