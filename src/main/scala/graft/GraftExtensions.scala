@@ -589,5 +589,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             numLit(n, "minDf", args(5)).toLong)
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_auc"),
+      info("graft_auc",
+        "graft_auc(table, scoreCol, labelCol) - exact ROC AUC by the Mann-Whitney identity, no global rank window: (auc, n_pos, n_neg)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_auc expects 3 arguments")
+        val n = "graft_auc"
+        graft.operators.Auc.auc(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "scoreCol", args(1))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "labelCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_ppr"),
+      info("graft_ppr",
+        "graft_ppr(edgesTable, srcCol, dstCol, sources, rounds) - personalized PageRank from a comma-separated seed set: (node, rank)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_ppr expects 5 arguments")
+        val n = "graft_ppr"
+        graft.graph.PageRank.personalized(
+            SparkSession.active.table(strLit(n, "edgesTable", args.head)),
+            strLit(n, "srcCol", args(1)), strLit(n, "dstCol", args(2)),
+            strLit(n, "sources", args(3)).split(",").toSeq,
+            numLit(n, "rounds", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_sparse_cosine"),
+      info("graft_sparse_cosine",
+        "graft_sparse_cosine(table, idCol, textCol, nDocs, maxDfFrac, minSim) - above-threshold tf-idf cosine pairs through the posting table: (doc_a, doc_b, cos)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          s"graft_sparse_cosine expects 6 arguments")
+        val n = "graft_sparse_cosine"
+        graft.textanalysis.InvertedIndex.sparseCosinePairs(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "nDocs", args(3)).toLong,
+            numLit(n, "maxDfFrac", args(4)),
+            numLit(n, "minSim", args(5)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_mmr"),
+      info("graft_mmr",
+        "graft_mmr(poolTable, idCol, vecCol, relCol, k) - maximal-marginal-relevance re-rank of a bounded candidate pool: (rank, id, mmr_score)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_mmr expects 5 arguments")
+        val n = "graft_mmr"
+        graft.similarity.Mmr.rerank(
+            SparkSession.active.table(strLit(n, "poolTable", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "vecCol", args(2)),
+            strLit(n, "relCol", args(3)),
+            numLit(n, "k", args(4)).toInt)
+          .queryExecution.logical
+      }))
   }
 }

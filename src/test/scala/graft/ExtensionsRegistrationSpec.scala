@@ -425,6 +425,45 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         "graft_term_mi must plan to TermStats.termMutualInfo")
       assert(sqlMi.where(col("term") === "alpha").head().getLong(1) === 2L)
 
+      // Auc + Mmr materialize intermediates (localCheckpoint) — value
+      // checks, like graft_ks_drift
+      Seq((0.9, true), (0.8, true), (0.3, false), (0.2, false),
+        (0.8, false)).toDF("s", "y").createOrReplaceTempView("tvf_auc")
+      val sqlAuc = spark.sql(
+        "SELECT * FROM graft_auc('tvf_auc','s','y')")
+      val apiAuc = graft.operators.Auc.auc(spark.table("tvf_auc"),
+        col("s"), col("y"))
+      assert(sqlAuc.head() === apiAuc.head(),
+        "graft_auc must compute Auc.auc's numbers")
+      // pairs: (0.9,0.8)=1 (0.9,0.3)=1 (0.9,0.2)=1 (0.8,0.8)=.5 ... AUC=(1+1+1+.5+1+1)/6
+      assert(sqlAuc.head().getDouble(0) === math.floor(5.5 / 6 * 1e6
+        + 0.5) / 1e6)
+
+      val sqlPpr = spark.sql(
+        "SELECT * FROM graft_ppr('tvf_edges','s','d','10',2)")
+      val apiPpr = graft.graph.PageRank.personalized(
+        spark.table("tvf_edges"), "s", "d", Seq("10"), 2)
+      assert(sqlPpr.queryExecution.optimizedPlan
+        .sameResult(apiPpr.queryExecution.optimizedPlan),
+        "graft_ppr must plan to PageRank.personalized")
+
+      val sqlSpc = spark.sql(
+        "SELECT * FROM graft_sparse_cosine('tvf_docs','doc_id','text'," +
+          "4,1.0,0.0)")
+      val apiSpc = graft.textanalysis.InvertedIndex.sparseCosinePairs(
+        docs, "doc_id", "text", 4L, 1.0, 0.0)
+      assert(sqlSpc.queryExecution.optimizedPlan
+        .sameResult(apiSpc.queryExecution.optimizedPlan),
+        "graft_sparse_cosine must plan to sparseCosinePairs")
+
+      Seq((1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.0, 1.0), 0.8))
+        .toDF("id", "vec", "rel").createOrReplaceTempView("tvf_pool")
+      val sqlMmr = spark.sql(
+        "SELECT * FROM graft_mmr('tvf_pool','id','vec','rel',2)")
+      assert(sqlMmr.orderBy("rank").collect().map(r =>
+        (r.getInt(0), r.getLong(1))).toSeq === Seq((1, 1L), (2, 2L)),
+        "graft_mmr must compute Mmr.rerank's picks")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
