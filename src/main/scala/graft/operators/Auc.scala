@@ -31,8 +31,13 @@ object Auc {
     // checkpointed lane-sums pass (its pos_cum is simply unused)
     val (cum, totals) = LanedPrefix.withPrefix(vals, "s",
       Seq("neg", "pos"), k, nLanes, inclusive = false)
+    // u2 accumulates in DECIMAL(38,0): pos·(2·negBelow+neg) summed as
+    // longs wraps silently (ANSI off) once np·nn nears 2^63 — reachable
+    // at ~5e9 rows per class, inside the documented scale — while 38
+    // digits hold any u2 a 10^12-row corpus can produce
     cum
-      .select((col("pos") * (lit(2L) * col("neg_cum") + col("neg")))
+      .select((col("pos").cast("decimal(38,0)") *
+        (lit(2L) * col("neg_cum") + col("neg")).cast("decimal(38,0)"))
         .as("u2"))
       .agg(sum("u2").as("u2"))
       .crossJoin(broadcast(totals.select(col("neg_tot").as("nn"),

@@ -29,8 +29,16 @@ import org.apache.spark.sql.functions._
 object RankNormalize {
   def apply(df: DataFrame, valueCol: String, k: Int = 1024,
             nLanes: Int = 32): DataFrame = {
-    val nn = df.where(col(valueCol).isNotNull)
-    val vals = nn.groupBy(col(valueCol).cast("double").as("__v"))
+    // filter on the TRY_CAST: a non-numeric string is non-null but
+    // casts to null (ANSI off) — it would group under the nulls-first
+    // __v=null row, inflate every exclusive prefix and the n−1
+    // denominator, then vanish in the join-back (null never
+    // equi-joins), silently shifting every returned rank. try_cast
+    // keeps that semantics identical under ANSI, where a plain cast
+    // would instead throw mid-scan.
+    val vNum = expr(s"try_cast(`$valueCol` AS DOUBLE)")
+    val nn = df.where(vNum.isNotNull)
+    val vals = nn.groupBy(vNum.as("__v"))
       .agg(count(lit(1)).as("__c"))
     val (cum, totals) = LanedPrefix.withPrefix(vals, "__v",
       Seq("__c"), k, nLanes, inclusive = false)
@@ -40,7 +48,7 @@ object RankNormalize {
         when(col("__n") > 1, col("__c_cum").cast("double") /
           (col("__n") - 1).cast("double"))
           .otherwise(lit(0.0)).as("rank_pct"))
-    nn.join(ranked, nn(valueCol).cast("double") === ranked("__v"))
+    nn.join(ranked, vNum === ranked("__v"))
       .drop("__v")
   }
 }

@@ -31,17 +31,27 @@ import org.apache.spark.sql.functions._
   * IEEE ops on the same operands, so gates round only at the edge.
   * Output: df + `outCol` (double). */
 object Resample {
+  /** `tieCols` break ordering ties on `tCol` DETERMINISTICALLY (same
+    * contract as AsOfJoin's tiebreak): with duplicate timestamps and
+    * no tie columns, which row is "previous" depends on partitioning —
+    * and a null row bracketed by two observations at ITS OWN instant
+    * would divide 0/0. Pass the row id when timestamps can repeat; the
+    * equal-instant bracket additionally short-circuits to the previous
+    * observation instead of dividing by zero. */
   def interpolateLinear(df: DataFrame, keyCols: Seq[String],
-                        tCol: String, vCol: String,
-                        outCol: String): DataFrame = {
+                        tCol: String, vCol: String, outCol: String,
+                        tieCols: Seq[String] = Nil): DataFrame = {
     val t = col(tCol).cast("double")
     val v = col(vCol).cast("double")
+    val asc = col(tCol) +: tieCols.map(col)
     val before = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tCol))
+      .orderBy(asc: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    // "first non-null at or after t" == running last over t DESC
+    // "first non-null at or after t" == running last over the exact
+    // REVERSED order (ties reversed too, so before/after partition the
+    // series consistently)
     val after = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tCol).desc)
+      .orderBy(asc.map(_.desc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val prevV = last(v, ignoreNulls = true).over(before)
     val prevT = last(when(v.isNotNull, t), ignoreNulls = true).over(before)
@@ -51,6 +61,7 @@ object Resample {
       when(v.isNotNull, v)
         .when(prevV.isNull, nextV)
         .when(nextV.isNull, prevV)
+        .when(nextT === prevT, prevV) // equal-instant bracket: no 0/0
         .otherwise(prevV +
           (nextV - prevV) * (t - prevT) / (nextT - prevT)))
   }

@@ -51,9 +51,13 @@ object Round12d {
             expr(s"shiftleft(1L, cast($DecayCapDays - ago AS INT))"))
             .otherwise(lit(0L)))
         .groupBy("event_type")
+        // the sum runs in DECIMAL(38,0): >= 2^23 rows on the newest
+        // day would wrap a long sum of 2^40-scale weights silently;
+        // DuckDB's BIGINT sum promotes to int128, so both sides are
+        // exact before the one double conversion
         .agg(count(lit(1)).as("n_events"),
-          (sum("w").cast("double") / lit(DecayScale.toDouble))
-            .as("decayed_count"))
+          (sum(col("w").cast("decimal(38,0)")).cast("double") /
+            lit(DecayScale.toDouble)).as("decayed_count"))
         .orderBy("event_type")
     }),
 

@@ -89,6 +89,12 @@ object InvertedIndex {
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25FromIndex: empty query")
     val terms = queryTerms.map(_.toLowerCase)
+    // a duplicated term would pivot into two same-named columns and
+    // die with an ambiguous-reference error downstream — fail with the
+    // actual problem instead (the scan scorer tolerates duplicates by
+    // double-counting; dedupe the query to get the standard semantics)
+    require(terms.distinct.size == terms.size,
+      s"bm25FromIndex: duplicate query terms in $queryTerms")
     val tfs = postings.where(col("term").isin(terms: _*))
       .groupBy(col(idCol)).pivot("term", terms).agg(first("tf"))
     val withTf = docStats.join(tfs, Seq(idCol), "left")
@@ -150,13 +156,22 @@ object InvertedIndex {
         floor(col("tf").cast("double") *
           log(lit(nDocs.toDouble) / col("df").cast("double")) * 1e6
           + 0.5).cast("long").as("w"))
+    // products and sums run in DECIMAL(38,0): a rare hot term at
+    // billion-doc scale gives w ~ 6e9 and w² ~ 3.6e19 > Long.MaxValue —
+    // with ANSI off the long product wraps, sum goes negative,
+    // sqrt(negative) is NaN and the pair silently VANISHES through the
+    // >= minSim filter. Decimal keeps the "exact integer sums" claim
+    // true at any corpus size (DuckDB's BIGINT sum promotes to int128,
+    // so the oracle is exact the same way).
+    val wd = col("w").cast("decimal(38,0)")
     val norms = weighted.groupBy("__d")
-      .agg(sum(col("w") * col("w")).as("nn"))
+      .agg(sum(wd * wd).as("nn"))
     val num = weighted.as("l")
       .join(weighted.as("r"),
         col("l.term") === col("r.term") && col("l.__d") < col("r.__d"))
       .groupBy(col("l.__d").as("doc_a"), col("r.__d").as("doc_b"))
-      .agg(sum(col("l.w") * col("r.w")).as("num"))
+      .agg(sum(col("l.w").cast("decimal(38,0)") *
+        col("r.w").cast("decimal(38,0)")).as("num"))
     num
       .join(norms.select(col("__d").as("doc_a"), col("nn").as("n1")),
         Seq("doc_a"))

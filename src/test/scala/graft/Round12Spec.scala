@@ -148,6 +148,39 @@ class Round12Spec extends SparkTestBase {
     assert(out((3L, 5L)) === Some(7.0))
   }
 
+  test("interpolateLinear: duplicate timestamps, tie-broken, no NaN") {
+    val rows = Seq[(Long, Long, Long, Option[Double])](
+      (1L, 5L, 0L, Some(2.0)), (1L, 5L, 1L, None), // same instant
+      (1L, 9L, 2L, Some(6.0)))
+    val out = Resample.interpolateLinear(rows.toDF("k", "t", "id", "v"),
+        Seq("k"), "t", "v", "vf", tieCols = Seq("id"))
+      .select("id", "vf").as[(Long, Option[Double])].collect().toMap
+    // the null row at t=5 sits after the observation at its own
+    // instant: prev=(5,2.0), next=(9,6.0) -> 2 + 4*0/4 = 2.0
+    assert(out(1L) === Some(2.0))
+    assert(out.values.forall(_.forall(d => !d.isNaN)), s"NaN in $out")
+    // equal-instant bracket (obs before AND after at t=5 under ties)
+    val rows2 = Seq[(Long, Long, Long, Option[Double])](
+      (1L, 5L, 0L, Some(2.0)), (1L, 5L, 1L, None),
+      (1L, 5L, 2L, Some(4.0)))
+    val out2 = Resample.interpolateLinear(
+        rows2.toDF("k", "t", "id", "v"), Seq("k"), "t", "v", "vf",
+        tieCols = Seq("id"))
+      .select("id", "vf").as[(Long, Option[Double])].collect().toMap
+    assert(out2(1L) === Some(2.0), "equal-instant bracket takes prev")
+  }
+
+  test("bm25FromIndex rejects duplicate query terms loudly") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.bm25FromIndex(
+        InvertedIndex.postings(docs, "doc_id", "text"),
+        InvertedIndex.docStats(docs, "doc_id", "text"),
+        "doc_id", Seq("a", "A"))
+    }
+    assert(e.getMessage.contains("duplicate query terms"))
+  }
+
   test("bm25FromIndex is bit-identical to the corpus-scan scorer") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val terms = Seq("hash", "join", "vector")

@@ -62,6 +62,13 @@ class Round12bSpec extends SparkTestBase {
     val one = RankNormalize(Seq((1L, 9.0)).toDF("id", "v"), "v",
       nLanes = 2).select("rank_pct").as[Double].head()
     assert(one === 0.0)
+    // a non-numeric value casts to null: it must drop entirely, not
+    // inflate the prefix counts and denominator of the numeric rows
+    val mixed = Seq(("a", "junk"), ("b", "1"), ("c", "2"))
+      .toDF("id", "v")
+    val ranks = RankNormalize(mixed, "v", nLanes = 2)
+      .select("id", "rank_pct").as[(String, Double)].collect().toMap
+    assert(ranks === Map("b" -> 0.0, "c" -> 1.0))
   }
 
   test("jaroWinkler: textbook values, thresholds, edges, SQL surface") {
