@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact Gini coefficient, distributed — the concentration number
+  * behind "does one supplier take most of the spend", "are token
+  * counts hoarded by a few documents": G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) −
+  * (n+1)/n over the sorted individual values.
+  *
+  * The rank sum needs every value's position in the GLOBAL sort — the
+  * classic one-task trap — but it collapses over distinct values: a
+  * tie block of count c whose predecessors number p₀ contributes
+  * x·(c·p₀ + c(c+1)/2) regardless of within-tie order, and p₀ is
+  * exactly the [[LanedPrefix]] exclusive count. One distinct-collapse,
+  * one laned prefix, one 1-row reduce.
+  *
+  * Values are LONGS by contract (scale currency to cents first): the
+  * block terms and both totals accumulate in DECIMAL(38,0), so the
+  * statistic is exact integer arithmetic closed by two double
+  * divisions mirrored by the oracle. Negative values violate Gini's
+  * definition and fail loudly. Output: one row (gini, n, total);
+  * empty/zero-total input yields an empty frame. */
+object Gini {
+  def gini(df: DataFrame, valueCol: Column,
+           k: Int = 1024, nLanes: Int = 32): DataFrame = {
+    val vals = df.select(valueCol.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .where(assert_true(col("v") >= 0,
+        lit("Gini needs non-negative values")).isNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val (cum, totals) = LanedPrefix.withPrefix(vals, "v",
+      Seq("c"), k, nLanes, inclusive = false)
+    val vD = col("v").cast("decimal(38,0)")
+    val cD = col("c").cast("decimal(38,0)")
+    val p0 = col("c_cum").cast("decimal(38,0)")
+    // 2·Σ x·(c·p₀ + c(c+1)/2) = 2·Σ x·c·p₀ + Σ x·c·(c+1): the halving
+    // folds into the final doubling, so everything stays integral —
+    // no decimal division anywhere
+    val s = cum
+      .select((vD * cD * p0).as("ta"),
+        (vD * cD * (cD + 1)).as("tb"),
+        (vD * cD).as("vc"))
+      .agg(sum("ta").as("SA"), sum("tb").as("SB"), sum("vc").as("T"))
+    s.crossJoin(broadcast(totals.select(col("c_tot").as("n"))))
+      .where(col("n") > 0 && col("T") > 0)
+      .select(
+        (floor(((col("SA") * 2 + col("SB")).cast("double") /
+          (col("n").cast("double") * col("T").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"))
+          * 1e6 + 0.5) / 1e6).as("gini"),
+        col("n"), col("T").cast("long").as("total"))
+  }
+}

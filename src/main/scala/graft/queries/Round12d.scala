@@ -129,7 +129,19 @@ object Round12d {
         .join(pos, Seq("vec_id"), "left_anti")
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(HnK)
-    }))
+    }),
+
+    // exact Gini concentration of spend (price cents): the global
+    // rank sum collapses over distinct values via the laned prefix —
+    // a tie block contributes x·(c·p0 + c(c+1)/2) whatever its
+    // within-tie order — and the halving folds into the closing
+    // doubling so the statistic is exact integer arithmetic ended by
+    // two double divisions. The oracle runs the same block formula
+    // over one window
+    "agg_gini" -> ((s, dir) =>
+      graft.operators.Gini.gini(
+        tbl(s, dir, "lineitem").where(col("l_extendedprice").isNotNull),
+        floor(col("l_extendedprice") * 100 + 0.5))))
 
   val oracles: Map[String, String] = Map(
 
@@ -217,5 +229,26 @@ object Round12d {
            FROM embeddings, cent)
          SELECT vec_id, sim FROM scored
          WHERE vec_id NOT IN (SELECT vec_id FROM pos)
-         ORDER BY sim DESC, vec_id LIMIT $HnK""")
+         ORDER BY sim DESC, vec_id LIMIT $HnK""",
+
+    "agg_gini" ->
+      """WITH cents AS (SELECT
+             floor(l_extendedprice * 100 + 0.5)::BIGINT AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         vals AS (SELECT v, count(*)::BIGINT AS c FROM cents
+           GROUP BY 1),
+         cum AS (SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS p0
+           FROM vals),
+         s AS (SELECT sum(v * c * p0)::HUGEINT AS sa,
+             sum(v * c * (c + 1))::HUGEINT AS sb,
+             sum(v * c)::HUGEINT AS t, sum(c)::BIGINT AS n
+           FROM cum)
+         SELECT floor(((2 * sa + sb)::DOUBLE / (n::DOUBLE * t::DOUBLE)
+             - (n + 1)::DOUBLE / n::DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS gini,
+           n, t::BIGINT AS total
+         FROM s""")
 }

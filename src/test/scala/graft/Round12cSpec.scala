@@ -47,6 +47,37 @@ class Round12cSpec extends SparkTestBase {
       col("y")).count() === 0)
   }
 
+  test("gini equals brute force; edges behave") {
+    val rnd = new scala.util.Random(91)
+    val xs = Seq.fill(3000)(rnd.nextInt(50).toLong) // heavy ties
+    val got = graft.operators.Gini.gini(xs.toDF("x"), col("x"),
+        k = 256, nLanes = 8)
+      .as[(Double, Long, Long)].head()
+    val sorted = xs.sorted
+    val n = xs.size
+    val t = xs.sum
+    val rankSum = sorted.zipWithIndex
+      .map { case (x, i) => x * (i + 1).toLong }.sum
+    val want = math.floor((2.0 * rankSum / (n.toDouble * t) -
+      (n + 1).toDouble / n) * 1e6 + 0.5) / 1e6
+    assert(got === ((want, n.toLong, t)))
+    // all-equal values -> 0
+    assert(graft.operators.Gini.gini(Seq.fill(50)(7L).toDF("x"),
+      col("x"), nLanes = 2).head().getDouble(0) === 0.0)
+    // maximal concentration -> close to 1
+    val conc = (Seq.fill(99)(0L) :+ 1000L).toDF("x")
+    assert(graft.operators.Gini.gini(conc, col("x"), nLanes = 2)
+      .head().getDouble(0) === 0.99)
+    // negative values fail loudly
+    intercept[Exception] {
+      graft.operators.Gini.gini(Seq(-1L, 2L).toDF("x"), col("x"))
+        .collect()
+    }
+    // empty -> empty, not 0/0
+    assert(graft.operators.Gini.gini(
+      Seq(1L).toDF("x").where(lit(false)), col("x")).count() === 0)
+  }
+
   test("sparseCosinePairs equals the brute-force tf-idf cosine") {
     val docs = Seq(
       (1L, "apple banana cherry apple"),
