@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * runs truncate lineage per round like [[PageRank]]
   * (`checkpointEvery` / `checkpointDir`).
   *
-  * Labels must be non-negative longs (the tie-break negates them); map
+  * Labels must be non-negative longs (the tie-break negates them; a
+  * `Long.MinValue` id would overflow the negation silently) — the
+  * precondition is enforced with a per-row `assert_true` on the edge
+  * scan, the same cheap guard [[graft.operators.Gini]] and
+  * `Dedup.paragraphDedup` use, because the SQL TVF surface
+  * (`graft_label_prop`) exposes this operator to arbitrary tables. Map
   * string ids to dense longs first if needed. Edges are treated as
   * undirected and self-loops are dropped. Output: (node, label). */
 object LabelProp {
@@ -44,6 +49,8 @@ object LabelProp {
         col(dstCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
+      .where(assert_true(col("a") >= 0 && col("b") >= 0,
+        lit("LabelProp needs non-negative node ids")).isNull)
     // undirected: both orientations, deduped
     val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
       .distinct()

@@ -216,9 +216,9 @@ object Round12 {
 
     "audit_drift_ks" ->
       """WITH a AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
-           WHERE l_returnflag = 'A'),
+           WHERE l_returnflag = 'A' AND l_extendedprice IS NOT NULL),
          b AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
-           WHERE l_returnflag = 'N'),
+           WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL),
          vals AS (SELECT v, sum(ca)::BIGINT AS ca, sum(cb)::BIGINT AS cb
            FROM (SELECT v, 1 AS ca, 0 AS cb FROM a
                  UNION ALL SELECT v, 0, 1 FROM b)

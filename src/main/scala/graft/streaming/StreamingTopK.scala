@@ -107,16 +107,17 @@ object StreamingTopK {
     * reported share. Candidate-count and total come out of ONE
     * aggregate; the ≤ shards·k + 1 row result joins its own 1-row sum,
     * both broadcast-sized. Empty candidates / empty corpus yield an
-    * empty result instead of an NPE. */
+    * empty result instead of an NPE.
+    *
+    * The candidate set stays distributed — a broadcast LEFT join
+    * against the distinct lane keys (the pattern
+    * [[graft.operators.HeavyHitters.exactGrouped]] uses), never an
+    * `isin(...)` literal: at shards·k in the tens of thousands a
+    * folded-in `In` list is an analyzer/codegen-size hazard and a
+    * driver round-trip the join does not need. */
   def exactFromShards(laneStates: DataFrame, corpus: DataFrame,
                       keyCol: Column, minShare: Double): DataFrame = {
-    val cands = laneStates.select(col("key")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val keyed = corpus.select(keyCol.cast("string").as("k"))
-      .where(col("k").isNotNull)
-    val counts = keyed.groupBy(
-        when(col("k").isin(cands: _*), col("k")).as("k"))
-      .agg(count(lit(1)).as("cnt"))
+    val counts = candidateCounts(laneStates, corpus, keyCol)
       .localCheckpoint() // ≤ shards·k + 1 rows; corpus scans ONCE
     val tot = counts.agg(sum("cnt").as("n"))
     counts.where(col("k").isNotNull)
@@ -124,5 +125,20 @@ object StreamingTopK {
       .where(col("cnt") > col("n") * lit(minShare))
       .select(col("k"), col("cnt"),
         (col("cnt") / col("n").cast("double")).as("share"))
+  }
+
+  /** The single corpus scan behind [[exactFromShards]], exposed so the
+    * plan (broadcast candidate join, no `In` literal) stays spec-
+    * assertable — `localCheckpoint` in the caller otherwise erases the
+    * lineage the assertion needs to see. */
+  private[graft] def candidateCounts(laneStates: DataFrame,
+      corpus: DataFrame, keyCol: Column): DataFrame = {
+    val cands = laneStates.select(col("key").cast("string").as("ck"))
+      .where(col("ck").isNotNull).distinct()
+    val keyed = corpus.select(keyCol.cast("string").as("k"))
+      .where(col("k").isNotNull)
+    keyed.join(broadcast(cands), col("k") === col("ck"), "left")
+      .groupBy(col("ck").as("k"))
+      .agg(count(lit(1)).as("cnt"))
   }
 }

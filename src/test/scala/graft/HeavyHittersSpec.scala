@@ -164,6 +164,41 @@ class HeavyHittersSpec extends SparkTestBase {
       .count() === 0)
   }
 
+  test("exactFromShards: candidates join, never an In-literal plan") {
+    // shards·k lane keys folded into isin(...) literals is an
+    // analyzer/codegen-size hazard at scale — the plan must carry the
+    // candidate set as a broadcast join, with no In/InSet over the
+    // candidate strings anywhere
+    val df = (Seq.fill(8)("hot") ++ Seq("d", "e")).zipWithIndex
+      .map { case (k, i) => (0, i.toLong, k) }
+      .toDF("shard", "ord", "key")
+    val lanes = StreamingTopK.replayShards(df, col("shard"),
+      col("ord"), col("key"), k = 2)
+    // the corpus-scan stage (pre-localCheckpoint, where the candidate
+    // membership lives) must plan as a broadcast join with no In/InSet
+    val counts = StreamingTopK.candidateCounts(lanes, df, col("key"))
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val inLists = counts.queryExecution.optimizedPlan.collect {
+      case p => p
+    }.flatMap(_.expressions.flatMap(_.collect {
+      case i: In => i
+      case i: InSet => i
+    }))
+    assert(inLists.isEmpty,
+      s"candidate membership must be a join, found: $inLists")
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val joins = counts.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    assert(joins.exists(_.hint.rightHint.exists(
+        _.strategy.contains(BROADCAST))),
+      s"expected a broadcast-hinted candidate join, plan: $joins")
+    // and the answer is unchanged
+    val hh = StreamingTopK.exactFromShards(lanes, df, col("key"), 0.5)
+    assert(hh.as[(String, Long, Double)].collect().toSeq ===
+      Seq(("hot", 8L, 0.8)))
+  }
+
   test("exactGrouped: maxGroups guard fires without unbounded collect") {
     val df = Seq(("g1", "a"), ("g2", "b"), ("g3", "c"))
       .toDF("g", "k")
