@@ -67,11 +67,7 @@ class ViewServer(base: DataFrame, viewName: String = "units") {
     */
   def sortedByLocaleNumeric(df: DataFrame, key: String, locale: String = "es",
                             asc: Boolean = true): DataFrame = {
-    val s = col(key).cast("string")
-    val prefix = collate(regexp_extract(s, "^(\\D*)", 1), locale)
-    val digits = regexp_extract(s, "^\\D*(\\d+)", 1)
-    val rest = collate(regexp_replace(s, "^\\D*\\d*", ""), locale)
-    val ordered = Seq(prefix, length(digits), digits, rest).map(c =>
+    val ordered = ViewServer.localeNumericKeys(col(key), locale).map(c =>
       if (asc) c.asc_nulls_last else c.desc_nulls_last)
     df.orderBy(ordered: _*)
   }
@@ -118,5 +114,23 @@ class ViewServer(base: DataFrame, viewName: String = "units") {
   def close(): Unit = {
     view.sparkSession.catalog.dropTempView(viewName)
     view.unpersist()
+  }
+}
+
+object ViewServer {
+  /** The O4c composite sort key, shared by [[ViewServer.sortedByLocaleNumeric]]
+    * and the `sort_locale_numeric` gate: (ICU-collated text before the
+    * first digit run, digit-run length, digit run, ICU-collated
+    * remainder) — "A2" < "A10" with no numeric cast that could
+    * overflow. On digit-and-single-case-ASCII label domains the ICU
+    * order coincides with binary order, which is what lets a plain-
+    * collation oracle pin the numeric-awareness exactly. */
+  def localeNumericKeys(key: Column, locale: String = "es"): Seq[Column] = {
+    val s = key.cast("string")
+    Seq(
+      collate(regexp_extract(s, "^(\\D*)", 1), locale),
+      length(regexp_extract(s, "^\\D*(\\d+)", 1)),
+      regexp_extract(s, "^\\D*(\\d+)", 1),
+      collate(regexp_replace(s, "^\\D*\\d*", ""), locale))
   }
 }

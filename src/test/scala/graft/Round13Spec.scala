@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.ViewServer
+
+/** Round-13 semantic pins: the sink gates' on-disk round trips and the
+  * locale-numeric sort's numeric-awareness (the properties the DuckDB
+  * hash alone can't articulate). */
+class Round13Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sink_per_project writes one directory per project, nulls survive") {
+    val df = queries.Round13.defs("sink_per_project")(spark, sf)
+    val rows = df.collect()
+    // the write happened as a side effect; inspect the tree it left
+    val out = new java.io.File(
+      "target/gates/r13/sink_per_project_" +
+        sf.replaceAll("[^A-Za-z0-9]", "_"))
+    val dirs = out.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("Proyecto=")) === 25,
+      s"expected 25 project partitions, got: ${dirs.toSeq}")
+    // '#' in partition values is escaped on disk but unescapes on read
+    assert(rows.map(_.getString(0)).distinct.forall(_.startsWith("Brand#")))
+    // every-7th-size Estado nulls survive the parquet round trip
+    assert(rows.count(_.isNullAt(2)) > 0)
+  }
+
+  test("sink_changed_detail keeps exactly the flagged rows") {
+    val df = queries.Round13.defs("sink_changed_detail")(spark, sf)
+    val back = df.collect()
+    assert(back.nonEmpty)
+    assert(back.forall(r =>
+      r.getBoolean(r.fieldIndex("cambio_precio")) ||
+        r.getBoolean(r.fieldIndex("cambio_estado"))))
+  }
+
+  test("sink_kpi_json __ALL__ row equals the cards over the source") {
+    val df = queries.Round13.defs("sink_kpi_json")(spark, sf)
+    val all = df.where(col("proyecto") === "__ALL__").head()
+    val src = spark.read.parquet(s"$sf/part.parquet")
+      .agg(count(lit(1)), round(avg("p_retailprice"), 2),
+        round(median(col("p_retailprice")), 2)).head()
+    assert(all.getLong(1) === src.getLong(0))
+    assert(all.getDouble(2) === src.getDouble(1))
+    assert(all.getDouble(3) === src.getDouble(2))
+  }
+
+  test("view_count_by_estado: bars ordered by count, total = project rows") {
+    val rows = queries.Round13.defs("view_count_by_estado")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "bars must come back count-descending")
+    val expected = spark.read.parquet(s"$sf/part.parquet")
+      .where(col("p_brand") === "Brand#7").count()
+    assert(counts.sum === expected)
+  }
+
+  test("locale-numeric sort ranks by numeric size, not lexical digits") {
+    val ranked = queries.Round13.defs("sort_locale_numeric")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val df = ranked.toMap
+    def rk(l: String) = df.getOrElse(l, fail(s"label $l missing"))
+    // full property: rank order == (numeric size asc, numeric suffix asc)
+    val byNumeric = ranked.map(_._1).sortBy { l =>
+      val Array(_, size, suffix) = l.split("-")
+      (size.toInt, suffix.toInt)
+    }
+    byNumeric.zipWithIndex.foreach { case (l, i) =>
+      assert(rk(l) === i + 1L,
+        s"$l should rank ${i + 1} under numeric-aware order")
+    }
+    // and the gate's ranks agree with the ViewServer method's order
+    val labels = spark.read.parquet(s"$sf/part.parquet")
+      .select(concat(lit("Torre-"), col("p_size"), lit("-"),
+        col("p_partkey") % 4).as("label")).distinct()
+    val vs = new ViewServer(labels, "labels_r13")
+    val served = vs.sortedByLocaleNumeric(labels, "label")
+      .collect().map(_.getString(0))
+    vs.close()
+    assert(served.zipWithIndex.forall { case (l, i) => rk(l) === i + 1L },
+      "gate ranks must replay sortedByLocaleNumeric's order")
+  }
+
+  test("sink_records_json: omitted null keys come back as nulls") {
+    val df = queries.Round13.defs("sink_records_json")(spark, sf)
+    assert(df.where(col("estado").isNull).count() > 0)
+  }
+}
