@@ -635,6 +635,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_gini"),
+      info("graft_gini",
+        "graft_gini(table, valueCol) - exact Gini concentration of a non-negative long column (scale currency to cents first): (gini, n, total)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_gini expects 2 arguments")
+        val n = "graft_gini"
+        graft.operators.Gini.gini(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "valueCol", args(1))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_gini_grouped"),
+      info("graft_gini_grouped",
+        "graft_gini_grouped(table, groupCol, valueCol) - exact per-group Gini concentration: (g, gini, n, total)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_gini_grouped expects 3 arguments")
+        val n = "graft_gini_grouped"
+        graft.operators.Gini.giniGrouped(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "groupCol", args(1))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "valueCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_auc_grouped"),
+      info("graft_auc_grouped",
+        "graft_auc_grouped(table, groupCol, scoreCol, labelCol) - exact per-group ROC AUC by the Mann-Whitney identity: (g, auc, n_pos, n_neg)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_auc_grouped expects 4 arguments")
+        val n = "graft_auc_grouped"
+        graft.operators.Auc.aucGrouped(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "groupCol", args(1))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "scoreCol", args(2))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "labelCol", args(3))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_mmr"),
       info("graft_mmr",
         "graft_mmr(poolTable, idCol, vecCol, relCol, k) - maximal-marginal-relevance re-rank of a bounded candidate pool: (rank, id, mmr_score)"),

@@ -14,7 +14,8 @@ object SparkEntry {
     Relational.defs ++ Relational2.defs ++ Extensions.defs ++
       Pipelines.defs ++ Round7.defs ++ Analytics7.defs ++ Round9.defs ++
       Round10.defs ++ Round11.defs ++ Round11b.defs ++ Round12.defs ++
-      Round12b.defs ++ Round12c.defs ++ Round12d.defs ++ Round13.defs
+      Round12b.defs ++ Round12c.defs ++ Round12d.defs ++ Round13.defs ++
+      Round13b.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       Pipelines.oracles ++ Round7.oracles ++ Analytics7.oracles ++
       Round9.oracles ++ Round10.oracles ++ Round11.oracles ++
       Round11b.oracles ++ Round12.oracles ++ Round12b.oracles ++
-      Round12c.oracles ++ Round12d.oracles ++ Round13.oracles
+      Round12c.oracles ++ Round12d.oracles ++ Round13.oracles ++
+      Round13b.oracles
 }

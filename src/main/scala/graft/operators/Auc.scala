@@ -49,4 +49,39 @@ object Auc {
             col("nn").cast("double")) * 1e6 + 0.5) / 1e6).as("auc"),
         col("np").as("n_pos"), col("nn").as("n_neg"))
   }
+
+  /** Per-group [[auc]] on the grouped laned prefix — "how well does
+    * the classifier separate WITHIN each segment" (the Simpson's-
+    * paradox check a global AUC hides), same exact-integer identity
+    * per group. Null groups are dropped; degenerate groups (no
+    * positives or no negatives) are dropped like the global form's
+    * degenerate input. Output: (group, auc, n_pos, n_neg), group
+    * column named `g`. */
+  def aucGrouped(scored: DataFrame, groupCol: Column, scoreCol: Column,
+                 labelCol: Column, k: Int = 1024,
+                 nLanes: Int = 32): DataFrame = {
+    val base = scored.select(groupCol.cast("string").as("g"),
+        scoreCol.cast("double").as("s"),
+        labelCol.cast("boolean").as("y"))
+      .where(col("g").isNotNull && col("s").isNotNull &&
+        col("y").isNotNull)
+    val vals = base.groupBy("g", "s")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+    val (cum, totals) = LanedPrefix.withPrefixGrouped(vals, "g", "s",
+      Seq("neg", "pos"), k, nLanes, inclusive = false)
+    cum
+      .select(col("g"), (col("pos").cast("decimal(38,0)") *
+        (lit(2L) * col("neg_cum") + col("neg")).cast("decimal(38,0)"))
+        .as("u2"))
+      .groupBy("g").agg(sum("u2").as("u2"))
+      .join(broadcast(totals.select(col("g"),
+        col("neg_tot").as("nn"), col("pos_tot").as("np"))), "g")
+      .where(col("np") > 0 && col("nn") > 0)
+      .select(col("g"),
+        (floor(col("u2").cast("double") /
+          (lit(2.0) * col("np").cast("double") *
+            col("nn").cast("double")) * 1e6 + 0.5) / 1e6).as("auc"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
 }

@@ -51,4 +51,38 @@ object Gini {
           * 1e6 + 0.5) / 1e6).as("gini"),
         col("n"), col("T").cast("long").as("total"))
   }
+
+  /** Per-group [[gini]] on the grouped laned prefix — "spend
+    * concentration per segment" in the same exact-integer arithmetic,
+    * one row per group. Null groups are dropped (no meaningful
+    * segment); groups with zero total are dropped like the global
+    * form's empty input. Output: (group, gini, n, total), group column
+    * named `g`. */
+  def giniGrouped(df: DataFrame, groupCol: Column, valueCol: Column,
+                  k: Int = 1024, nLanes: Int = 32): DataFrame = {
+    val vals = df.select(groupCol.cast("string").as("g"),
+        valueCol.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .where(assert_true(col("v") >= 0,
+        lit("Gini needs non-negative values")).isNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val (cum, totals) = LanedPrefix.withPrefixGrouped(vals, "g", "v",
+      Seq("c"), k, nLanes, inclusive = false)
+    val vD = col("v").cast("decimal(38,0)")
+    val cD = col("c").cast("decimal(38,0)")
+    val p0 = col("c_cum").cast("decimal(38,0)")
+    cum
+      .select(col("g"), (vD * cD * p0).as("ta"),
+        (vD * cD * (cD + 1)).as("tb"), (vD * cD).as("vc"))
+      .groupBy("g")
+      .agg(sum("ta").as("SA"), sum("tb").as("SB"), sum("vc").as("T"))
+      .join(broadcast(totals.select(col("g"), col("c_tot").as("n"))), "g")
+      .where(col("n") > 0 && col("T") > 0)
+      .select(col("g"),
+        (floor(((col("SA") * 2 + col("SB")).cast("double") /
+          (col("n").cast("double") * col("T").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"))
+          * 1e6 + 0.5) / 1e6).as("gini"),
+        col("n"), col("T").cast("long").as("total"))
+  }
 }

@@ -50,4 +50,50 @@ object LanedPrefix {
     }.drop(sumCols.map(c => s"__off_$c"): _*)
     (out, totals)
   }
+
+  /** Per-group [[withPrefix]] — the partition-key extension behind
+    * grouped AUC/Gini/KS: each group's distinct-value rows lane by the
+    * group's OWN equi-depth cuts ([[Analytics.qsketchRangeBucketsGrouped]]
+    * — a broadcast cut-table join + pure map, never a per-group CASE),
+    * the in-lane window partitions by (group, lane), and the cross-lane
+    * offsets come off the |groups|·nLanes per-(group,lane) totals with a
+    * group-partitioned window — every window here is partitioned, so the
+    * shape scales in BOTH the group count and the per-group domain size.
+    *
+    * Input: one row per DISTINCT (`groupCol`, `orderCol`) pair with long
+    * `sumCols` counts; null groups are dropped (the cut-table join is an
+    * equi-join). Output: (`vals` + `<c>_cum` prefix per sum column +
+    * lane `bucket`, and a per-group totals frame keyed by `groupCol`
+    * with `<c>_tot` columns — join it back on the group, broadcast when
+    * |groups| is broadcast-sized). */
+  def withPrefixGrouped(vals: DataFrame, groupCol: String, orderCol: String,
+                        sumCols: Seq[String], k: Int, nLanes: Int,
+                        inclusive: Boolean): (DataFrame, DataFrame) = {
+    require(sumCols.nonEmpty, "at least one sum column")
+    val laned = Analytics.qsketchRangeBucketsGrouped(vals, groupCol,
+      col(orderCol), orderCol, k, nLanes)
+    val hi = if (inclusive) 0L else -1L
+    val wIn = Window.partitionBy(groupCol, "bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val wAcross = Window.partitionBy(groupCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sums = laned.groupBy(groupCol, "bucket")
+      .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)
+      .localCheckpoint() // ≤ |groups|·nLanes rows; feeds offsets + totals
+    val offsets = sumCols.foldLeft(sums) { (df, c) =>
+      df.withColumn(s"__off_$c",
+        coalesce(sum(s"__t_$c").over(wAcross), lit(0L)))
+    }.select(col(groupCol) +: col("bucket") +:
+      sumCols.map(c => col(s"__off_$c")): _*)
+    val totals = sums.groupBy(groupCol).agg(
+      sum(s"__t_${sumCols.head}").as(s"${sumCols.head}_tot"),
+      sumCols.tail.map(c => sum(s"__t_$c").as(s"${c}_tot")): _*)
+    val out = sumCols.foldLeft(
+        laned.join(broadcast(offsets), Seq(groupCol, "bucket"))) { (df, c) =>
+      df.withColumn(s"${c}_cum",
+        coalesce(sum(c).over(wIn), lit(0L)) + col(s"__off_$c"))
+    }.drop(sumCols.map(c => s"__off_$c"): _*)
+    (out, totals)
+  }
 }

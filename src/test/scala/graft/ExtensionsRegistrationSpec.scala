@@ -456,6 +456,38 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         .sameResult(apiSpc.queryExecution.optimizedPlan),
         "graft_sparse_cosine must plan to sparseCosinePairs")
 
+      // grouped AUC: the mixed segment scores like tvf_auc; a segment
+      // with only negatives must drop (degenerate), not divide by zero
+      Seq(("a", 0.9, true), ("a", 0.8, true), ("a", 0.3, false),
+        ("a", 0.2, false), ("a", 0.8, false), ("b", 0.5, false))
+        .toDF("g", "s", "y").createOrReplaceTempView("tvf_auc_g")
+      val sqlAucG = spark.sql(
+        "SELECT * FROM graft_auc_grouped('tvf_auc_g','g','s','y')")
+      assert(sqlAucG.collect().map(r => (r.getString(0),
+        r.getDouble(1))).toSeq ===
+        Seq(("a", math.floor(5.5 / 6 * 1e6 + 0.5) / 1e6)),
+        "graft_auc_grouped must compute Auc.aucGrouped's numbers")
+
+      // Gini: 3x value 1 + 1x value 5 -> sorted rank sum identity;
+      // G = 2*(1*1+1*2+1*3+5*4)/(4*8) - 5/4 = 52/32 - 40/32 = 0.375
+      Seq(1L, 1L, 1L, 5L).toDF("v").createOrReplaceTempView("tvf_gini")
+      val sqlGini = spark.sql("SELECT * FROM graft_gini('tvf_gini','v')")
+      assert(sqlGini.head() === graft.operators.Gini.gini(
+        spark.table("tvf_gini"), col("v")).head(),
+        "graft_gini must compute Gini.gini's numbers")
+      assert(sqlGini.head().getDouble(0) === 0.375)
+
+      // grouped Gini: group a as above; group b perfectly equal -> 0
+      Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 5L),
+        ("b", 2L), ("b", 2L)).toDF("g", "v")
+        .createOrReplaceTempView("tvf_gini_g")
+      val sqlGiniG = spark.sql(
+        "SELECT * FROM graft_gini_grouped('tvf_gini_g','g','v')")
+      assert(sqlGiniG.orderBy("g").collect().map(r =>
+        (r.getString(0), r.getDouble(1))).toSeq ===
+        Seq(("a", 0.375), ("b", 0.0)),
+        "graft_gini_grouped must compute Gini.giniGrouped's numbers")
+
       Seq((1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.0, 1.0), 0.8))
         .toDF("id", "vec", "rel").createOrReplaceTempView("tvf_pool")
       val sqlMmr = spark.sql(

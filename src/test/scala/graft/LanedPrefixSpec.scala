@@ -54,4 +54,35 @@ class LanedPrefixSpec extends SparkTestBase {
       k = 8, nLanes = 2, inclusive = true)
     assert(o0.count() === 0)
   }
+
+  test("grouped prefixes match per-group brute force, any lanes") {
+    val rnd = new scala.util.Random(101)
+    val rows = Seq.fill(3000)((s"g${rnd.nextInt(4)}",
+        rnd.nextDouble() * 50, rnd.nextInt(5) + 1L))
+      .groupBy(r => (r._1, r._2)).map { case ((g, v), rs) =>
+        (g, v, rs.map(_._3).sum)
+      }.toSeq
+    val df = rows.toDF("g", "v", "c")
+    val brute = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val cum = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zipWithIndex.map { case ((_, v, _), i) =>
+        ((g, v), (cum(i), cum(i + 1))) // (exclusive, inclusive)
+      }
+    }.toMap
+    for (nLanes <- Seq(2, 8); inclusive <- Seq(true, false)) {
+      val (out, totals) = LanedPrefix.withPrefixGrouped(df, "g", "v",
+        Seq("c"), k = 256, nLanes = nLanes, inclusive = inclusive)
+      out.select("g", "v", "c_cum").as[(String, Double, Long)]
+        .collect().foreach { case (g, v, cum) =>
+          val want =
+            if (inclusive) brute((g, v))._2 else brute((g, v))._1
+          assert(cum === want, s"g=$g v=$v lanes=$nLanes inc=$inclusive")
+        }
+      val t = totals.as[(String, Long)].collect().toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        assert(t(g) === rs.map(_._3).sum, s"totals for $g")
+      }
+    }
+  }
 }
