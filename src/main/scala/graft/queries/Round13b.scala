@@ -15,7 +15,48 @@ object Round13b {
     * segment. */
   private val AucSegMod = 4
 
+  /** Recall-curve fixture: nlist cells (md5-seeded like dedup_semantic
+    * so DuckDB replays the clustering), recall@K measured at each probe
+    * count. BOTH sides derive from these constants. */
+  private val RcNlist = 8
+  private val RcK = 20
+  private val RcProbes = Seq(1, 2, 4, 8)
+
   val defs: Map[String, Q] = Map(
+
+    // the recall/latency trade an IVF operator actually consults:
+    // recall@20 of the probed search vs exact brute force at nprobe in
+    // {1,2,4,8} — nested probe sets make recall provably monotone and
+    // nprobe = nlist is the exact-identity endpoint (recall 1.0, the
+    // sim_ann_ivf gate's property). The index is built ONCE
+    // (localCheckpoint: at scale the assigned corpus is written
+    // partitioned by cell) and each probe level is one pruned scan
+    "sim_ann_recall_curve" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val (assigned0, cents0) = graft.similarity.Similarity.ivfIndex(
+        emb, "vec_id", "embedding", dim = 64, nlist = RcNlist,
+        iters = 1, seedCell = Some(Round7.semSeed(RcNlist)))
+      val assigned = assigned0.localCheckpoint()
+      val cents = cents0.localCheckpoint()
+      val brute = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.similarity.Similarity.cosine(
+            graft.similarity.Similarity.toVec(col("embedding")),
+            graft.similarity.Similarity.toVec(col("qvec"))), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(RcK).select("vec_id")
+        .localCheckpoint()
+      RcProbes.map { np =>
+        graft.similarity.Similarity.ivfTopK(assigned, cents, "vec_id",
+            "embedding", q, "qvec", nprobe = np, k = RcK)
+          .join(brute, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(np.toLong).as("nprobe"), col("hits"),
+            (col("hits").cast("double") / RcK).as("recall_at_k"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
 
     // per-returnflag Gini of spend cents: "is the concentration a
     // property of the corpus or of one segment" — same exact integer
@@ -48,6 +89,62 @@ object Round13b {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // replays the ivfIndex chain exactly as the dedup_semantic oracle
+    // (md5 seed -> centroid -> round4-cosine argmax reassignment), then
+    // the POST-iteration centroids rank the probe order and each probe
+    // level's top-K intersects the brute-force top-K
+    "sim_ann_recall_curve" ->
+      s"""WITH v AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 8)) AS BIGINT)
+               % $RcNlist AS scell
+           FROM embeddings),
+         cent AS (
+           SELECT scell, list(a ORDER BY i) AS c FROM (
+             SELECT scell, i, avg(v[i]) AS a
+             FROM v, generate_series(1, 64) AS g(i) GROUP BY scell, i)
+           GROUP BY scell),
+         scored AS (
+           SELECT vec_id, v.v AS v, cent.scell AS cell,
+             round(list_cosine_similarity(v.v, cent.c), 4) AS sim
+           FROM v, cent),
+         asg AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, cell) AS rk FROM scored)
+           WHERE rk = 1),
+         cent2 AS (
+           SELECT cell, list(a ORDER BY i) AS c FROM (
+             SELECT cell, i, avg(v[i]) AS a
+             FROM asg, generate_series(1, 64) AS g(i) GROUP BY cell, i)
+           GROUP BY cell),
+         q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+         prank AS (
+           SELECT cell, row_number() OVER (
+             ORDER BY list_cosine_similarity(c, qv) DESC, cell) AS pr
+           FROM cent2, q),
+         sims AS (
+           SELECT a.vec_id, a.cell,
+             round(list_cosine_similarity(a.v, qv), 4) AS sim
+           FROM asg a, q),
+         brute AS (SELECT vec_id FROM sims
+           ORDER BY sim DESC, vec_id LIMIT $RcK),
+         probes AS (SELECT unnest([${RcProbes.mkString(", ")}]) AS np),
+         ivf AS (
+           SELECT p.np, s.vec_id, row_number() OVER (
+               PARTITION BY p.np ORDER BY s.sim DESC, s.vec_id) AS rk
+           FROM probes p
+           JOIN prank pk ON pk.pr <= p.np
+           JOIN sims s ON s.cell = pk.cell),
+         topk AS (SELECT np, vec_id FROM ivf WHERE rk <= $RcK)
+         SELECT t.np::BIGINT AS nprobe,
+           sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS hits,
+           sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / $RcK AS recall_at_k
+         FROM topk t LEFT JOIN brute b USING (vec_id)
+         GROUP BY t.np ORDER BY nprobe""",
 
     "agg_gini_grouped" ->
       """WITH cents AS (SELECT l_returnflag AS g,

@@ -83,6 +83,19 @@ class Round13Spec extends SparkTestBase {
       "gate ranks must replay sortedByLocaleNumeric's order")
   }
 
+  test("ANN recall curve: monotone in nprobe, exact at nprobe = nlist") {
+    // nested probe sets: any candidate that outranks a brute-force
+    // top-K member is itself a top-K member, so growing the pool can
+    // only swap hits for hits — recall never decreases
+    val rows = queries.Round13b.defs("sim_ann_recall_curve")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    val rec = rows.map(_._2)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${rec.toSeq}")
+    assert(rec.last === 1.0, "nprobe = nlist must be the exact identity")
+  }
+
   test("sink_records_json: omitted null keys come back as nulls") {
     val df = queries.Round13.defs("sink_records_json")(spark, sf)
     assert(df.where(col("estado").isNull).count() > 0)
