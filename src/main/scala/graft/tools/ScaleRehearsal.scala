@@ -388,7 +388,9 @@ object ScaleRehearsal {
       Analytics.hllRegisters(synthKeys(rows), "k", 12).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val sn = 2000000L
+    // optional 3rd arg overrides the synthetic base-row count (dev
+    // smoke loops; the committed datapoints use the 2M -> 20M default)
+    val sn = args.lift(2).map(_.toLong).getOrElse(2000000L)
     val (c1, c10) = (cmsTime(sn), cmsTime(sn * 10))
     val (h1, h10) = (hllTime(sn), hllTime(sn * 10))
     println(f"[rehearsal] cms sketch: $sn rows ${c1}%.2f s; ${sn * 10} rows " +
@@ -687,6 +689,97 @@ object ScaleRehearsal {
       f"${sn * 10} rows ${co10}%.2f s (${co10 / co1}%.1fx, ~linear " +
       f"target; ~6 frequent items per basket at either size, item " +
       f"space ${sn / 20000} -> ${sn / 2000})")
+
+    // ---- round-12d family ----
+
+    // decayed counts (agg_decayed_counts shape): dyadic long weights,
+    // DECIMAL(38,0) partial-agg sums, one broadcast max-day — a plain
+    // two-aggregate pipeline that must scale like a groupBy count
+    def decayTime(rows: Long): Double = {
+      val ev = spark.range(rows).select(
+        (col("id") % 24).as("event_type"),
+        pmod(xxhash64(col("id")), lit(41L)).as("day"))
+      val t0 = System.nanoTime()
+      val ref = ev.agg(max("day").as("ref_day"))
+      val out = ev.crossJoin(broadcast(ref))
+        .withColumn("ago", col("ref_day") - col("day"))
+        .withColumn("w", when(col("ago") <= 40,
+          expr("shiftleft(1L, cast(40 - ago AS INT))")).otherwise(lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("w").cast("decimal(38,0)")).as("s"))
+        .collect()
+      require(out.length == 24, s"expected 24 types, got ${out.length}")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (dc1, dc10) = (decayTime(sn), decayTime(sn * 10))
+    println(f"[rehearsal] decayed counts: $sn rows ${dc1}%.2f s; " +
+      f"${sn * 10} rows ${dc10}%.2f s (${dc10 / dc1}%.1fx, ~linear " +
+      f"target; map-side combine into 24 decimal sums at either size)")
+
+    // rolling correlation (window_rolling_corr shape): per-series lag +
+    // trailing-8 window over exact integer sums; series count scales
+    // with the corpus so no partition ever exceeds 50 rows
+    def rollCorrTime(rows: Long): Double = {
+      import org.apache.spark.sql.expressions.Window
+      val ev = spark.range(rows).select(
+        expr("id div 50").as("u"), col("id").as("t"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("x"))
+      val lagW = Window.partitionBy("u").orderBy("t")
+      val pairs = ev.withColumn("y", lag("x", 1).over(lagW))
+        .where(col("y").isNotNull)
+      val w = Window.partitionBy("u").orderBy("t").rowsBetween(-7, 0)
+      val n = count(lit(1)).over(w)
+      val sx = sum("x").over(w); val sy = sum("y").over(w)
+      val sxy = sum(col("x") * col("y")).over(w)
+      val sxx = sum(col("x") * col("x")).over(w)
+      val syy = sum(col("y") * col("y")).over(w)
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      val t0 = System.nanoTime()
+      val cnt = pairs.select(col("u"),
+          when(dx > 0 && dy > 0, num.cast("double") /
+            sqrt(dx.cast("double") * dy.cast("double"))).as("rc"))
+        .where(col("rc").isNotNull).count()
+      require(cnt > 0, "no correlation windows")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (rc1, rc10) = (rollCorrTime(sn), rollCorrTime(sn * 10))
+    println(f"[rehearsal] rolling corr: $sn rows ${rc1}%.2f s; " +
+      f"${sn * 10} rows ${rc10}%.2f s (${rc10 / rc1}%.1fx, ~linear " +
+      f"target; windows partitioned per 50-row series — series count " +
+      f"scales, partition size never does)")
+
+    // hard-negative mining (sample_hard_negatives shape): one bounded
+    // positives centroid (64 doubles), one broadcast, one corpus scan
+    // with TakeOrderedAndProject — the scan is the only O(n) stage.
+    // 64-dim synthetic vectors, so the row budget is sn/10 -> sn
+    def hardNegTime(rows: Long): Double = {
+      val vecExpr = expr("transform(sequence(0, 63), " +
+        "i -> pmod(xxhash64(id * 64 + i), 2000) / 1000.0 - 1.0)")
+      val emb = spark.range(rows).select(col("id").as("vec_id"),
+        vecExpr.as("v"))
+      val t0 = System.nanoTime()
+      val pos = emb.where(col("vec_id") % 50 === 7)
+      val cent = pos
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim").agg((round(avg("x"), 4) + lit(0.0)).as("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c)))," +
+          " s -> s.c)").as("cv"))
+      val out = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          graft.similarity.Similarity.cosine(col("v"), col("cv")).as("sim"))
+        .join(pos.select("vec_id"), Seq("vec_id"), "left_anti")
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10).collect()
+      require(out.length == 10, s"expected 10 negatives, got ${out.length}")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (hn1, hn10) = (hardNegTime(sn / 10), hardNegTime(sn))
+    println(f"[rehearsal] hard negatives: ${sn / 10} vecs ${hn1}%.2f s; " +
+      f"$sn vecs ${hn10}%.2f s (${hn10 / hn1}%.1fx, ~linear target; " +
+      f"centroid is 64 doubles whatever the corpus, top-10 via " +
+      f"TakeOrderedAndProject, no global sort)")
 
     spark.stop()
   }
