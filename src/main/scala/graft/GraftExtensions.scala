@@ -680,6 +680,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_ks_drift_grouped"),
+      info("graft_ks_drift_grouped",
+        "graft_ks_drift_grouped(baseTable, currentTable, groupCol, valueCol) - exact per-group two-sample Kolmogorov-Smirnov statistic: (g, ks_stat, n_base, n_current)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_ks_drift_grouped expects 4 arguments")
+        val n = "graft_ks_drift_grouped"
+        graft.operators.KsDrift.ksGrouped(
+            SparkSession.active.table(strLit(n, "baseTable", args.head)),
+            SparkSession.active.table(strLit(n, "currentTable", args(1))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "groupCol", args(2))),
+            strLit(n, "valueCol", args(3)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_rank_pct_grouped"),
+      info("graft_rank_pct_grouped",
+        "graft_rank_pct_grouped(table, groupCol, valueCol) - per-group percent_rank normalization, no per-group one-task window: input cols + rank_pct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_rank_pct_grouped expects 3 arguments")
+        val n = "graft_rank_pct_grouped"
+        graft.operators.RankNormalize.grouped(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "groupCol", args(1))),
+            strLit(n, "valueCol", args(2)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_lorenz"),
+      info("graft_lorenz",
+        "graft_lorenz(table, valueCol, points) - exact Lorenz-curve points of a non-negative long column: (p, r, cum_share)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_lorenz expects 3 arguments")
+        val n = "graft_lorenz"
+        graft.operators.Gini.lorenz(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "valueCol", args(1))),
+            numLit(n, "points", args(2)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_mmr"),
       info("graft_mmr",
         "graft_mmr(poolTable, idCol, vecCol, relCol, k) - maximal-marginal-relevance re-rank of a bounded candidate pool: (rank, id, mmr_score)"),

@@ -52,6 +52,51 @@ object Gini {
         col("n"), col("T").cast("long").as("total"))
   }
 
+  /** Exact Lorenz-curve points — the report the Gini summarizes into
+    * one number: at each p = d/points, the share of total value held
+    * by the bottom ⌈p·n⌉ individuals. The bottom-r prefix is exact
+    * off the SAME laned machinery: r lands inside one distinct-value
+    * tie block (p₀ < r ≤ p₀ + c), whose members are interchangeable,
+    * so share·T = Σ_{v'<v} v'·c' + v·(r − p₀) — integer arithmetic
+    * (the value-weighted prefix runs in DECIMAL(38,0)), one division
+    * at the edge. Target ranks are exact integers: r = ⌈d·n/points⌉
+    * computed as (d·n + points − 1) div points, never a float.
+    *
+    * The targets frame is `points` rows; matching each target to its
+    * spanning tie block is a broadcast nested-loop over the DISTINCT
+    * values — one scan whatever the corpus size. Output:
+    * (p, r, cum_share) with cum_share floor-rounded to 1e-6; empty /
+    * zero-total input yields an empty frame. */
+  def lorenz(df: DataFrame, valueCol: Column, points: Int = 10,
+             k: Int = 1024, nLanes: Int = 32): DataFrame = {
+    require(points >= 1, s"points must be >= 1, got $points")
+    val vals = df.select(valueCol.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .where(assert_true(col("v") >= 0,
+        lit("Lorenz needs non-negative values")).isNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("vc", (col("v") * col("c")).cast("decimal(38,0)"))
+    val (cum, totals) = LanedPrefix.withPrefix(vals, "v",
+      Seq("c", "vc"), k, nLanes, inclusive = false)
+    val spark = df.sparkSession
+    val targets = spark.range(1, points + 1).select(col("id").as("d"))
+      .crossJoin(broadcast(totals.select(col("c_tot").as("n"),
+        col("vc_tot").as("T"))))
+      .where(col("n") > 0 && col("T") > 0)
+      .select(col("d"), col("n"), col("T"),
+        expr(s"(d * n + ${points - 1}) div $points").as("r"))
+    cum.join(broadcast(targets),
+        col("c_cum") < col("r") && col("r") <= col("c_cum") + col("c"))
+      .select(
+        (col("d").cast("double") / points).as("p"),
+        col("r"),
+        (floor((col("vc_cum") +
+          col("v").cast("decimal(38,0)") * (col("r") - col("c_cum")))
+          .cast("double") / col("T").cast("double") * 1e6 + 0.5) / 1e6)
+          .as("cum_share"))
+      .orderBy("p")
+  }
+
   /** Per-group [[gini]] on the grouped laned prefix — "spend
     * concentration per segment" in the same exact-integer arithmetic,
     * one row per group. Null groups are dropped (no meaningful

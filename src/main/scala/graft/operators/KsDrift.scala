@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact two-sample Kolmogorov–Smirnov statistic — the
@@ -46,6 +46,42 @@ object KsDrift {
       .select(abs(col("ca_cum") / col("na").cast("double") -
         col("cb_cum") / col("nb").cast("double")).as("d"),
         col("na"), col("nb"))
+      .agg((floor(max(col("d")) * 1e6 + 0.5) / 1e6).as("ks_stat"),
+        max("na").as("n_base"), max("nb").as("n_current"))
+      .where(col("ks_stat").isNotNull)
+  }
+
+  /** Per-group [[ks]] on the grouped laned prefix — "did THIS
+    * segment's distribution drift between snapshots", the per-segment
+    * drill-down a single pooled KS averages away. Same decomposition
+    * per group (both sides' running counts in one pass, every window
+    * partitioned by (group, lane)); groups with an empty side are
+    * dropped like the global form's empty input. `groupCol` is
+    * evaluated against each side, so both frames must carry it.
+    * Output: (g, ks_stat, n_base, n_current), one row per group. */
+  def ksGrouped(base: DataFrame, current: DataFrame, groupCol: Column,
+                valueCol: String, k: Int = 1024,
+                nLanes: Int = 32): DataFrame = {
+    val a = base.select(groupCol.cast("string").as("g"),
+      col(valueCol).cast("double").as("v"),
+      lit(1L).as("ca"), lit(0L).as("cb"))
+    val b = current.select(groupCol.cast("string").as("g"),
+      col(valueCol).cast("double").as("v"),
+      lit(0L).as("ca"), lit(1L).as("cb"))
+    val vals = a.unionByName(b)
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g", "v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val (cum, totals) = LanedPrefix.withPrefixGrouped(vals, "g", "v",
+      Seq("ca", "cb"), k, nLanes, inclusive = true)
+    cum
+      .join(broadcast(totals.select(col("g"),
+        col("ca_tot").as("na"), col("cb_tot").as("nb"))), "g")
+      .where(col("na") > 0 && col("nb") > 0)
+      .select(col("g"),
+        abs(col("ca_cum") / col("na").cast("double") -
+          col("cb_cum") / col("nb").cast("double")).as("d"),
+        col("na"), col("nb"))
+      .groupBy("g")
       .agg((floor(max(col("d")) * 1e6 + 0.5) / 1e6).as("ks_stat"),
         max("na").as("n_base"), max("nb").as("n_current"))
       .where(col("ks_stat").isNotNull)

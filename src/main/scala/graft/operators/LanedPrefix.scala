@@ -70,6 +70,11 @@ object LanedPrefix {
                         sumCols: Seq[String], k: Int, nLanes: Int,
                         inclusive: Boolean): (DataFrame, DataFrame) = {
     require(sumCols.nonEmpty, "at least one sum column")
+    // the grouped cut-table helper owns these internal names and drops
+    // them from its output — a caller column with either name would be
+    // silently dropped with them
+    require(groupCol != "__g" && groupCol != "__cuts",
+      s"'$groupCol' collides with qsketchRangeBucketsGrouped internals")
     val laned = Analytics.qsketchRangeBucketsGrouped(vals, groupCol,
       col(orderCol), orderCol, k, nLanes)
     val hi = if (inclusive) 0L else -1L

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Percent-rank feature normalization — `percent_rank()` semantics
@@ -50,5 +50,34 @@ object RankNormalize {
           .otherwise(lit(0.0)).as("rank_pct"))
     nn.join(ranked, vNum === ranked("__v"))
       .drop("__v")
+  }
+
+  /** Per-group percent-rank — "normalize within language / within
+    * source", where single groups can themselves be 100 TB-sized: the
+    * plain `percent_rank() OVER (PARTITION BY g ORDER BY v)` funnels
+    * each whole group through one task, while this form lanes every
+    * group's domain by its own cuts
+    * ([[LanedPrefix.withPrefixGrouped]]) so no task ever sees more
+    * than a (group, lane) slice. Tie and (n−1) semantics identical to
+    * the global form, per group; null groups are dropped with the
+    * null values. Output: input rows + `rank_pct`. */
+  def grouped(df: DataFrame, groupCol: Column, valueCol: String,
+              k: Int = 1024, nLanes: Int = 32): DataFrame = {
+    val vNum = expr(s"try_cast(`$valueCol` AS DOUBLE)")
+    val gStr = groupCol.cast("string")
+    val nn = df.where(vNum.isNotNull && gStr.isNotNull)
+    val vals = nn.groupBy(gStr.as("__gk"), vNum.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val (cum, totals) = LanedPrefix.withPrefixGrouped(vals, "__gk", "__v",
+      Seq("__c"), k, nLanes, inclusive = false)
+    val ranked = cum
+      .join(broadcast(totals.select(col("__gk"), col("__c_tot").as("__n"))),
+        "__gk")
+      .select(col("__gk"), col("__v"),
+        when(col("__n") > 1, col("__c_cum").cast("double") /
+          (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("rank_pct"))
+    nn.join(ranked, gStr === ranked("__gk") && vNum === ranked("__v"))
+      .drop("__gk", "__v")
   }
 }

@@ -488,6 +488,43 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         Seq(("a", 0.375), ("b", 0.0)),
         "graft_gini_grouped must compute Gini.giniGrouped's numbers")
 
+      // Lorenz: 3x1 + 1x5, deciles -> bottom 50% of 4 rows = 2 rows
+      // holding 2/8 of the total; the d=10 point is exactly 1.0
+      val sqlLor = spark.sql(
+        "SELECT * FROM graft_lorenz('tvf_gini','v',10)")
+      val lor = sqlLor.orderBy("p").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      assert(lor.length === 10)
+      assert(lor(4) === ((0.5, 2L, 0.25)),
+        "bottom half = two 1s of total 8")
+      assert(lor(9) === ((1.0, 4L, 1.0)))
+
+      // grouped KS: segment a planted with disjoint supports (stat 1),
+      // segment b identical on both sides (stat 0)
+      Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0))
+        .toDF("g", "v").createOrReplaceTempView("tvf_ks_base")
+      Seq(("a", 3.0), ("a", 4.0), ("b", 5.0), ("b", 6.0))
+        .toDF("g", "v").createOrReplaceTempView("tvf_ks_cur")
+      val sqlKsG = spark.sql("SELECT * FROM graft_ks_drift_grouped(" +
+        "'tvf_ks_base','tvf_ks_cur','g','v')")
+      assert(sqlKsG.orderBy("g").collect().map(r =>
+        (r.getString(0), r.getDouble(1))).toSeq ===
+        Seq(("a", 1.0), ("b", 0.0)),
+        "graft_ks_drift_grouped must compute KsDrift.ksGrouped's stats")
+
+      // grouped rank pct: window parity per group
+      Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("b", 7.0), ("b", 9.0))
+        .toDF("g", "v").createOrReplaceTempView("tvf_rank_g")
+      val sqlRkG = spark.sql(
+        "SELECT * FROM graft_rank_pct_grouped('tvf_rank_g','g','v')")
+      val winRk = spark.sql("SELECT g, v, percent_rank() OVER " +
+        "(PARTITION BY g ORDER BY v) AS rank_pct FROM tvf_rank_g")
+      assert(sqlRkG.orderBy("g", "v").collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq ===
+        winRk.orderBy("g", "v").collect().map(r =>
+          (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq,
+        "graft_rank_pct_grouped must match the partitioned window")
+
       Seq((1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.0, 1.0), 0.8))
         .toDF("id", "vec", "rel").createOrReplaceTempView("tvf_pool")
       val sqlMmr = spark.sql(

@@ -96,6 +96,43 @@ class Round13Spec extends SparkTestBase {
     assert(rec.last === 1.0, "nprobe = nlist must be the exact identity")
   }
 
+  test("ksGrouped equals per-group global KS; lorenz integrates to 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = Seq.fill(3000)((s"g${rnd.nextInt(3)}",
+      rnd.nextInt(200).toDouble)).toDF("g", "v")
+    val cur = Seq.fill(3000)((s"g${rnd.nextInt(3)}",
+      rnd.nextInt(200).toDouble + rnd.nextInt(3))).toDF("g", "v")
+    val grouped = graft.operators.KsDrift
+      .ksGrouped(base, cur, col("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = graft.operators.KsDrift.ks(
+        base.where(col("g") === g), cur.where(col("g") === g), "v")
+        .head()
+      assert(grouped(g) ===
+        ((solo.getDouble(0), solo.getLong(1), solo.getLong(2))),
+        s"grouped KS must equal the global KS run on segment $g alone")
+    }
+
+    val vals = Seq.fill(500)(rnd.nextInt(1000).toLong).toDF("v")
+    val lor = graft.operators.Gini.lorenz(vals, col("v"), points = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(lor.length === 10)
+    // shares are non-decreasing in p, end exactly at 1.0, and match a
+    // brute-force bottom-r sum at every decile
+    val sorted = vals.as[Long].collect().sorted
+    val total = sorted.sum.toDouble
+    lor.foreach { case (r, share) =>
+      val brute = sorted.take(r.toInt).sum / total
+      assert(share === math.floor(brute * 1e6 + 0.5) / 1e6,
+        s"share at rank $r")
+    }
+    assert(lor.last._2 === 1.0)
+    assert(lor.map(_._2).sliding(2).forall(s => s.head <= s.last))
+  }
+
   test("sink_records_json: omitted null keys come back as nulls") {
     val df = queries.Round13.defs("sink_records_json")(spark, sf)
     assert(df.where(col("estado").isNull).count() > 0)
