@@ -725,6 +725,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_chunk"),
+      info("graft_chunk",
+        "graft_chunk(table, idCol, textCol, size, overlap) - fixed-size token chunks with overlap: (id, chunk_id, n_chunk_tokens, chunk_text)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_chunk expects 5 arguments")
+        val n = "graft_chunk"
+        graft.textanalysis.Chunker.chunk(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "size", args(3)).toInt,
+            numLit(n, "overlap", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_mixture_kl"),
+      info("graft_mixture_kl",
+        "graft_mixture_kl(table, sourceCol, recipe) - per-source share vs a 'src:w,src:w' target recipe + KL contribution: (source, n, share, target_w, kl_term)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_mixture_kl expects 3 arguments")
+        val n = "graft_mixture_kl"
+        val recipe = strLit(n, "recipe", args(2)).split(",").map { kv =>
+          val Array(src, w) = kv.split(":")
+          src.trim -> w.trim.toDouble
+        }.toMap
+        graft.operators.MixtureKl.audit(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "sourceCol", args(1))),
+            recipe)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_unigram_logprob"),
+      info("graft_unigram_logprob",
+        "graft_unigram_logprob(table, idCol, textCol) - add-1 unigram LM mean token log-probability per document: (id, n_tokens, avg_logprob)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_unigram_logprob expects 3 arguments")
+        val n = "graft_unigram_logprob"
+        graft.textanalysis.UnigramLm.scoreDocs(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_mmr"),
       info("graft_mmr",
         "graft_mmr(poolTable, idCol, vecCol, relCol, k) - maximal-marginal-relevance re-rank of a bounded candidate pool: (rank, id, mmr_score)"),

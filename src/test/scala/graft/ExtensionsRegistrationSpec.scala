@@ -525,6 +525,38 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
           (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq,
         "graft_rank_pct_grouped must match the partitioned window")
 
+      // chunker: 10 tokens, size 4, overlap 1 (stride 3) -> starts at
+      // 0,3,6 (6+4 >= 10 stops) -> 3 chunks, last one 4 tokens ending
+      // at the final token
+      Seq((1L, (1 to 10).map("t" + _).mkString(" ")))
+        .toDF("doc_id", "text").createOrReplaceTempView("tvf_chunk")
+      val sqlChunk = spark.sql(
+        "SELECT * FROM graft_chunk('tvf_chunk','doc_id','text',4,1)")
+        .orderBy("chunk_id").collect()
+      assert(sqlChunk.map(_.getString(3)).toSeq === Seq(
+        "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"),
+        "graft_chunk must produce the overlapped windows")
+
+      // mixture KL: exact recipe match -> kl_term 0; source outside
+      // the recipe surfaces with null target
+      Seq("a", "a", "b", "c").toDF("src")
+        .createOrReplaceTempView("tvf_mix")
+      val mix = spark.sql("SELECT * FROM graft_mixture_kl('tvf_mix'," +
+        "'src','a:0.5,b:0.25')").orderBy("source").collect()
+      assert(mix.map(r => (r.getString(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(4)))).toSeq ===
+        Seq(("a", Some(0.0)), ("b", Some(0.0)), ("c", None)),
+        "exact-recipe sources get kl 0; unplanned sources null")
+
+      // unigram logprob: two identical one-token docs -> both score
+      // ln((2+1)/(2+1)) = 0
+      Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text")
+        .createOrReplaceTempView("tvf_uni")
+      val uni = spark.sql("SELECT * FROM graft_unigram_logprob(" +
+        "'tvf_uni','doc_id','text')").collect()
+      assert(uni.length === 2 && uni.forall(_.getDouble(2) === 0.0),
+        "ln((c+1)/(T+V)) with c=2,T=2,V=1 is ln(1) = 0")
+
       Seq((1L, Seq(1.0, 0.0), 0.9), (2L, Seq(0.0, 1.0), 0.8))
         .toDF("id", "vec", "rel").createOrReplaceTempView("tvf_pool")
       val sqlMmr = spark.sql(

@@ -133,6 +133,35 @@ class Round13Spec extends SparkTestBase {
     assert(lor.map(_._2).sliding(2).forall(s => s.head <= s.last))
   }
 
+  test("chunker covers every token; overlap and count formulas hold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to (rnd.nextInt(120) + 1)).map(t => s"w${i}_$t")
+        .mkString(" "))).toDF("doc_id", "text")
+    val size = 40; val overlap = 8; val stride = size - overlap
+    val chunks = graft.textanalysis.Chunker
+      .chunk(docs, "doc_id", "text", size, overlap)
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    docs.collect().foreach { d =>
+      val toks = d.getString(1).split("\\s+")
+      val n = toks.length
+      val got = chunks(d.getLong(0))
+      val wantCount =
+        if (n <= size) 1 else 1 + (n - size + stride - 1) / stride
+      assert(got.length === wantCount, s"chunk count for n=$n")
+      // reassembling chunk k's tokens must equal the slice at k*stride
+      got.foreach { c =>
+        val k = c.getLong(1).toInt
+        val want = toks.slice(k * stride, math.min(k * stride + size, n))
+        assert(c.getString(3) === want.mkString(" "), s"chunk $k of n=$n")
+      }
+      // the last chunk reaches the final token
+      assert(got.last.getString(3).endsWith(toks.last))
+    }
+  }
+
   test("sink_records_json: omitted null keys come back as nulls") {
     val df = queries.Round13.defs("sink_records_json")(spark, sf)
     assert(df.where(col("estado").isNull).count() > 0)
