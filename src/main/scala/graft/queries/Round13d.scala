@@ -41,7 +41,25 @@ object Round13d {
     // cut; ln runs per DISTINCT token, not per occurrence
     "text_unigram_logprob" -> ((s, dir) =>
       UnigramLm.scoreDocs(tbl(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // streaming twin of agg_decayed_counts: the per-key 3-long decay
+    // state (dyadic weights — decay is one exact right shift),
+    // computed as the order-free batch end state per key and MERGED to
+    // the global reference day; identical numbers to the batch gate's
+    // global-ref formula, which is what the oracle recomputes
+    "stream_decayed_counts" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_type"),
+          nsToEpochSec(col("ts")).cast("long").as("sec"))
+        .where(col("event_type").isNotNull && col("sec").isNotNull)
+        .withColumn("day", expr("sec div 86400"))
+      graft.streaming.StreamingDecay.merged(
+        graft.streaming.StreamingDecay.endStates(ev, "event_type", "day"))
+        .select(col("key").as("event_type"), col("n_events"),
+          col("decayed_count"))
+        .orderBy("event_type")
+    }))
 
   private def recipeValues: String =
     MixTarget.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
@@ -85,6 +103,26 @@ object Round13d {
              * 1000000 + 0.5) / 1000000 AS kl_term
          FROM counts c LEFT JOIN recipe r USING (source), tot
          ORDER BY source""",
+
+    // the batch gate's oracle verbatim (per-type counts + dyadic sums
+    // at the GLOBAL reference day) — the lane-merged streaming state
+    // must land on exactly these numbers
+    "stream_decayed_counts" ->
+      s"""WITH ev AS (SELECT event_type,
+             epoch_ns(ts) // 1000000000 // 86400 AS day
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         ref AS (SELECT max(day) AS ref_day FROM ev),
+         wtd AS (SELECT event_type,
+             CASE WHEN ref_day - day <= ${graft.streaming.StreamingDecay.CapDays}
+               THEN (1::BIGINT << (${graft.streaming.StreamingDecay.CapDays}
+                 - (ref_day - day)))
+               ELSE 0 END AS w
+           FROM ev, ref)
+         SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(w)::DOUBLE / ${graft.streaming.StreamingDecay.Scale}.0
+             AS decayed_count
+         FROM wtd GROUP BY 1 ORDER BY 1""",
 
     "text_unigram_logprob" ->
       """WITH d AS (SELECT doc_id,
