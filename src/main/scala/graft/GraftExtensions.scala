@@ -783,5 +783,65 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             numLit(n, "k", args(4)).toInt)
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_strip_html"),
+      info("graft_strip_html",
+        "graft_strip_html(table, idCol, htmlCol) - drop script/style blocks, strip tags, decode entities, collapse whitespace: (id, n_tags, text_clean)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_strip_html expects 3 arguments")
+        val n = "graft_strip_html"
+        val c = org.apache.spark.sql.functions.col(
+          strLit(n, "htmlCol", args(2)))
+        SparkSession.active.table(strLit(n, "table", args.head))
+          .select(org.apache.spark.sql.functions.col(
+              strLit(n, "idCol", args(1))),
+            graft.textanalysis.HtmlStrip.tagCount(c).cast("long")
+              .as("n_tags"),
+            graft.textanalysis.HtmlStrip.strip(c).as("text_clean"))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_oov_rate"),
+      info("graft_oov_rate",
+        "graft_oov_rate(table, idCol, textCol, k) - per-doc out-of-vocabulary rate vs the corpus top-k vocab: (id, n_tokens, n_oov, oov_rate)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_oov_rate expects 4 arguments")
+        val n = "graft_oov_rate"
+        graft.textanalysis.Oov.oovRate(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "k", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_token_budget"),
+      info("graft_token_budget",
+        "graft_token_budget(table, sourceCol, idCol, textCol, budget) - admit docs per source (ascending id) until the token budget: (source, id, n_tokens, cum_tokens)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"graft_token_budget expects 5 arguments")
+        val n = "graft_token_budget"
+        graft.operators.TokenBudget.cap(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "sourceCol", args(1)), strLit(n, "idCol", args(2)),
+            strLit(n, "textCol", args(3)),
+            numLit(n, "budget", args(4)).toLong)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_entropy"),
+      info("graft_entropy",
+        "graft_entropy(table, groupCol, catCol) - Shannon entropy of the category distribution per group: (group, n, n_cats, entropy)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_entropy expects 3 arguments")
+        val n = "graft_entropy"
+        graft.operators.Entropy.distribution(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "groupCol", args(1))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "catCol", args(2))))
+          .queryExecution.logical
+      }))
   }
 }

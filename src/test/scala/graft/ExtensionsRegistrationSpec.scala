@@ -565,6 +565,38 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         (r.getInt(0), r.getLong(1))).toSeq === Seq((1, 1L), (2, 2L)),
         "graft_mmr must compute Mmr.rerank's picks")
 
+      // strip-html: blocks drop with content, entities decode once
+      Seq((1L, "a<script>1 < 2</script><p>b &amp; c</p>"))
+        .toDF("id", "html").createOrReplaceTempView("tvf_html")
+      val sh = spark.sql(
+        "SELECT * FROM graft_strip_html('tvf_html','id','html')").head()
+      assert(sh.getLong(1) === 4L && sh.getString(2) === "a b & c",
+        "graft_strip_html must run the block->tag->entity chain")
+
+      // oov rate: vocab of 1 keeps only the modal token
+      Seq((1L, "a a zzz")).toDF("id", "text")
+        .createOrReplaceTempView("tvf_oov")
+      val ov = spark.sql(
+        "SELECT * FROM graft_oov_rate('tvf_oov','id','text',1)").head()
+      assert(ov.getLong(1) === 3L && ov.getLong(2) === 1L,
+        "graft_oov_rate must count tokens outside the top-k vocab")
+
+      // token budget: second doc overflows and is cut
+      Seq(("s", 1L, "t t"), ("s", 2L, "t t")).toDF("src", "id", "text")
+        .createOrReplaceTempView("tvf_budget")
+      val tb = spark.sql("SELECT * FROM graft_token_budget(" +
+        "'tvf_budget','src','id','text',3)").collect()
+      assert(tb.map(_.getLong(1)).toSeq === Seq(1L),
+        "graft_token_budget must exclude the overflowing doc")
+
+      // entropy: two equal categories -> ln(2)
+      Seq(("g", "x"), ("g", "y")).toDF("g", "c")
+        .createOrReplaceTempView("tvf_entropy")
+      val en = spark.sql(
+        "SELECT * FROM graft_entropy('tvf_entropy','g','c')").head()
+      assert(math.abs(en.getDouble(3) - math.log(2)) < 1e-5,
+        "graft_entropy must compute the Shannon entropy")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
