@@ -829,6 +829,78 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_ngram_spans"),
+      info("graft_ngram_spans",
+        "graft_ngram_spans(table, idCol, textCol, n) - maximal cross-doc duplicated n-gram token spans: (id, span_start, span_end, span_tokens)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_ngram_spans expects 4 arguments")
+        val n = "graft_ngram_spans"
+        graft.dedup.NgramSpans.spans(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "n", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_span_coverage"),
+      info("graft_span_coverage",
+        "graft_span_coverage(table, idCol, textCol, n) - per-doc cross-doc duplicated-token coverage: (id, n_tokens, dup_tokens, dup_frac)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_span_coverage expects 4 arguments")
+        val n = "graft_span_coverage"
+        graft.dedup.NgramSpans.coverage(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), strLit(n, "textCol", args(2)),
+            numLit(n, "n", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_snm_pairs"),
+      info("graft_snm_pairs",
+        "graft_snm_pairs(table, idCol, textCol, window, minJaccard) - sorted-neighborhood near-dup pairs (block = first token, sort = text): (id_a, id_b, jaccard)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_snm_pairs expects 5 arguments")
+        val n = "graft_snm_pairs"
+        val textCol = strLit(n, "textCol", args(2))
+        val t = org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col(textCol))
+        graft.dedup.SortedNeighborhood.pairs(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)), textCol,
+            org.apache.spark.sql.functions.element_at(
+              org.apache.spark.sql.functions.split(t, "\\s+"), 1),
+            t, numLit(n, "window", args(3)).toInt,
+            numLit(n, "minJaccard", args(4)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_sq8_topk"),
+      info("graft_sq8_topk",
+        "graft_sq8_topk(table, idCol, vecCol, dim, queryId, candidates, k) - SQ8 two-stage retrieval (int8 approximate rank, exact rescore): (id, sim)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 7, s"graft_sq8_topk expects 7 arguments")
+        val n = "graft_sq8_topk"
+        val corpus = SparkSession.active.table(strLit(n, "table", args.head))
+        val idCol = strLit(n, "idCol", args(1))
+        val vecCol = strLit(n, "vecCol", args(2))
+        val dim = numLit(n, "dim", args(3)).toInt
+        val qv = corpus
+          .filter(org.apache.spark.sql.functions.col(idCol) ===
+            numLit(n, "queryId", args(4)).toLong)
+          .select(graft.similarity.Similarity.toVec(
+            org.apache.spark.sql.functions.col(vecCol)))
+          .head().getSeq[Double](0)
+        val model = graft.similarity.ScalarQuantizer.fit(corpus, vecCol, dim)
+        val encoded = graft.similarity.ScalarQuantizer.encode(
+          corpus, idCol, vecCol, model)
+        graft.similarity.ScalarQuantizer.sqRescoreTopK(encoded, corpus,
+            idCol, vecCol, model, qv,
+            numLit(n, "candidates", args(5)).toInt,
+            numLit(n, "k", args(6)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_entropy"),
       info("graft_entropy",
         "graft_entropy(table, groupCol, catCol) - Shannon entropy of the category distribution per group: (group, n, n_cats, entropy)"),

@@ -15,7 +15,8 @@ object SparkEntry {
       Pipelines.defs ++ Round7.defs ++ Analytics7.defs ++ Round9.defs ++
       Round10.defs ++ Round11.defs ++ Round11b.defs ++ Round12.defs ++
       Round12b.defs ++ Round12c.defs ++ Round12d.defs ++ Round13.defs ++
-      Round13b.defs ++ Round13c.defs ++ Round13d.defs ++ Round13e.defs
+      Round13b.defs ++ Round13c.defs ++ Round13d.defs ++ Round13e.defs ++
+      Round13f.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,5 @@ object SparkEntry {
       Round11b.oracles ++ Round12.oracles ++ Round12b.oracles ++
       Round12c.oracles ++ Round12d.oracles ++ Round13.oracles ++
       Round13b.oracles ++ Round13c.oracles ++ Round13d.oracles ++
-      Round13e.oracles
+      Round13e.oracles ++ Round13f.oracles
 }

@@ -781,6 +781,73 @@ object ScaleRehearsal {
       f"centroid is 64 doubles whatever the corpus, top-10 via " +
       f"TakeOrderedAndProject, no global sort)")
 
+    // cross-doc n-gram spans (dedup_ngram_spans shape): gram build is
+    // scan arithmetic, the dup set is one grouped agg, islands window
+    // per doc. 30-token docs from a 1k vocab + a planted shared phrase
+    // every 100th doc, so dup spans exist at either size
+    def spanTime(rows: Long): Double = {
+      val textExpr = expr("concat_ws(' ', transform(sequence(0, 29), " +
+        "i -> concat('w', pmod(xxhash64(id * 31 + i), 1000))))")
+      val docs = spark.range(rows).select(col("id").as("doc_id"),
+        when(col("id") % 100 === 0,
+          concat(textExpr, lit(" p1 p2 p3 p4 p5 p6 p7 p8")))
+          .otherwise(textExpr).as("text"))
+      val t0 = System.nanoTime()
+      val cnt = graft.dedup.NgramSpans
+        .spans(docs, "doc_id", "text", 4).count()
+      require(cnt >= rows / 100, s"planted spans missing: $cnt")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (sp1, sp10) = (spanTime(sn / 20), spanTime(sn / 2))
+    println(f"[rehearsal] ngram spans: ${sn / 20} docs ${sp1}%.2f s; " +
+      f"${sn / 2} docs ${sp10}%.2f s (${sp10 / sp1}%.1fx, ~linear " +
+      f"target; grams are scan arithmetic, dup set one map-side-" +
+      f"combined agg, island windows bounded per doc)")
+
+    // sorted-neighborhood pairs (dedup_sorted_neighborhood shape): one
+    // window on the block key + lead(), Jaccard only on neighbors.
+    // First token blocks into ~1k sorted runs that grow with the
+    // corpus — the method's inherent per-block sequential step
+    def snmTime(rows: Long): Double = {
+      val textExpr = expr("concat_ws(' ', transform(sequence(0, 11), " +
+        "i -> concat('w', pmod(xxhash64(id * 13 + i), 40))))")
+      val docs = spark.range(rows).select(col("id").as("doc_id"),
+        textExpr.as("text"))
+      val t0 = System.nanoTime()
+      val first = element_at(split(trim(col("text")), "\\s+"), 1)
+      val cnt = graft.dedup.SortedNeighborhood.pairs(docs, "doc_id",
+        "text", first, trim(col("text")), 3, 0.0).count()
+      require(cnt > 0, "no neighbor pairs")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (sm1, sm10) = (snmTime(sn / 10), snmTime(sn))
+    println(f"[rehearsal] snm pairs: ${sn / 10} docs ${sm1}%.2f s; " +
+      f"$sn docs ${sm10}%.2f s (${sm10 / sm1}%.1fx, ~linear target; " +
+      f"one block-key shuffle, O(n*w) comparisons, no self-join)")
+
+    // SQ8 encode + two-stage retrieval (sim_ann_sq8 shape): fit is a
+    // dim-bounded collect, encode/approx-rank ride the scan, rescore
+    // touches only the candidate pool
+    def sq8Time(rows: Long): Double = {
+      val vecExpr = expr("transform(sequence(0, 63), " +
+        "i -> pmod(xxhash64(id * 64 + i), 2000) / 1000.0 - 1.0)")
+      val emb = spark.range(rows).select(col("id").as("vec_id"),
+        vecExpr.as("v"))
+      val t0 = System.nanoTime()
+      val model = graft.similarity.ScalarQuantizer.fit(emb, "v", 64)
+      val enc = graft.similarity.ScalarQuantizer.encode(
+        emb, "vec_id", "v", model)
+      val qv = (0 until 64).map(i => (i % 7).toDouble / 7.0)
+      val out = graft.similarity.ScalarQuantizer.sqRescoreTopK(
+        enc, emb, "vec_id", "v", model, qv, 300, 10).collect()
+      require(out.length == 10, s"expected 10, got ${out.length}")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (sq1, sq10) = (sq8Time(sn / 10), sq8Time(sn))
+    println(f"[rehearsal] sq8 retrieval: ${sn / 10} vecs ${sq1}%.2f s; " +
+      f"$sn vecs ${sq10}%.2f s (${sq10 / sq1}%.1fx, ~linear target; " +
+      f"model is 128 doubles at any size, pool rescore is 300 rows)")
+
     spark.stop()
   }
 }

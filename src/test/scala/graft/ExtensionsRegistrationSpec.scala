@@ -597,6 +597,36 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(math.abs(en.getDouble(3) - math.log(2)) < 1e-5,
         "graft_entropy must compute the Shannon entropy")
 
+      // ngram spans: two docs sharing a 4-token prefix -> one span each
+      Seq((1L, "a b c d x"), (2L, "a b c d y")).toDF("doc_id", "text")
+        .createOrReplaceTempView("tvf_spans")
+      val ns = spark.sql("SELECT * FROM graft_ngram_spans(" +
+        "'tvf_spans','doc_id','text',4)").orderBy("doc_id").collect()
+      assert(ns.map(r => (r.getLong(0), r.getLong(3))).toSeq ===
+        Seq((1L, 4L), (2L, 4L)),
+        "graft_ngram_spans must find the shared prefix span")
+      val sc = spark.sql("SELECT * FROM graft_span_coverage(" +
+        "'tvf_spans','doc_id','text',4)").orderBy("doc_id").head()
+      assert(sc.getLong(1) === 5L && sc.getLong(2) === 4L && sc.getDouble(3) === 0.8,
+        "graft_span_coverage must report the duplicated fraction")
+
+      // snm pairs: identical texts sort adjacent -> jaccard 1
+      Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+        .createOrReplaceTempView("tvf_snm")
+      val sp = spark.sql("SELECT * FROM graft_snm_pairs(" +
+        "'tvf_snm','doc_id','text',3,0.9)").collect()
+      assert(sp.length === 1 && sp.head.getDouble(2) === 1.0,
+        "graft_snm_pairs must pair sorted neighbors")
+
+      // sq8: with full-pool headroom the query vector ranks itself first
+      Seq((1L, Seq(1.0, 0.2)), (2L, Seq(0.1, 1.0)), (3L, Seq(-1.0, 0.4)),
+        (4L, Seq(0.5, -0.8))).toDF("id", "vec")
+        .createOrReplaceTempView("tvf_vecs")
+      val sq = spark.sql("SELECT * FROM graft_sq8_topk(" +
+        "'tvf_vecs','id','vec',2,1,4,1)").head()
+      assert(sq.getLong(0) === 1L,
+        "graft_sq8_topk must return the query's own vector at k=1")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
