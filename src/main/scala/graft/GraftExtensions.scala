@@ -829,6 +829,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_cusum"),
+      info("graft_cusum",
+        "graft_cusum(table, keyCol, tCol) - standardized count-CUSUM series per key: (key, t, c, cusum)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_cusum expects 3 arguments")
+        val n = "graft_cusum"
+        graft.operators.Cusum.series(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "keyCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "tCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_cusum_peak"),
+      info("graft_cusum_peak",
+        "graft_cusum_peak(table, keyCol, tCol) - changepoint candidate per key (argmax |cusum|, earliest tie): (key, n_periods, cp_t, cp_cusum)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_cusum_peak expects 3 arguments")
+        val n = "graft_cusum_peak"
+        graft.operators.Cusum.changepoint(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "keyCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "tCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_neighbor_jaccard"),
+      info("graft_neighbor_jaccard",
+        "graft_neighbor_jaccard(edgesTable, aCol, bCol) - neighbor-set Jaccard over distance-2 pairs via the wedge join: (id_a, id_b, common, jaccard)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_neighbor_jaccard expects 3 arguments")
+        val n = "graft_neighbor_jaccard"
+        graft.graph.NeighborJaccard.pairs(
+            SparkSession.active.table(strLit(n, "edgesTable", args.head)),
+            strLit(n, "aCol", args(1)), strLit(n, "bCol", args(2)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_ngram_spans"),
       info("graft_ngram_spans",
         "graft_ngram_spans(table, idCol, textCol, n) - maximal cross-doc duplicated n-gram token spans: (id, span_start, span_end, span_tokens)"),

@@ -627,6 +627,26 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(sq.getLong(0) === 1L,
         "graft_sq8_topk must return the query's own vector at k=1")
 
+      // cusum: constant series scores 0 under the sigma guard
+      Seq(("k", 0L), ("k", 1L), ("k", 2L)).toDF("k", "t")
+        .createOrReplaceTempView("tvf_cusum")
+      val cu = spark.sql(
+        "SELECT * FROM graft_cusum('tvf_cusum','k','t')").collect()
+      assert(cu.length === 3 && cu.forall(_.getDouble(3) === 0.0),
+        "graft_cusum must emit the zero series for constant counts")
+      val cp = spark.sql(
+        "SELECT * FROM graft_cusum_peak('tvf_cusum','k','t')").head()
+      assert(cp.getLong(1) === 3L && cp.getLong(2) === 0L,
+        "graft_cusum_peak must break all-ties to the earliest period")
+
+      // neighbor jaccard: the triangle-plus-tail hand graph
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+        .createOrReplaceTempView("tvf_edges")
+      val nj = spark.sql("SELECT * FROM graft_neighbor_jaccard(" +
+        "'tvf_edges','a','b')").count()
+      assert(nj === 5L,
+        "graft_neighbor_jaccard must score the 5 distance-2 pairs")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
