@@ -829,6 +829,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_bootstrap_means"),
+      info("graft_bootstrap_means",
+        "graft_bootstrap_means(table, seedCol, valueCol, b) - deterministic Poisson-bootstrap replicate means of a long column: (rep, n_eff, mean)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_bootstrap_means expects 4 arguments")
+        val n = "graft_bootstrap_means"
+        graft.operators.Bootstrap.replicateMeans(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "seedCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "valueCol", args(2))),
+            numLit(n, "b", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_bootstrap_ci"),
+      info("graft_bootstrap_ci",
+        "graft_bootstrap_ci(table, seedCol, valueCol, b, alpha) - Poisson-bootstrap percentile interval + point estimate: (b, point, ci_lo, ci_hi)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"graft_bootstrap_ci expects 5 arguments")
+        val n = "graft_bootstrap_ci"
+        graft.operators.Bootstrap.ci(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "seedCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "valueCol", args(2))),
+            numLit(n, "b", args(3)).toInt, numLit(n, "alpha", args(4)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_class_balance"),
+      info("graft_class_balance",
+        "graft_class_balance(table, classCol, idCol) - keep min-class-count md5-smallest rows per class (input cols)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_class_balance expects 3 arguments")
+        val n = "graft_class_balance"
+        graft.operators.ClassBalance.downsample(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "classCol", args(1)), strLit(n, "idCol", args(2)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_hll_stream_merge"),
+      info("graft_hll_stream_merge",
+        "graft_hll_stream_merge(table, keyCol, itemCol) - order-free streaming-HLL end states merged to estimates: (key, n_events, hll_est)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_hll_stream_merge expects 3 arguments")
+        val n = "graft_hll_stream_merge"
+        graft.streaming.StreamingHll.merged(
+            graft.streaming.StreamingHll.endStates(
+              SparkSession.active.table(strLit(n, "table", args.head)),
+              strLit(n, "keyCol", args(1)), strLit(n, "itemCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_cusum"),
       info("graft_cusum",
         "graft_cusum(table, keyCol, tCol) - standardized count-CUSUM series per key: (key, t, c, cusum)"),

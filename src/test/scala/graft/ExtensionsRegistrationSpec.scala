@@ -647,6 +647,37 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(nj === 5L,
         "graft_neighbor_jaccard must score the 5 distance-2 pairs")
 
+      // bootstrap: constant values -> every replicate mean is exactly 1
+      spark.range(200).toDF("id")
+        .withColumn("v", org.apache.spark.sql.functions.lit(1L))
+        .createOrReplaceTempView("tvf_boot")
+      val bm = spark.sql("SELECT * FROM graft_bootstrap_means(" +
+        "'tvf_boot','id','v',4)").collect()
+      assert(bm.length === 4 && bm.forall(_.getDouble(2) === 1.0),
+        "graft_bootstrap_means must emit B deterministic means")
+      val bc = spark.sql("SELECT * FROM graft_bootstrap_ci(" +
+        "'tvf_boot','id','v',4,0.1)").head()
+      assert(bc.getDouble(1) === 1.0 && bc.getDouble(2) === 1.0 &&
+        bc.getDouble(3) === 1.0,
+        "graft_bootstrap_ci must bracket the constant mean")
+
+      // class balance: 3 a's and 1 b -> one row per class
+      Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")).toDF("id", "cls")
+        .createOrReplaceTempView("tvf_cls")
+      val cb = spark.sql("SELECT * FROM graft_class_balance(" +
+        "'tvf_cls','cls','id')").collect()
+      assert(cb.length === 2 &&
+        cb.map(_.getString(1)).sorted.toSeq === Seq("a", "b"),
+        "graft_class_balance must keep min-class-count per class")
+
+      // streaming-hll merge: 3 distinct items per key estimate near 3
+      Seq(("k", "x"), ("k", "y"), ("k", "z"), ("k", "x"))
+        .toDF("k", "item").createOrReplaceTempView("tvf_hll")
+      val hs = spark.sql("SELECT * FROM graft_hll_stream_merge(" +
+        "'tvf_hll','k','item')").head()
+      assert(hs.getLong(1) === 4L && math.abs(hs.getDouble(2) - 3.0) < 0.1,
+        "graft_hll_stream_merge must estimate the distinct count")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
