@@ -829,6 +829,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_kcore"),
+      info("graft_kcore",
+        "graft_kcore(edgesTable, aCol, bCol, k, rounds) - k-core peel (degree < k drops, up to `rounds` synchronous rounds): (node, degree)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_kcore expects 5 arguments")
+        val n = "graft_kcore"
+        graft.graph.KCore.peel(
+            SparkSession.active.table(strLit(n, "edgesTable", args.head)),
+            strLit(n, "aCol", args(1)), strLit(n, "bCol", args(2)),
+            numLit(n, "k", args(3)).toInt,
+            numLit(n, "rounds", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_benford"),
+      info("graft_benford",
+        "graft_benford(table, valueCol) - first-significant-digit distribution vs Benford's law: (digit, n, share, expected, dev)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_benford expects 2 arguments")
+        val n = "graft_benford"
+        graft.operators.Benford.firstDigit(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "valueCol", args(1))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_holt"),
+      info("graft_holt",
+        "graft_holt(table, keyCol, tCol) - Holt level+trend smoothing of per-key period counts: (key, n_periods, level, trend, forecast)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_holt expects 3 arguments")
+        val n = "graft_holt"
+        graft.operators.Holt.linear(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "keyCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "tCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_bootstrap_means"),
       info("graft_bootstrap_means",
         "graft_bootstrap_means(table, seedCol, valueCol, b) - deterministic Poisson-bootstrap replicate means of a long column: (rep, n_eff, mean)"),

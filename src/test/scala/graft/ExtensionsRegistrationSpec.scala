@@ -678,6 +678,28 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(hs.getLong(1) === 4L && math.abs(hs.getDouble(2) - 3.0) < 0.1,
         "graft_hll_stream_merge must estimate the distinct count")
 
+      // kcore: pendant peels, triangle survives
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+        .createOrReplaceTempView("tvf_kcore")
+      val kc = spark.sql(
+        "SELECT * FROM graft_kcore('tvf_kcore','a','b',2,5)").count()
+      assert(kc === 3L, "graft_kcore must keep the triangle only")
+
+      // benford: one positive value -> one digit row
+      Seq(321.0).toDF("v").createOrReplaceTempView("tvf_benford")
+      val bf = spark.sql(
+        "SELECT * FROM graft_benford('tvf_benford','v')").head()
+      assert(bf.getInt(0) === 3 && bf.getDouble(2) === 1.0,
+        "graft_benford must read the first significant digit")
+
+      // holt: constant per-period counts -> zero trend
+      Seq(("k", 0L), ("k", 1L), ("k", 2L)).toDF("k", "t")
+        .createOrReplaceTempView("tvf_holt")
+      val ho = spark.sql(
+        "SELECT * FROM graft_holt('tvf_holt','k','t')").head()
+      assert(ho.getDouble(2) === 1.0 && ho.getDouble(3) === 0.0,
+        "graft_holt must smooth the constant series flat")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
