@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("char_entropy", 1, args); CharEntropy(args.head)
       }))
     e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC canonical composition (UAX#15), codegen, fast-path no-op on already-normalized text"),
+      (args: Seq[Expression]) => {
+        arity("nfc_normalize", 1, args)
+        graft.functions.NfcNormalizeExpr(args.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler",
         "jaro_winkler(a, b) - classic Jaro-Winkler similarity (p=0.1, prefix<=4, boost>0.7), DuckDB-bit-exact on ASCII"),

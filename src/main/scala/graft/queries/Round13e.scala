@@ -32,16 +32,39 @@ object Round13e {
     """<script type="text/javascript">var x = 1 < 2;</script>"""
   private val HtmlPost = """</body></html>"""
 
+  /** The fixture markup as a Column — shared with the curation-3
+    * pipeline gate. */
+  private[graft] def htmlExpr: org.apache.spark.sql.Column =
+    concat(lit(HtmlPre), col("doc_id"), lit(HtmlMid),
+      col("text"), lit(HtmlLink), col("doc_id"), lit(HtmlLinkText),
+      when(col("doc_id") % 3 === 0, lit(HtmlScript)).otherwise(lit("")),
+      lit(HtmlPost))
+
+  /** The same markup as DuckDB SQL over a `documents` row. */
+  private[graft] def htmlSql: String =
+    s"""'${HtmlPre.replace("'", "''")}' || doc_id::VARCHAR ||
+        '${HtmlMid.replace("'", "''")}' || text ||
+        '${HtmlLink.replace("'", "''")}' || doc_id::VARCHAR ||
+        '${HtmlLinkText.replace("'", "''")}' ||
+        CASE WHEN doc_id % 3 = 0
+          THEN '${HtmlScript.replace("'", "''")}' ELSE '' END ||
+        '$HtmlPost'"""
+
+  /** The strip chain (blocks -> tags -> entities -> whitespace) as
+    * DuckDB SQL over a `html` column. */
+  private[graft] def stripSql: String = {
+    val stripped = entityDecodeSql(
+      s"regexp_replace(regexp_replace(html, '${HtmlStrip.BlockPattern}', ' ', 'g'), '<[^>]*>', ' ', 'g')")
+    s"trim(regexp_replace($stripped, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
+
   val defs: Map[String, Q] = Map(
 
     // strip blocks -> tags -> entities -> whitespace over a fixture
     // that exercises each stage (script body with a bare '<', entity
     // chain with &amp; adjacency); n_tags audits the raw markup
     "text_strip_html" -> ((s, dir) => {
-      val html = concat(lit(HtmlPre), col("doc_id"), lit(HtmlMid),
-        col("text"), lit(HtmlLink), col("doc_id"), lit(HtmlLinkText),
-        when(col("doc_id") % 3 === 0, lit(HtmlScript)).otherwise(lit("")),
-        lit(HtmlPost))
+      val html = htmlExpr
       tbl(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(col("doc_id"), html.as("__html"))
@@ -84,25 +107,13 @@ object Round13e {
 
   val oracles: Map[String, String] = Map(
 
-    "text_strip_html" -> {
-      val blockPat = HtmlStrip.BlockPattern
-      val stripped = entityDecodeSql(
-        s"regexp_replace(regexp_replace(html, '$blockPat', ' ', 'g'), '<[^>]*>', ' ', 'g')")
-      s"""WITH h AS (SELECT doc_id,
-             '${HtmlPre.replace("'", "''")}' || doc_id::VARCHAR ||
-             '${HtmlMid.replace("'", "''")}' || text ||
-             '${HtmlLink.replace("'", "''")}' || doc_id::VARCHAR ||
-             '${HtmlLinkText.replace("'", "''")}' ||
-             CASE WHEN doc_id % 3 = 0
-               THEN '${HtmlScript.replace("'", "''")}' ELSE '' END ||
-             '$HtmlPost' AS html
+    "text_strip_html" ->
+      s"""WITH h AS (SELECT doc_id, $htmlSql AS html
            FROM documents WHERE text IS NOT NULL)
          SELECT doc_id,
            len(regexp_extract_all(html, '<[^>]*>'))::BIGINT AS n_tags,
-           trim(regexp_replace($stripped,
-             '[ \\t\\r\\n]+', ' ', 'g')) AS text_clean
-         FROM h ORDER BY doc_id"""
-    },
+           $stripSql AS text_clean
+         FROM h ORDER BY doc_id""",
 
     "text_oov_rate" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -678,6 +678,14 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(hs.getLong(1) === 4L && math.abs(hs.getDouble(2) - 3.0) < 0.1,
         "graft_hll_stream_merge must estimate the distinct count")
 
+      // nfc: decomposed e + U+0301 composes to U+00E9 (spark chr() is
+      // ASCII-only, so the combining mark is embedded in the literal)
+      val nfcRow = spark.sql(
+        "SELECT nfc_normalize('é'), nfc_normalize(NULL)")
+        .head()
+      assert(nfcRow.getString(0) === "é" && nfcRow.isNullAt(1),
+        "nfc_normalize must compose and stay null-safe")
+
       // kcore: pendant peels, triangle survives
       Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
         .createOrReplaceTempView("tvf_kcore")
