@@ -39,9 +39,15 @@ object Bootstrap {
     require(b >= 1, s"need at least one replicate, got $b")
     val mult = Thresholds.map(t =>
       when(col("__u") >= t, 1L).otherwise(0L)).reduce(_ + _)
+    // reset parallelism BEFORE the B-way fan-out: a compact parquet
+    // scan can arrive in a handful of input splits, and exploding 32x
+    // inside them would run the whole md5 stage at scan parallelism —
+    // one cheap row-level shuffle here makes the fan-out stage wide
     df.where(seedCol.isNotNull && valueCol.isNotNull)
       .select(seedCol.cast("string").as("__seed"),
-        valueCol.cast("long").as("__q"),
+        valueCol.cast("long").as("__q"))
+      .repartition(col("__seed"))
+      .select(col("__seed"), col("__q"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
       .withColumn("__u",
         conv(substring(md5(concat_ws("|", col("__seed"), col("rep"))),
