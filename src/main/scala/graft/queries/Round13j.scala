@@ -28,10 +28,15 @@ object Round13j {
     // (dup_frac > 0.5), then admit per source until the token budget —
     // three shuffle-lean stages, all oracle-replayable
     "pipeline_curation3" -> ((s, dir) => {
+      // materialize the cleaned corpus ONCE: three downstream stages
+      // (span coverage, the keep-join, the token budget) each
+      // reference it, and without truncation every stage re-runs the
+      // strip chain; at cluster scale this is persist()/checkpoint
       val clean = tbl(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           HtmlStrip.strip(Round13e.htmlExpr).as("text"))
+        .localCheckpoint()
       val keep = NgramSpans.coverage(clean, "doc_id", "text", N)
         .where(col("dup_frac") <= MaxDupFrac)
         .select("doc_id")
