@@ -837,6 +837,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_moments"),
+      info("graft_moments",
+        "graft_moments(table, keyCol, valueCol) - per-key population skewness/excess kurtosis from one power-sum pass: (key, n, mean, skewness, kurtosis_excess)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_moments expects 3 arguments")
+        val n = "graft_moments"
+        graft.operators.Moments.shape(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "keyCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "valueCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_kcore"),
       info("graft_kcore",
         "graft_kcore(edgesTable, aCol, bCol, k, rounds) - k-core peel (degree < k drops, up to `rounds` synchronous rounds): (node, degree)"),

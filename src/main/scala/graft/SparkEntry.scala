@@ -17,7 +17,7 @@ object SparkEntry {
       Round12b.defs ++ Round12c.defs ++ Round12d.defs ++ Round13.defs ++
       Round13b.defs ++ Round13c.defs ++ Round13d.defs ++ Round13e.defs ++
       Round13f.defs ++ Round13g.defs ++ Round13h.defs ++ Round13i.defs ++
-      Round13j.defs
+      Round13j.defs ++ Round13k.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,6 @@ object SparkEntry {
       Round12c.oracles ++ Round12d.oracles ++ Round13.oracles ++
       Round13b.oracles ++ Round13c.oracles ++ Round13d.oracles ++
       Round13e.oracles ++ Round13f.oracles ++ Round13g.oracles ++
-      Round13h.oracles ++ Round13i.oracles ++ Round13j.oracles
+      Round13h.oracles ++ Round13i.oracles ++ Round13j.oracles ++
+      Round13k.oracles
 }

@@ -708,6 +708,14 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(ho.getDouble(2) === 1.0 && ho.getDouble(3) === 0.0,
         "graft_holt must smooth the constant series flat")
 
+      // moments: the two-point distribution has kurtosis exactly -2
+      Seq(("m", -1.0), ("m", 1.0)).toDF("k", "v")
+        .createOrReplaceTempView("tvf_moments")
+      val mo = spark.sql(
+        "SELECT * FROM graft_moments('tvf_moments','k','v')").head()
+      assert(mo.getDouble(3) === 0.0 && mo.getDouble(4) === -2.0,
+        "graft_moments must compute the shape moments")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
