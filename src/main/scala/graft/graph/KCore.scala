@@ -30,8 +30,11 @@ object KCore {
       .localCheckpoint()
     var r = 0
     var done = false
+    // ONE action per peel round: the previous round's edge count is
+    // carried in a local (the initial count rides the checkpoint that
+    // just materialized `und`), so each round pays exactly one job
+    var prevCount = und.count()
     while (r < rounds && !done) {
-      val before = und.count()
       val keep = und.groupBy("u").agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k)
         .select("u")
@@ -40,7 +43,9 @@ object KCore {
         .join(keep.toDF("v"), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint()
-      done = und.count() == before
+      val after = und.count()
+      done = after == prevCount
+      prevCount = after
       r += 1
     }
     und.groupBy(col("u").as("node"))

@@ -1055,27 +1055,33 @@ object Analytics {
     }
     val lanes = targets.map(laneOf).distinct
     // ONE candidate scan covers every lane holding a target rank: the
-    // filter keeps ~|lanes|/nBuckets of the corpus, a per-lane rank
+    // filter keeps ~|lanes|/nBuckets of the corpus and a per-lane rank
     // window runs over just that slice (lane size is ~n/nBuckets, the
-    // fraction the caller sizes to fit an executor), and only the
-    // needed prefixes reach the driver
-    val maxNeed = lanes.map { b =>
-      targets.filter(r => laneOf(r) == b).map(r => r - cum(b)).max.toInt + 1
-    }.max
-    val byLane: Map[Int, Array[Double]] = bucketed
+    // fraction the caller sizes to fit an executor). The rank filter
+    // then keeps ONLY the floor/ceil target rows themselves — the
+    // driver collect is O(#probs), never a lane prefix (a rank landing
+    // deep in a lane used to pull the whole prefix, the round-13
+    // perf-weak finding)
+    val neededByLane: Map[Int, Seq[Int]] = targets.groupBy(laneOf)
+      .map { case (b, rs) =>
+        b -> rs.map(r => (r - cum(b)).toInt + 1).distinct
+      }
+    val keepTargets = neededByLane.map { case (b, rns) =>
+      col("bucket") === lit(b) &&
+        col("__rn").isin(rns.map(Integer.valueOf): _*)
+    }.reduce(_ || _)
+    val byRank: Map[(Int, Int), Double] = bucketed
       .where(col("bucket").isin(lanes.map(Integer.valueOf): _*))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("bucket").orderBy("v")))
-      .where(col("__rn") <= maxNeed)
+      .where(keepTargets)
       .select("bucket", "__rn", "v")
       .collect()
-      .groupBy(_.getInt(0))
-      .map { case (b, rs) =>
-        b -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
-      }
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
     def at(rank: Long): Double = {
       val b = laneOf(rank)
-      byLane(b)((rank - cum(b)).toInt)
+      byRank((b, (rank - cum(b)).toInt + 1))
     }
     val rows = probs.map { case (label, p) =>
       val h = p * (n - 1)
@@ -1159,8 +1165,9 @@ object Analytics {
     val groups = laneCounts.keys.map(_._1).toSeq.distinct
     require(groups.size <= maxGroups,
       s"more than $maxGroups groups — raise maxGroups or pre-aggregate")
-    // per group: cumulative lane offsets + target ranks + needed lanes
-    case class Need(g: Any, lane: Int, need: Int, cumAtLane: Long)
+    // per group: cumulative lane offsets + the EXACT 1-based local
+    // ranks needed per (group, lane) — O(#probs) entries per group
+    case class Need(g: Any, lane: Int, ranks: Seq[Int])
     val plans = groups.map { g =>
       val cum = (0 until nBuckets).scanLeft(0L) { (acc, b) =>
         acc + laneCounts.getOrElse((g, b), 0L)
@@ -1173,36 +1180,41 @@ object Analytics {
       def laneOf(rank: Long): Int =
         (0 until nBuckets).find(i => cum(i + 1) > rank).get
       val needs = targets.groupBy(laneOf).map { case (b, rs) =>
-        Need(g, b, rs.map(_ - cum(b)).max.toInt + 1, cum(b))
+        Need(g, b, rs.map(r => (r - cum(b)).toInt + 1).distinct)
       }.toSeq
       (g, n, cum, needs)
     }
     val needDf = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(
         plans.flatMap(_._4).map(nd =>
-          org.apache.spark.sql.Row(nd.g, nd.lane, nd.need)), 1),
+          org.apache.spark.sql.Row(nd.g, nd.lane, nd.ranks)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         df.schema(groupCol).copy(name = "__g"),
         org.apache.spark.sql.types.StructField("bucket",
           org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__need",
-          org.apache.spark.sql.types.IntegerType, nullable = false)))))
-    val fetched = bucketed.join(needDf, Seq("__g", "bucket"))
+        org.apache.spark.sql.types.StructField("__ranks",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false),
+          nullable = false)))))
+    // the per-lane window still ranks the candidate lanes executor-side
+    // (unavoidable — rank needs the lane), but only the floor/ceil
+    // target rows cross to the driver: O(|groups|·#probs) rows, never
+    // a lane prefix (round-13 perf-weak finding)
+    val fetched: Map[(Any, Int, Int), Double] =
+      bucketed.join(needDf, Seq("__g", "bucket"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__g", "bucket").orderBy("v")))
-      .where(col("__rn") <= col("__need"))
+      .where(array_contains(col("__ranks"), col("__rn")))
       .select("__g", "bucket", "__rn", "v")
       .collect()
-      .groupBy(r => (r.get(0), r.getInt(1)))
-      .map { case (key, rs) =>
-        key -> rs.sortBy(_.getInt(2)).map(_.getDouble(3))
-      }
+      .map(r => ((r.get(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
     val outRows = plans.flatMap { case (g, n, cum, _) =>
       def laneOf(rank: Long): Int =
         (0 until nBuckets).find(i => cum(i + 1) > rank).get
       def at(rank: Long): Double = {
         val b = laneOf(rank)
-        fetched((g, b))((rank - cum(b)).toInt)
+        fetched((g, b, (rank - cum(b)).toInt + 1))
       }
       probs.map { case (label, p) =>
         val h = p * (n - 1)

@@ -75,8 +75,10 @@ object Auc {
         (lit(2L) * col("neg_cum") + col("neg")).cast("decimal(38,0)"))
         .as("u2"))
       .groupBy("g").agg(sum("u2").as("u2"))
-      .join(broadcast(totals.select(col("g"),
-        col("neg_tot").as("nn"), col("pos_tot").as("np"))), "g")
+      // un-hinted: one row per group on both sides; planner-chosen
+      // broadcast (round-13 ADVICE on forced per-group broadcasts)
+      .join(totals.select(col("g"),
+        col("neg_tot").as("nn"), col("pos_tot").as("np")), "g")
       .where(col("np") > 0 && col("nn") > 0)
       .select(col("g"),
         (floor(col("u2").cast("double") /

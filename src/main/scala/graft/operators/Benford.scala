@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions._
   * 100 is an exact 10² shift, so the first significant digit is
   * unchanged and no `floor(log10(x))` power-of-ten knife edge ever
   * enters. Counts and shares are exact integers + one division;
-  * `expected` and `dev` round at 1e-6. */
+  * `expected` and `dev` round at 1e-6.
+  *
+  * Domain: cents-precision positive amounts in (0.005, ~9.2e15).
+  * Values below half a cent round to cents = 0 (no significant digit
+  * at cents precision) and are excluded by the `cents >= 1` guard,
+  * not emitted as a bogus digit-0 row with an undefined expected
+  * share; values beyond Long.MaxValue/100 would overflow the long
+  * cast and are outside the audit's monetary contract. */
 object Benford {
   def firstDigit(df: DataFrame, valueCol: Column): DataFrame = {
     val cents = floor(valueCol.cast("double") * 100 + 0.5).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
     val counts = df
-      .where(valueCol.isNotNull && valueCol.cast("double") > 0)
+      .where(valueCol.isNotNull && valueCol.cast("double") > 0 &&
+        cents >= 1)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum("n").as("__t"))

@@ -73,9 +73,12 @@ object KsDrift {
       .groupBy("g", "v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
     val (cum, totals) = LanedPrefix.withPrefixGrouped(vals, "g", "v",
       Seq("ca", "cb"), k, nLanes, inclusive = true)
+    // un-hinted: totals is one row per group (localCheckpoint-sized),
+    // so the planner broadcasts while it fits and shuffles beyond —
+    // a forced hint would cap group cardinality (round-13 ADVICE)
     cum
-      .join(broadcast(totals.select(col("g"),
-        col("ca_tot").as("na"), col("cb_tot").as("nb"))), "g")
+      .join(totals.select(col("g"),
+        col("ca_tot").as("na"), col("cb_tot").as("nb")), "g")
       .where(col("na") > 0 && col("nb") > 0)
       .select(col("g"),
         abs(col("ca_cum") / col("na").cast("double") -

@@ -64,8 +64,11 @@ object LanedPrefix {
     * `sumCols` counts; null groups are dropped (the cut-table join is an
     * equi-join). Output: (`vals` + `<c>_cum` prefix per sum column +
     * lane `bucket`, and a per-group totals frame keyed by `groupCol`
-    * with `<c>_tot` columns — join it back on the group, broadcast when
-    * |groups| is broadcast-sized). */
+    * with `<c>_tot` columns — join it back on the group UN-hinted:
+    * both internal frames hang off a localCheckpoint so their stats
+    * are exact, and the planner picks broadcast-hash while they fit
+    * and a shuffle join beyond, keeping the shape valid at any group
+    * cardinality). */
   def withPrefixGrouped(vals: DataFrame, groupCol: String, orderCol: String,
                         sumCols: Seq[String], k: Int, nLanes: Int,
                         inclusive: Boolean): (DataFrame, DataFrame) = {
@@ -94,8 +97,13 @@ object LanedPrefix {
     val totals = sums.groupBy(groupCol).agg(
       sum(s"__t_${sumCols.head}").as(s"${sumCols.head}_tot"),
       sumCols.tail.map(c => sum(s"__t_$c").as(s"${c}_tot")): _*)
+    // no broadcast() hint: offsets is |groups|·nLanes rows, and forcing
+    // a broadcast would reintroduce a driver/memory bottleneck at high
+    // group cardinality — the frame hangs off a localCheckpoint so its
+    // size statistics are exact and the planner picks broadcast-hash
+    // when (and only when) it actually fits (round-13 ADVICE)
     val out = sumCols.foldLeft(
-        laned.join(broadcast(offsets), Seq(groupCol, "bucket"))) { (df, c) =>
+        laned.join(offsets, Seq(groupCol, "bucket"))) { (df, c) =>
       df.withColumn(s"${c}_cum",
         coalesce(sum(c).over(wIn), lit(0L)) + col(s"__off_$c"))
     }.drop(sumCols.map(c => s"__off_$c"): _*)

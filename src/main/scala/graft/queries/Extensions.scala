@@ -33,20 +33,35 @@ object Extensions {
     * of the membership gate's result, not a reason to rerun the
     * iteration. `localCheckpoint` materializes one row per document
     * (bounded), so a verify/bench session pays the iteration once. */
-  private val componentsCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Int, String), org.apache.spark.sql.DataFrame]()
+  private val componentsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.DataFrame]]())
 
+  /** Cache keyed by the session OBJECT in a weak-keyed map (round-13
+    * ADVICE: identity hash codes can collide across session lifetimes
+    * and a hash-keyed map never evicts — here a dead session's entry,
+    * and the checkpoint RDDs it pins, unpin as soon as the session is
+    * collected, and two live sessions can never alias). */
   private def componentsFor(s: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame =
-    componentsCache.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ => {
-        val docs = tbl(s, dir, "documents")
-        val pairs = Dedup.jaccardPairsWindowed(docs, "doc_id", "text",
-          window = 25, threshold = 0.8)
-        Dedup.connectedComponents(pairs, "id_a", "id_b", docs, "doc_id")
-          .localCheckpoint()
-      })
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val perSession = componentsCache.synchronized {
+      var m = componentsCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, org.apache.spark.sql.DataFrame]()
+        componentsCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(dir, _ => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsWindowed(docs, "doc_id", "text",
+        window = 25, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b", docs, "doc_id")
+        .localCheckpoint()
+    })
+  }
 
   /** One band's bucket id as DuckDB SQL (1-based array index, bit weights
     * 1,2,4,... exactly as [[Similarity.lshBucket]]). */

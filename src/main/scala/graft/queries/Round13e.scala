@@ -30,6 +30,12 @@ object Round13e {
     """">link &amp; more&nbsp;&gt;</a>"""
   private val HtmlScript =
     """<script type="text/javascript">var x = 1 < 2;</script>"""
+  /** Uppercase block on every fifth doc — real crawls carry
+    * `<SCRIPT>`/`<STYLE>`, so the strip gate must prove the block
+    * patterns are case-insensitive (round-13 ADVICE: the old
+    * lowercase-only pattern leaked the JS body into clean text). */
+  private val HtmlScriptUC =
+    """<SCRIPT Lang="js">if (a < b) { q(); }</SCRIPT >"""
   private val HtmlPost = """</body></html>"""
 
   /** The fixture markup as a Column — shared with the curation-3
@@ -38,6 +44,7 @@ object Round13e {
     concat(lit(HtmlPre), col("doc_id"), lit(HtmlMid),
       col("text"), lit(HtmlLink), col("doc_id"), lit(HtmlLinkText),
       when(col("doc_id") % 3 === 0, lit(HtmlScript)).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(HtmlScriptUC)).otherwise(lit("")),
       lit(HtmlPost))
 
   /** The same markup as DuckDB SQL over a `documents` row. */
@@ -48,13 +55,17 @@ object Round13e {
         '${HtmlLinkText.replace("'", "''")}' ||
         CASE WHEN doc_id % 3 = 0
           THEN '${HtmlScript.replace("'", "''")}' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+          THEN '${HtmlScriptUC.replace("'", "''")}' ELSE '' END ||
         '$HtmlPost'"""
 
   /** The strip chain (blocks -> tags -> entities -> whitespace) as
     * DuckDB SQL over a `html` column. */
   private[graft] def stripSql: String = {
+    val noBlocks = HtmlStrip.BlockPatterns.foldLeft("html")(
+      (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
     val stripped = entityDecodeSql(
-      s"regexp_replace(regexp_replace(html, '${HtmlStrip.BlockPattern}', ' ', 'g'), '<[^>]*>', ' ', 'g')")
+      s"regexp_replace($noBlocks, '<[^>]*>', ' ', 'g')")
     s"trim(regexp_replace($stripped, '[ \\t\\r\\n]+', ' ', 'g'))"
   }
 

@@ -132,7 +132,7 @@ object Round13f {
              len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))
                AS u
            FROM r a JOIN r b ON a.blk = b.blk
-             AND b.rn - a.rn IN (1, ${SnmWindow - 1})),
+             AND b.rn - a.rn BETWEEN 1 AND ${SnmWindow - 1}),
          j AS (SELECT id_a, id_b,
              floor(i::DOUBLE / u::DOUBLE * 1000000 + 0.5) / 1000000
                AS jaccard

@@ -76,7 +76,8 @@ object Round13i {
              floor(l_extendedprice::DOUBLE * 100 + 0.5)::BIGINT AS cents
            FROM lineitem
            WHERE l_extendedprice IS NOT NULL
-             AND l_extendedprice::DOUBLE > 0),
+             AND l_extendedprice::DOUBLE > 0
+             AND floor(l_extendedprice::DOUBLE * 100 + 0.5) >= 1),
          c AS (SELECT substr(cents::VARCHAR, 1, 1)::INT AS digit,
              count(*)::BIGINT AS n
            FROM v GROUP BY 1),

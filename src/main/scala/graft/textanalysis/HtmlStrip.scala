@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
 object HtmlStrip {
 
   /** script/style elements whose CONTENT must go with the tags.
+    * ONE pattern per element name — an alternation on both sides
+    * (`<(script|style)>.*?</(script|style)>`) would let a
+    * `<script>...</style>` mismatch close a script block early, and
+    * RE2 (the DuckDB replay engine) has no backreferences to pair
+    * them. `(?i)` because real crawls carry `<SCRIPT>`/`<Style>`;
     * `(?s)` so the body may span lines; non-greedy so back-to-back
-    * blocks don't fuse; `[^>]*` tolerates attributes. */
-  val BlockPattern = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+    * blocks don't fuse; `[^>]*` tolerates attributes; `\s*` tolerates
+    * whitespace before the closing `>`. */
+  val BlockPatterns: Seq[String] = Seq("script", "style").map(el =>
+    s"(?is)<$el[^>]*>.*?</$el\\s*>")
 
   /** Any remaining tag, including comments' delimiters. */
   val TagPattern = "<[^>]*>"
@@ -43,7 +50,8 @@ object HtmlStrip {
 
   /** The markup reduced to whitespace-normalized text. */
   def strip(html: Column): Column = {
-    val noBlocks = regexp_replace(html, BlockPattern, " ")
+    val noBlocks = BlockPatterns.foldLeft(html)(
+      (c, p) => regexp_replace(c, p, " "))
     val noTags = regexp_replace(noBlocks, TagPattern, " ")
     val decoded = Entities.foldLeft(noTags) { case (c, (e, r)) =>
       replace(c, lit(e), lit(r))
