@@ -947,6 +947,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_global_shuffle"),
+      info("graft_global_shuffle",
+        "graft_global_shuffle(table, idCol, seed, nShards) - seeded reproducible corpus permutation + shard assignment: (id, sort_key, shard, pos)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_global_shuffle expects 4 arguments")
+        val n = "graft_global_shuffle"
+        graft.operators.GlobalShuffle.shuffle(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "idCol", args(1))),
+            strLit(n, "seed", args(2)),
+            numLit(n, "nShards", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_cusum"),
       info("graft_cusum",
         "graft_cusum(table, keyCol, tCol) - standardized count-CUSUM series per key: (key, t, c, cusum)"),

@@ -848,6 +848,23 @@ object ScaleRehearsal {
       f"$sn vecs ${sq10}%.2f s (${sq10 / sq1}%.1fx, ~linear target; " +
       f"model is 128 doubles at any size, pool rescore is 300 rows)")
 
+    // Seeded global shuffle (sample_global_shuffle shape): one hash
+    // projection + one shard-partitioned window — nShards scales with
+    // the corpus so per-shard state stays bounded (a shard ≈ rows/256)
+    def shuffleTime(rows: Long): Double = {
+      val ids = spark.range(rows).select(col("id"))
+      val t0 = System.nanoTime()
+      val out = graft.operators.GlobalShuffle.shuffle(
+        ids, col("id"), "rehearsal", 256)
+      val cnt = out.where(col("pos") === 1L).count() // one row per shard
+      require(cnt == 256L, s"expected 256 shard heads, got $cnt")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (gs1, gs10) = (shuffleTime(sn / 10), shuffleTime(sn))
+    println(f"[rehearsal] global shuffle: ${sn / 10} rows ${gs1}%.2f s; " +
+      f"$sn rows ${gs10}%.2f s (${gs10 / gs1}%.1fx, ~linear target; " +
+      f"no global sort — 256 shard-local orders)")
+
     spark.stop()
   }
 }

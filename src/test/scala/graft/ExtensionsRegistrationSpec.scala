@@ -678,6 +678,16 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(hs.getLong(1) === 4L && math.abs(hs.getDouble(2) - 3.0) < 0.1,
         "graft_hll_stream_merge must estimate the distinct count")
 
+      // global shuffle: total coverage, contiguous per-shard positions
+      spark.range(1, 101).toDF("id")
+        .createOrReplaceTempView("tvf_shuffle")
+      val gsRows = spark.sql("SELECT * FROM graft_global_shuffle(" +
+        "'tvf_shuffle','id','seed-x',4)").collect()
+      assert(gsRows.length === 100 &&
+        gsRows.map(_.getAs[Int]("shard")).distinct.sorted.toSeq ===
+          Seq(0, 1, 2, 3),
+        "graft_global_shuffle must cover the corpus across all shards")
+
       // nfc: decomposed e + U+0301 composes to U+00E9 (spark chr() is
       // ASCII-only, so the combining mark is embedded in the literal)
       val nfcRow = spark.sql(

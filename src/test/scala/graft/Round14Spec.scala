@@ -96,4 +96,30 @@ class Round14Spec extends SparkTestBase {
     assert(c.getAs[Double]("pct_con_match") ===
       math.floor(16.0 / 48.0 * 1e4 + 0.5) / 1e4)
   }
+
+  test("global shuffle: same seed is stable, different seed permutes, " +
+    "positions are contiguous per shard, union covers the corpus") {
+    import spark.implicits._
+    val ids = (1L to 500L).toDF("doc_id")
+    def run(seed: String) = graft.operators.GlobalShuffle
+      .shuffle(ids, col("doc_id"), seed, 8)
+      .select("shard", "pos", "id")
+    val a = run("alpha").collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val a2 = run("alpha").collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = run("beta").collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a === a2)           // reproducible
+    assert(a !== b)            // seed actually permutes
+    assert(a.map(_._3).toSet === (1L to 500L).toSet) // total, no loss
+    // per shard: positions are exactly 1..count
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.length).toSeq)
+    }
+    // rough balance: no shard is empty or hogs half the corpus
+    val sizes = a.groupBy(_._1).map(_._2.size)
+    assert(sizes.size === 8 && sizes.max < 250)
+  }
+
 }
