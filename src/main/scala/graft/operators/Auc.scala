@@ -75,8 +75,8 @@ object Auc {
         (lit(2L) * col("neg_cum") + col("neg")).cast("decimal(38,0)"))
         .as("u2"))
       .groupBy("g").agg(sum("u2").as("u2"))
-      // un-hinted: one row per group on both sides; planner-chosen
-      // broadcast (round-13 ADVICE on forced per-group broadcasts)
+      // totals arrives row-cap-hinted from LanedPrefix (round-13
+      // ADVICE on forced per-group broadcasts capping cardinality)
       .join(totals.select(col("g"),
         col("neg_tot").as("nn"), col("pos_tot").as("np")), "g")
       .where(col("np") > 0 && col("nn") > 0)

@@ -121,9 +121,8 @@ object Gini {
         (vD * cD * (cD + 1)).as("tb"), (vD * cD).as("vc"))
       .groupBy("g")
       .agg(sum("ta").as("SA"), sum("tb").as("SB"), sum("vc").as("T"))
-      // un-hinted: both sides are one row per group; the planner
-      // broadcasts while totals fits (round-13 ADVICE on forced
-      // per-group broadcasts capping group cardinality)
+      // totals arrives row-cap-hinted from LanedPrefix (round-13
+      // ADVICE on forced per-group broadcasts capping cardinality)
       .join(totals.select(col("g"), col("c_tot").as("n")), "g")
       .where(col("n") > 0 && col("T") > 0)
       .select(col("g"),

@@ -73,9 +73,9 @@ object KsDrift {
       .groupBy("g", "v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
     val (cum, totals) = LanedPrefix.withPrefixGrouped(vals, "g", "v",
       Seq("ca", "cb"), k, nLanes, inclusive = true)
-    // un-hinted: totals is one row per group (localCheckpoint-sized),
-    // so the planner broadcasts while it fits and shuffles beyond —
-    // a forced hint would cap group cardinality (round-13 ADVICE)
+    // totals arrives row-cap-hinted from LanedPrefix: broadcast while
+    // the per-group table provably fits, planner-chosen beyond
+    // (round-13 ADVICE)
     cum
       .join(totals.select(col("g"),
         col("ca_tot").as("na"), col("cb_tot").as("nb")), "g")

@@ -64,11 +64,12 @@ object LanedPrefix {
     * `sumCols` counts; null groups are dropped (the cut-table join is an
     * equi-join). Output: (`vals` + `<c>_cum` prefix per sum column +
     * lane `bucket`, and a per-group totals frame keyed by `groupCol`
-    * with `<c>_tot` columns — join it back on the group UN-hinted:
-    * both internal frames hang off a localCheckpoint so their stats
-    * are exact, and the planner picks broadcast-hash while they fit
-    * and a shuffle join beyond, keeping the shape valid at any group
-    * cardinality). */
+    * with `<c>_tot` columns — join it back on the group AS RETURNED:
+    * it carries a broadcast hint exactly when the materialized
+    * (group, lane) table is under [[BroadcastRowCap]] rows, and is
+    * left to the planner beyond, keeping the shape valid at any group
+    * cardinality without shuffling the data-sized frame in the common
+    * small-|groups| regime). */
   def withPrefixGrouped(vals: DataFrame, groupCol: String, orderCol: String,
                         sumCols: Seq[String], k: Int, nLanes: Int,
                         inclusive: Boolean): (DataFrame, DataFrame) = {
@@ -94,19 +95,34 @@ object LanedPrefix {
         coalesce(sum(s"__t_$c").over(wAcross), lit(0L)))
     }.select(col(groupCol) +: col("bucket") +:
       sumCols.map(c => col(s"__off_$c")): _*)
-    val totals = sums.groupBy(groupCol).agg(
+    val totals0 = sums.groupBy(groupCol).agg(
       sum(s"__t_${sumCols.head}").as(s"${sumCols.head}_tot"),
       sumCols.tail.map(c => sum(s"__t_$c").as(s"${c}_tot")): _*)
-    // no broadcast() hint: offsets is |groups|·nLanes rows, and forcing
-    // a broadcast would reintroduce a driver/memory bottleneck at high
-    // group cardinality — the frame hangs off a localCheckpoint so its
-    // size statistics are exact and the planner picks broadcast-hash
-    // when (and only when) it actually fits (round-13 ADVICE)
+    // ROW-CAPPED broadcast (round-13 ADVICE): an unconditional hint
+    // reintroduces a driver bottleneck at high group cardinality, but
+    // dropping the hint entirely plans a sort-merge join that SHUFFLES
+    // the data-sized laned frame on (group, lane) — the worse trade in
+    // the common regime. `sums` is already materialized (eager
+    // localCheckpoint), so counting it costs one cached-partition
+    // sweep; the hint is applied exactly when the (group, lane) table
+    // provably fits a broadcast, and beyond the cap the planner is
+    // left free (the totals frame, ≤ |groups| rows, inherits the same
+    // decision — callers join it back as returned).
+    val small = sums.count() <= LanedPrefix.BroadcastRowCap
+    val (offsetsH, totals) =
+      if (small) (broadcast(offsets), broadcast(totals0))
+      else (offsets, totals0)
     val out = sumCols.foldLeft(
-        laned.join(offsets, Seq(groupCol, "bucket"))) { (df, c) =>
+        laned.join(offsetsH, Seq(groupCol, "bucket"))) { (df, c) =>
       df.withColumn(s"${c}_cum",
         coalesce(sum(c).over(wIn), lit(0L)) + col(s"__off_$c"))
     }.drop(sumCols.map(c => s"__off_$c"): _*)
     (out, totals)
   }
+
+  /** Max (group, lane) rows the grouped form will hint as broadcast —
+    * ~2M rows of (key, lane, k longs) is tens of MB, comfortably
+    * driver/executor-safe; larger cut tables fall back to the
+    * planner's choice. */
+  val BroadcastRowCap: Long = 2000000L
 }

@@ -70,10 +70,9 @@ object RankNormalize {
       .agg(count(lit(1)).as("__c"))
     val (cum, totals) = LanedPrefix.withPrefixGrouped(vals, "__gk", "__v",
       Seq("__c"), k, nLanes, inclusive = false)
-    // un-hinted join: totals is one row per group, exactly sized by
-    // its localCheckpoint stats — the planner broadcasts it while it
-    // fits and degrades to a shuffle join at extreme group counts
-    // instead of OOMing the driver (round-13 ADVICE)
+    // totals arrives row-cap-hinted from LanedPrefix: broadcast while
+    // the per-group table provably fits, planner-chosen beyond
+    // (round-13 ADVICE)
     val ranked = cum
       .join(totals.select(col("__gk"), col("__c_tot").as("__n")),
         "__gk")

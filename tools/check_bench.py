@@ -11,6 +11,14 @@ Usage:
       Regenerate bench_budgets.json: budget = 1.5 x best-of-runs per
       gate, reference calibration = min spark_range_xxhash_s.
 
+CONVENTION (round-13 verdict): budgets are seeded from the PRIOR
+round's adjudicated closing pair and the current round's pair is
+graded AGAINST them — never regenerate budgets from the pair being
+graded (that makes "0 breaches" vacuous). Re-baseline with
+--update-budgets only AFTER a round's pair has been adjudicated,
+so next round inherits it as its reference. Gates absent from the
+budget file (new this round) are reported as NEW, not breaches.
+
 The calibration ratio (run calib / reference calib) is printed next to
 every breach so contended-host noise (calib >> 1) is distinguishable
 from a real regression: a breach on a run whose calibration is itself
