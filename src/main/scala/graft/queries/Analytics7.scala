@@ -706,11 +706,10 @@ object Analytics7 {
 
     // 3-iteration PageRank on the customer->supplier trade graph
     "graph_pagerank" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-      val o = tbl(s, dir, "orders")
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      // shared trade multigraph (Extensions.tradeEdgesFor)
+      val edges = Extensions.tradeEdgesFor(s, dir)
+        .select(concat(lit("c"), col("cust").cast("string")).as("src"),
+          concat(lit("s"), col("supp").cast("string")).as("dst"))
       PageRank(edges, "src", "dst", iterations = 3).orderBy("node")
     })
   )

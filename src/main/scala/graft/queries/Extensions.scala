@@ -33,35 +33,73 @@ object Extensions {
     * of the membership gate's result, not a reason to rerun the
     * iteration. `localCheckpoint` materializes one row per document
     * (bounded), so a verify/bench session pays the iteration once. */
-  private val componentsCache = java.util.Collections.synchronizedMap(
+  private val frameCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[
         String, org.apache.spark.sql.DataFrame]]())
 
-  /** Cache keyed by the session OBJECT in a weak-keyed map (round-13
-    * ADVICE: identity hash codes can collide across session lifetimes
-    * and a hash-keyed map never evicts — here a dead session's entry,
-    * and the checkpoint RDDs it pins, unpin as soon as the session is
-    * collected, and two live sessions can never alias). */
-  private def componentsFor(s: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame = {
-    val perSession = componentsCache.synchronized {
-      var m = componentsCache.get(s)
+  /** Session-scoped shared-frame cache, keyed by the session OBJECT in
+    * a weak-keyed map (round-13 ADVICE: identity hash codes can collide
+    * across session lifetimes and a hash-keyed map never evicts — here
+    * a dead session's entries, and the checkpoint RDDs they pin, unpin
+    * as soon as the session is collected, and two live sessions can
+    * never alias). Gates that profile the SAME expensive intermediate
+    * (the near-dup pair graph, its components, the customer–supplier
+    * trade multigraph) compute it once per (session, SF dir) — the
+    * `dedup_components` sharing win from round 13 (3.3 s → 0.05 s),
+    * generalized per the round-13 verdict's ask for the graph family. */
+  private[queries] def cachedFrame(s: org.apache.spark.sql.SparkSession,
+      key: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perSession = frameCache.synchronized {
+      var m = frameCache.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[
           String, org.apache.spark.sql.DataFrame]()
-        componentsCache.put(s, m)
+        frameCache.put(s, m)
       }
       m
     }
-    perSession.computeIfAbsent(dir, _ => {
-      val docs = tbl(s, dir, "documents")
-      val pairs = Dedup.jaccardPairsWindowed(docs, "doc_id", "text",
-        window = 25, threshold = 0.8)
-      Dedup.connectedComponents(pairs, "id_a", "id_b", docs, "doc_id")
-        .localCheckpoint()
-    })
+    perSession.computeIfAbsent(key, _ => build)
   }
+
+  /** The windowed near-dup pair graph over `documents` — shared by
+    * `dedup_components`/`dedup_component_sizes` (via [[componentsFor]])
+    * and `graph_jaccard`. */
+  private[queries] def neardupPairsFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    cachedFrame(s, s"neardup_pairs|$dir") {
+      Dedup.jaccardPairsWindowed(tbl(s, dir, "documents"), "doc_id",
+          "text", window = 25, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+    }
+
+  private def componentsFor(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    cachedFrame(s, s"components|$dir") {
+      val docs = tbl(s, dir, "documents")
+      Dedup.connectedComponents(neardupPairsFor(s, dir), "id_a", "id_b",
+          docs, "doc_id")
+        .localCheckpoint()
+    }
+
+  /** The customer–supplier trade MULTIGRAPH (one edge per lineitem —
+    * multiplicity matters to PageRank out-degrees and label-prop
+    * votes), shared by `graph_pagerank`/`graph_ppr`/`graph_label_prop`
+    * /`graph_kcore`, which each re-encode the same (cust, supp) pairs.
+    * Columns: (cust LONG, supp LONG). */
+  private[queries] def tradeEdgesFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    cachedFrame(s, s"trade_edges|$dir") {
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .localCheckpoint()
+    }
 
   /** One band's bucket id as DuckDB SQL (1-based array index, bit weights
     * 1,2,4,... exactly as [[Similarity.lshBucket]]). */

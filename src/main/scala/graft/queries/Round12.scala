@@ -62,11 +62,10 @@ object Round12 {
     // one equi-join + one partial-agg argmax per round, no windows.
     // The oracle unrolls the identical recurrence as CTEs
     "graph_label_prop" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-      val o = tbl(s, dir, "orders")
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("s"),
-          (col("l_suppkey") * 2 + 1).as("d"))
+      // shared trade multigraph (Extensions.tradeEdgesFor): computed
+      // once per session, re-encoded per gate
+      val edges = Extensions.tradeEdgesFor(s, dir)
+        .select((col("cust") * 2).as("s"), (col("supp") * 2 + 1).as("d"))
       LabelProp(edges, "s", "d", LpaRounds).orderBy("node")
     }),
 

@@ -89,12 +89,10 @@ object Round12c {
     // join + partial-agg iteration as graph_pagerank; the oracle
     // unrolls the restart-weighted recurrence
     "graph_ppr" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-      val o = tbl(s, dir, "orders")
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string"))
-          .as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      // shared trade multigraph (Extensions.tradeEdgesFor)
+      val edges = Extensions.tradeEdgesFor(s, dir)
+        .select(concat(lit("c"), col("cust").cast("string")).as("src"),
+          concat(lit("s"), col("supp").cast("string")).as("dst"))
       graft.graph.PageRank.personalized(edges, "src", "dst",
           PprSources, PprIters, PprD)
         .orderBy("node")

@@ -41,11 +41,11 @@ object Round13g {
     // join supplies the intersection, degrees supply the union via
     // inclusion-exclusion; never builds per-node neighbor sets
     "graph_jaccard" -> ((s, dir) => {
-      val e = graft.dedup.Dedup.jaccardPairsWindowed(
-          tbl(s, dir, "documents"), "doc_id", "text",
-          window = 25, threshold = 0.8)
+      // shared near-dup pair graph (Extensions.neardupPairsFor) — the
+      // same checkpointed frame dedup_components consumes; referenced
+      // 3x here (degrees + both wedge legs)
+      val e = Extensions.neardupPairsFor(s, dir)
         .select(col("id_a").as("a"), col("id_b").as("b"))
-        .localCheckpoint() // referenced 3x: degrees + both wedge legs
       NeighborJaccard.pairs(e, "a", "b")
         .orderBy("id_a", "id_b")
     }))

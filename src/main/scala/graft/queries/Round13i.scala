@@ -24,11 +24,9 @@ object Round13i {
     // 3-round k=3 core peel of the customer-supplier trade graph: per
     // round one degree count + two semi-joins, lineage truncated
     "graph_kcore" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-      val o = tbl(s, dir, "orders")
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("a"),
-          (col("l_suppkey") * 2 + 1).as("b"))
+      // shared trade multigraph (Extensions.tradeEdgesFor)
+      val edges = Extensions.tradeEdgesFor(s, dir)
+        .select((col("cust") * 2).as("a"), (col("supp") * 2 + 1).as("b"))
       KCore.peel(edges, "a", "b", K, Rounds).orderBy("node")
     }),
 
