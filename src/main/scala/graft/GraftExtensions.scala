@@ -962,6 +962,64 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_shuffle_pack"),
+      info("graft_shuffle_pack",
+        "graft_shuffle_pack(table, idCol, textCol, seed, nShards, capacity) - shuffled doc-granularity bin packing: (shard, bin, pos, id, n_tokens, cum_before)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          s"graft_shuffle_pack expects 6 arguments")
+        val n = "graft_shuffle_pack"
+        graft.operators.GlobalShuffle.packBins(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "idCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "textCol", args(2))),
+            strLit(n, "seed", args(3)),
+            numLit(n, "nShards", args(4)).toInt,
+            numLit(n, "capacity", args(5)).toLong)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_js_divergence"),
+      info("graft_js_divergence",
+        "graft_js_divergence(tableA, tableB, categoryCol) - per-category Jensen-Shannon terms between two snapshots: (category, n_base, n_current, p, q, js_term)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_js_divergence expects 3 arguments")
+        val n = "graft_js_divergence"
+        graft.operators.JsDivergence.audit(
+            SparkSession.active.table(strLit(n, "tableA", args.head)),
+            SparkSession.active.table(strLit(n, "tableB", args(1))),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "categoryCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_kappa"),
+      info("graft_kappa",
+        "graft_kappa(table, labelACol, labelBCol) - Cohen's kappa labeler agreement: (n, p_o, p_e, kappa)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_kappa expects 3 arguments")
+        val n = "graft_kappa"
+        graft.operators.Kappa.cohen(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "labelACol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "labelBCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_chi2"),
+      info("graft_chi2",
+        "graft_chi2(table, aCol, bCol) - chi-squared independence screen, one row per contingency cell: (a, b, o, e, chi2_term)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_chi2 expects 3 arguments")
+        val n = "graft_chi2"
+        graft.operators.ChiSquare.independence(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "aCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "bCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_cusum"),
       info("graft_cusum",
         "graft_cusum(table, keyCol, tCol) - standardized count-CUSUM series per key: (key, t, c, cusum)"),

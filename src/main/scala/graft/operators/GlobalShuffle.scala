@@ -45,4 +45,42 @@ object GlobalShuffle {
         Window.partitionBy("shard").orderBy("sort_key", "id"))
         .cast("long"))
   }
+
+  /** Shuffled doc-granularity bin packing — the [[shuffle]] order fed
+    * straight into fixed-capacity training bins: within each shard,
+    * documents are laid out in seeded-shuffle order and assigned to
+    * bin `floor(exclusive_token_prefix / capacity)` — documents never
+    * split (the doc-granularity variant; the token-granularity
+    * concat-and-split form is `TextAnalysis.packSequences`), so a bin
+    * may overflow by at most one document — the standard
+    * concat-then-cut-at-doc-boundary packing.
+    *
+    * Token counts follow the engine convention (whitespace tokens,
+    * blank/null = 0, see [[TokenBudget]]). The per-shard prefix is ONE
+    * window partitioned by shard — shard size is ~|corpus|/nShards by
+    * the hash split, the caller's per-task bound. Output:
+    * (shard, bin, pos, id, n_tokens, cum_before) — `cum_before` is the
+    * shard-local exclusive token prefix the bin derives from. */
+  def packBins(df: DataFrame, idCol: Column, textCol: Column,
+               seed: String, nShards: Int, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    val nTok = when(
+      textCol.isNotNull && length(trim(textCol)) > 0,
+      size(split(trim(textCol), "\\s+")).cast("long"))
+      .otherwise(0L)
+    val hx = md5(concat(lit(seed), lit("|"), idCol.cast("string")))
+    val keyed = df.where(idCol.isNotNull)
+      .select(idCol.as("id"), nTok.as("n_tokens"), hx.as("sort_key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("sort_key"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+    val w = Window.partitionBy("shard").orderBy("sort_key", "id")
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $capacity"))
+      .select("shard", "bin", "pos", "id", "n_tokens", "cum_before")
+  }
 }

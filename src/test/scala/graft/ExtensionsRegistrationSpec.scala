@@ -688,6 +688,40 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
           Seq(0, 1, 2, 3),
         "graft_global_shuffle must cover the corpus across all shards")
 
+      // shuffle-pack: 3-token docs into capacity-6 bins -> 2 docs/bin
+      Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"), (4L, "j k l"))
+        .toDF("id", "text").createOrReplaceTempView("tvf_pack")
+      val pk = spark.sql("SELECT * FROM graft_shuffle_pack(" +
+        "'tvf_pack','id','text','s',1,6)").collect()
+      assert(pk.length === 4 &&
+        pk.map(_.getAs[Long]("bin")).sorted.toSeq === Seq(0L, 0L, 1L, 1L),
+        "graft_shuffle_pack must fill capacity-6 bins two docs at a time")
+
+      // JSD: identical snapshots -> zero terms
+      Seq("en", "es", "en").toDF("lang")
+        .createOrReplaceTempView("tvf_js")
+      val js = spark.sql("SELECT * FROM graft_js_divergence(" +
+        "'tvf_js','tvf_js','lang')").collect()
+      assert(js.forall(_.getAs[Double]("js_term") === 0.0),
+        "graft_js_divergence of a snapshot with itself must be 0")
+
+      // kappa: the textbook 0.4 hand example
+      (Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+        Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n")))
+        .toDF("a", "b").createOrReplaceTempView("tvf_kappa")
+      val kp = spark.sql(
+        "SELECT * FROM graft_kappa('tvf_kappa','a','b')").head()
+      assert(kp.getAs[Double]("kappa") === 0.4,
+        "graft_kappa must reproduce the 2x2 hand example")
+
+      // chi2: product table -> all-zero terms
+      (for { a <- Seq("s1", "s2"); b <- Seq("en", "es") } yield (a, b))
+        .toDF("a", "b").createOrReplaceTempView("tvf_chi2")
+      val c2 = spark.sql(
+        "SELECT * FROM graft_chi2('tvf_chi2','a','b')").collect()
+      assert(c2.forall(_.getAs[Double]("chi2_term") === 0.0),
+        "graft_chi2 must vanish on a product table")
+
       // nfc: decomposed e + U+0301 composes to U+00E9 (spark chr() is
       // ASCII-only, so the combining mark is embedded in the literal)
       val nfcRow = spark.sql(

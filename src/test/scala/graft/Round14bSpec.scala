@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ChiSquare, GlobalShuffle, JsDivergence, Kappa}
+
+/** Round-14b semantic pins: bin packing never splits a document and
+  * derives bins from the exclusive prefix; JSD hits its 0 and ln 2
+  * boundary cases; Cohen's kappa matches the textbook hand example and
+  * its degenerate conventions; chi-squared terms vanish exactly on a
+  * product table. */
+class Round14bSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("packBins: doc-granularity bins off the exclusive prefix, " +
+    "pos follows the shuffle order, totals survive") {
+    val docs = (1L to 200L)
+      .map(i => (i, ("w " * ((i % 17).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = GlobalShuffle.packBins(docs, col("doc_id"), col("text"),
+      "pk", 4, 40L).collect()
+    assert(out.length === 200)
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+    byShard.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("pos"))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("cum_before") === cum) // exclusive prefix
+        assert(r.getAs[Long]("bin") === cum / 40L) // bin = prefix div cap
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // token totals survive the packing (no doc lost or split)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum ===
+      (1L to 200L).map(i => i % 17 + 1).sum)
+  }
+
+  test("JSD: identical mixes give all-zero terms; disjoint supports " +
+    "sum to ln 2") {
+    val a = Seq("en", "en", "es", "fr").toDF("lang")
+    val same = JsDivergence.audit(a, a, col("lang")).collect()
+    assert(same.forall(_.getAs[Double]("js_term") === 0.0))
+    val b = Seq("de", "de", "it", "pt").toDF("lang")
+    val disjoint = JsDivergence.audit(a, b, col("lang")).collect()
+    val total = disjoint.map(_.getAs[Double]("js_term")).sum
+    assert(math.abs(total - math.log(2)) < 1e-4)
+    assert(disjoint.forall(r => r.getAs[Double]("js_term") >= 0.0))
+  }
+
+  test("kappa: textbook 2x2 hand example, perfect agreement, and the " +
+    "constant-labeler convention") {
+    // classic example: po = 0.7, row/col margins (A: 25/30 yes,
+    // B: 25/30... ) — use counts a=20 (yes,yes), b=5 (yes,no),
+    // c=10 (no,yes), d=15 (no,no): po=0.7, pe=(30*25+20*25)/2500=0.5,
+    // kappa=0.4
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+        Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val df = rows.toDF("a", "b")
+    val k = Kappa.cohen(df, col("a"), col("b")).head()
+    assert(k.getAs[Long]("n") === 50L)
+    assert(k.getAs[Double]("p_o") === 0.7)
+    assert(k.getAs[Double]("p_e") === 0.5)
+    assert(k.getAs[Double]("kappa") === 0.4)
+    val perfect = Kappa.cohen(Seq(("x", "x"), ("y", "y")).toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(perfect.getAs[Double]("kappa") === 1.0)
+    // both labelers constant and equal: pe = 1, po = 1 -> kappa 1
+    val const = Kappa.cohen(Seq(("x", "x"), ("x", "x")).toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(const.getAs[Double]("kappa") === 1.0)
+  }
+
+  test("chi2: a product table has zero terms; a skewed 2x2 matches " +
+    "the hand formula") {
+    // product table: P(a,b) = P(a)P(b) exactly -> every term 0
+    val prod = (for {
+      (a, na) <- Seq(("s1", 2), ("s2", 3))
+      (b, nb) <- Seq(("en", 4), ("es", 1))
+      _ <- 1 to na * nb
+    } yield (a, b)).toDF("a", "b")
+    val t = ChiSquare.independence(prod, col("a"), col("b")).collect()
+    assert(t.forall(_.getAs[Double]("chi2_term") === 0.0))
+    // 2x2 with counts 10,0 / 0,10: chi2 = n = 20, each term = 5
+    val skew = (Seq.fill(10)(("s1", "en")) ++ Seq.fill(10)(("s2", "es")))
+      .toDF("a", "b")
+    val s = ChiSquare.independence(skew, col("a"), col("b")).collect()
+    assert(s.length === 2 && s.forall(_.getAs[Double]("chi2_term") === 5.0))
+  }
+}
