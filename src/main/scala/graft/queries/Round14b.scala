@@ -67,7 +67,26 @@ object Round14b {
     "audit_chi2_independence" -> ((s, dir) =>
       ChiSquare.independence(tbl(s, dir, "documents"), col("source"),
           col("lang"))
-        .orderBy("a", "b")))
+        .orderBy("a", "b")),
+
+    // streaming quantile sketch, batch-twin gated: the per-key
+    // bottom-K (md5, value) end state (order-free min-semilattice) read
+    // off by the family's deterministic lower-index rule — "p50/p99 per
+    // event type over the whole stream" in O(K) state per key
+    "stream_quantile" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .where(col("event_type").isNotNull && col("value").isNotNull &&
+          col("event_id").isNotNull)
+      graft.streaming.StreamingQsketch.keyedQuantiles(
+          graft.streaming.StreamingQsketch.keyedEndStates(
+            ev, "event_type", col("event_id"), "value"),
+          QProbs)
+        .select(col("key").as("event_type"), col("prob"), col("est_q"))
+        .orderBy("event_type", "prob")
+    }))
+
+  private val QProbs =
+    Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
 
   val oracles: Map[String, String] = Map(
 
@@ -177,5 +196,30 @@ object Round14b {
          SELECT a, b, o, floor(e * 1000000 + 0.5) / 1000000 AS e,
            floor((o::DOUBLE - e) * (o::DOUBLE - e) / e
              * 1000000 + 0.5) / 1000000 AS chi2_term
-         FROM d ORDER BY a, b""")
+         FROM d ORDER BY a, b""",
+
+    "stream_quantile" -> {
+      val k = graft.streaming.StreamingQsketch.KeyedK
+      val labels = QProbs.map(p => s"'${p._1}'").mkString(", ")
+      val pvals = QProbs.map(_._2).mkString(", ")
+      s"""WITH h AS (SELECT event_type AS key,
+             CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+               AS BIGINT) AS h,
+             value::DOUBLE AS v
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+             AND event_id IS NOT NULL),
+         bk AS (SELECT key, h, v FROM (SELECT key, h, v,
+             row_number() OVER (PARTITION BY key ORDER BY h, v) AS rn
+           FROM h) WHERE rn <= $k),
+         r AS (SELECT key, h, v,
+             row_number() OVER (PARTITION BY key ORDER BY v, h) AS rn,
+             count(*) OVER (PARTITION BY key) AS n
+           FROM bk),
+         p AS (SELECT unnest([$labels]) AS prob,
+             unnest([$pvals]::DOUBLE[]) AS pv)
+         SELECT key AS event_type, prob, v AS est_q
+         FROM r JOIN p ON r.rn = (floor(pv * (n - 1)) + 1)::BIGINT
+         ORDER BY event_type, prob"""
+    })
 }

@@ -99,4 +99,101 @@ object StreamingQsketch {
     Analytics.qsketchQuantiles(
       Analytics.qsketchMerge(Seq(shardSketches.select("h", "v")), k),
       probs)
+
+  // ---- per-SEMANTIC-key form (round 14) ---------------------------
+  //
+  // The shard form above answers "p99 of EVERYTHING so far" (keys are
+  // hash lanes). The keyed form below answers "p50/p99 PER event
+  // type / per segment over the whole stream" — the grouped sibling,
+  // one bounded bottom-K sketch per semantic key. Same
+  // min-semilattice state (order-free, split-invariant, mergeable,
+  // idempotent under re-delivery), same md5 family, same lower-index
+  // read-off, so the end state is bit-identical to the batch bottom-K
+  // and DuckDB replays the gate.
+
+  /** Keyed sketch size (the family's gate-side default). */
+  val KeyedK = 64
+
+  case class KQEvent(key: String, hash: Long, value: Double)
+  /** `hs`/`vs` are the kept pairs SORTED by (hash, value) — canonical,
+    * so states compare byte-for-byte across arrival orders. */
+  case class KQState(key: String, n: Long, hs: Seq[Long], vs: Seq[Double])
+
+  /** The 60-bit md5 row-key hash as a Column — same family as
+    * [[Analytics.qsketchSample]]. */
+  def hashCol(rowKey: Column): Column =
+    conv(substring(md5(rowKey.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+
+  private[graft] def foldKeyed(s: KQState, h: Long, v: Double): KQState = {
+    val kept = (s.hs.zip(s.vs) :+ ((h, v))).distinct.sorted.take(KeyedK)
+    KQState(s.key, s.n + 1, kept.map(_._1), kept.map(_._2))
+  }
+
+  private class KeyedProcessor
+      extends StatefulProcessor[String, KQEvent, KQState] {
+    @transient private var state: ValueState[KQState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KQState]("kqsketch",
+        Encoders.product[KQState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KQEvent],
+        timers: TimerValues): Iterator[KQState] = {
+      val prev = if (state.exists()) state.get()
+        else KQState(key, 0L, Nil, Nil)
+      val next = rows.foldLeft(prev)((s, r) =>
+        foldKeyed(s, r.hash, r.value))
+      state.update(next)
+      Iterator.single(next)
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[KQState] = Iterator.empty
+  }
+
+  /** Streaming per-key form: each micro-batch a touched key re-emits
+    * its bounded state; latest emission per key (max n) IS the state.
+    * Requires the RocksDB state store. */
+  def keyedStream(events: Dataset[KQEvent]): Dataset[KQState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new KeyedProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Batch per-key END state — identical to the streaming fold's
+    * (bottom-k is order-free), computed on the bounded-buffer top-k
+    * physical operator (never a per-key sort): (key, n, hs, vs) with
+    * arrays canonical. */
+  def keyedEndStates(df: DataFrame, keyCol: String, rowKey: Column,
+                     valueCol: String): DataFrame = {
+    val hashed = df
+      .select(col(keyCol).cast("string").as("key"),
+        hashCol(rowKey).as("h"), col(valueCol).cast("double").as("v"))
+      .where(col("key").isNotNull && col("v").isNotNull)
+    val counts = hashed.groupBy("key").agg(count(lit(1)).as("n"))
+    Analytics.topKPerGroupExec(hashed.withColumn("negh", -col("h")),
+        Seq("key"), "negh", KeyedK, Seq("v"))
+      .groupBy("key")
+      .agg(array_sort(collect_list(struct(col("h"), col("v"))))
+        .as("__ps"))
+      .join(counts, "key")
+      .select(col("key"), col("n"),
+        expr("transform(__ps, p -> p.h)").as("hs"),
+        expr("transform(__ps, p -> p.v)").as("vs"))
+  }
+
+  /** Per-key quantile estimates off the bounded states — the family's
+    * deterministic lower-index rule over ≤ K rows per key. Output:
+    * (key, prob, est_q). */
+  def keyedQuantiles(states: DataFrame,
+                     probs: Seq[(String, Double)]): DataFrame = {
+    val sample = states
+      .select(col("key"),
+        explode(arrays_zip(col("hs"), col("vs"))).as("__p"))
+      .select(col("key"), col("__p.hs").as("h"), col("__p.vs").as("v"))
+    Analytics.qsketchQuantilesGrouped(sample, Seq("key"), probs)
+  }
 }

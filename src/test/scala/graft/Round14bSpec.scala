@@ -86,4 +86,55 @@ class Round14bSpec extends SparkTestBase {
     val s = ChiSquare.independence(skew, col("a"), col("b")).collect()
     assert(s.length === 2 && s.forall(_.getAs[Double]("chi2_term") === 5.0))
   }
+
+  test("keyed qsketch: fold is order-free and equals the batch end " +
+    "state; the real stream lands on it across micro-batches") {
+    import graft.streaming.StreamingQsketch
+    import graft.streaming.StreamingQsketch.{KQEvent, KQState}
+    val items = (1 to 300).map { i =>
+      ("k" + (i % 3), i.toLong, (i * 37 % 101).toDouble)
+    }
+    val df = items.toDF("key", "rid", "v")
+    val want = StreamingQsketch
+      .keyedEndStates(df, "key", col("rid"), "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).zip(r.getSeq[Double](3)).sorted)))
+      .toMap
+    // driver-side hash identical to the Column form
+    def hashOf(rid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rid.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val got = rnd.shuffle(items).groupBy(_._1).map { case (k, rows) =>
+        val st = rows.foldLeft(KQState(k, 0L, Nil, Nil))((s, r) =>
+          StreamingQsketch.foldKeyed(s, hashOf(r._2), r._3))
+        k -> ((st.n, st.hs.zip(st.vs).sorted))
+      }
+      assert(got === want, "fold must be arrival-order-free")
+    }
+    // real stream in two micro-batches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[KQEvent]
+    val q = StreamingQsketch.keyedStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_kq_test").start()
+    val streamed = try {
+      val evs = items.map(r => KQEvent(r._1, hashOf(r._2), r._3))
+      val (b1, b2) = evs.splitAt(140)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      spark.table("stream_kq_test").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Long](2).zip(r.getSeq[Double](3)).sorted))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    } finally q.stop()
+    streamed.foreach { case (k, (_, n, pairs)) =>
+      assert((n, pairs) === want(k), s"stream end state diverged for $k")
+    }
+  }
 }
