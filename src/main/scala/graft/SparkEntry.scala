@@ -17,7 +17,7 @@ object SparkEntry {
       Round12b.defs ++ Round12c.defs ++ Round12d.defs ++ Round13.defs ++
       Round13b.defs ++ Round13c.defs ++ Round13d.defs ++ Round13e.defs ++
       Round13f.defs ++ Round13g.defs ++ Round13h.defs ++ Round13i.defs ++
-      Round13j.defs ++ Round13k.defs ++ Round14.defs ++ Round14b.defs
+      Round13j.defs ++ Round13k.defs ++ Round14.defs ++ Round14b.defs ++ Round14c.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,6 @@ object SparkEntry {
       Round13b.oracles ++ Round13c.oracles ++ Round13d.oracles ++
       Round13e.oracles ++ Round13f.oracles ++ Round13g.oracles ++
       Round13h.oracles ++ Round13i.oracles ++ Round13j.oracles ++
-      Round13k.oracles ++ Round14.oracles ++ Round14b.oracles
+      Round13k.oracles ++ Round14.oracles ++ Round14b.oracles ++
+      Round14c.oracles
 }
