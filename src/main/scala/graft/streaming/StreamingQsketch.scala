@@ -106,10 +106,12 @@ object StreamingQsketch {
   // hash lanes). The keyed form below answers "p50/p99 PER event
   // type / per segment over the whole stream" — the grouped sibling,
   // one bounded bottom-K sketch per semantic key. Same
-  // min-semilattice state (order-free, split-invariant, mergeable,
-  // idempotent under re-delivery), same md5 family, same lower-index
-  // read-off, so the end state is bit-identical to the batch bottom-K
-  // and DuckDB replays the gate.
+  // min-semilattice state (order-free, split-invariant, mergeable;
+  // the kept SET is idempotent under re-delivery — a re-delivered row
+  // dedups onto its own (hash, value) pair, while the event count n
+  // tracks deliveries, as in StreamingHll), same md5 family, same
+  // lower-index read-off, so the end state is bit-identical to the
+  // batch bottom-K and DuckDB replays the gate.
 
   /** Keyed sketch size (the family's gate-side default). */
   val KeyedK = 64

@@ -27,6 +27,18 @@ class PlanSpec extends SparkTestBase {
     assert(plan("join_anti").contains("BroadcastHashJoin"))
   }
 
+  test("grouped laned prefix: row-capped hint keeps the offsets join " +
+    "broadcast at gate-scale group counts (round-14 fix — dropping the " +
+    "hint outright planned a sort-merge join that re-shuffled the " +
+    "data-sized laned frame)") {
+    val p = plan("agg_gini_grouped")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (group, lane) offsets/totals joins must broadcast while the " +
+        "materialized sums frame is under LanedPrefix.BroadcastRowCap")
+    assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin")),
+      s"no SMJ expected in the grouped-gini plan at gate scale")
+  }
+
   test("filters are pushed down to the parquet scan") {
     val p = plan("filter_bool")
     assert(p.contains("PushedFilters:") && p.contains("IsNotNull"),
