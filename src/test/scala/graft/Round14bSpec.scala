@@ -87,6 +87,85 @@ class Round14bSpec extends SparkTestBase {
     assert(s.length === 2 && s.forall(_.getAs[Double]("chi2_term") === 5.0))
   }
 
+  test("JSD is symmetric and bounded on randomized category mixes") {
+    val rnd = new scala.util.Random(0xBEEF)
+    for (trial <- 1 to 4) {
+      val cats = ('a' to ('a' + 2 + trial).toChar).map(_.toString)
+      def mk() = Seq.fill(200)(cats(rnd.nextInt(cats.size))).toDF("c")
+      val (x, y) = (mk(), mk())
+      def total(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =
+        JsDivergence.audit(a, b, col("c")).collect()
+          .map(_.getAs[Double]("js_term")).sum
+      val ab = total(x, y)
+      val ba = total(y, x)
+      assert(math.abs(ab - ba) < 1e-5, s"trial $trial: JSD not symmetric")
+      assert(ab >= -1e-6 && ab <= math.log(2) + 1e-4,
+        s"trial $trial: JSD $ab outside [0, ln 2]")
+    }
+  }
+
+  test("kappa is annotator-symmetric and within [-1, 1]; perfect " +
+    "DISagreement on a 2-label flip lands at -1") {
+    val rnd = new scala.util.Random(0xFACE)
+    for (trial <- 1 to 4) {
+      val labels = Seq("x", "y", "z")
+      val rows = Seq.fill(300)((labels(rnd.nextInt(3)),
+        labels(rnd.nextInt(3))))
+      val df = rows.toDF("a", "b")
+      val kab = Kappa.cohen(df, col("a"), col("b")).head()
+        .getAs[Double]("kappa")
+      val kba = Kappa.cohen(df, col("b"), col("a")).head()
+        .getAs[Double]("kappa")
+      assert(kab === kba, s"trial $trial: kappa not annotator-symmetric")
+      assert(kab >= -1.0 - 1e-9 && kab <= 1.0 + 1e-9)
+    }
+    // balanced 2-label total flip: po = 0, pe = 0.5 -> kappa = -1
+    val flip = (Seq.fill(10)(("u", "v")) ++ Seq.fill(10)(("v", "u")))
+      .toDF("a", "b")
+    assert(Kappa.cohen(flip, col("a"), col("b")).head()
+      .getAs[Double]("kappa") === -1.0)
+  }
+
+  test("chi2 terms are non-negative and column-symmetric") {
+    val rnd = new scala.util.Random(0xD00D)
+    val rows = Seq.fill(400)((s"s${rnd.nextInt(4)}", s"l${rnd.nextInt(3)}"))
+    val df = rows.toDF("a", "b")
+    val ab = ChiSquare.independence(df, col("a"), col("b")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("chi2_term"))).toMap
+    val ba = ChiSquare.independence(df, col("b"), col("a")).collect()
+      .map(r => ((r.getString(1), r.getString(0)),
+        r.getAs[Double]("chi2_term"))).toMap
+    assert(ab.values.forall(_ >= 0.0))
+    assert(ab === ba, "chi2 cell terms must not depend on column order")
+  }
+
+  test("global shuffle: seeded permutation is uniform-ish across " +
+    "shards and scrambles id order") {
+    import graft.operators.GlobalShuffle
+    val ids = (1L to 4096L).toDF("doc_id")
+    val out = GlobalShuffle.shuffle(ids, col("doc_id"), "unif", 16)
+      .collect()
+    val sizes = out.groupBy(_.getAs[Int]("shard")).map(_._2.size)
+    assert(sizes.size === 16)
+    // loose uniformity: every shard within 2x of the expected 256
+    assert(sizes.min > 128 && sizes.max < 512,
+      s"shard sizes ${sizes.toSeq.sorted} not near-uniform")
+    // the shuffle actually scrambles: within a shard, consecutive
+    // positions must not be consecutive ids (a sorted-id order would be)
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+    val monotone = byShard.values.forall { rows =>
+      val ordered = rows.sortBy(_.getAs[Long]("pos"))
+        .map(_.getAs[Long]("id")).toSeq
+      ordered.sliding(2).forall {
+        case Seq(x, y) => y == x + 1
+        case _ => true
+      }
+    }
+    assert(!monotone, "shuffle left ids in consecutive order")
+  }
+
   test("keyed qsketch: fold is order-free and equals the batch end " +
     "state; the real stream lands on it across micro-batches") {
     import graft.streaming.StreamingQsketch
