@@ -36,16 +36,25 @@ object Extensions {
   private val frameCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[
-        String, org.apache.spark.sql.DataFrame]]())
+        String, java.lang.ref.SoftReference[org.apache.spark.sql.DataFrame]]]())
 
   /** Session-scoped shared-frame cache, keyed by the session OBJECT in
     * a weak-keyed map (round-13 ADVICE: identity hash codes can collide
-    * across session lifetimes and a hash-keyed map never evicts — here
-    * a dead session's entries, and the checkpoint RDDs they pin, unpin
-    * as soon as the session is collected, and two live sessions can
-    * never alias). Gates that profile the SAME expensive intermediate
-    * (the near-dup pair graph, its components, the customer–supplier
-    * trade multigraph) compute it once per (session, SF dir) — the
+    * across session lifetimes and a hash-keyed map never evicts; two
+    * live sessions can never alias). Values are held via SoftReference
+    * (round-14 ADVICE): a strongly-held DataFrame value reaches back to
+    * its own SparkSession (`Dataset.sparkSession`), i.e. the weak KEY,
+    * so the entry could never be collected and dead sessions — and the
+    * localCheckpoint RDDs their frames pin — leaked for the JVM
+    * lifetime. The soft indirection breaks that value→key chain: once
+    * nothing else references the session, the only path to it runs
+    * through softly-reachable frames, which the collector clears under
+    * memory pressure, letting the weak key (and the checkpoint RDDs,
+    * via Spark's ContextCleaner) go with them. Cost: a cleared entry
+    * rebuilds on next use — correct, just re-pays the sharing win.
+    * Gates that profile the SAME expensive intermediate (the near-dup
+    * pair graph, its components, the customer–supplier trade
+    * multigraph) compute it once per (session, SF dir) — the
     * `dedup_components` sharing win from round 13 (3.3 s → 0.05 s),
     * generalized per the round-13 verdict's ask for the graph family. */
   private[queries] def cachedFrame(s: org.apache.spark.sql.SparkSession,
@@ -55,12 +64,24 @@ object Extensions {
       var m = frameCache.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[
-          String, org.apache.spark.sql.DataFrame]()
+          String, java.lang.ref.SoftReference[org.apache.spark.sql.DataFrame]]()
         frameCache.put(s, m)
       }
       m
     }
-    perSession.computeIfAbsent(key, _ => build)
+    // compute() re-checks the ref under the bin lock, so concurrent
+    // callers of the same key still build once (same contract the
+    // plain computeIfAbsent gave before the soft indirection)
+    var result: org.apache.spark.sql.DataFrame = null
+    perSession.compute(key, (_, old) => {
+      val cached = if (old != null) old.get() else null
+      if (cached != null) { result = cached; old }
+      else {
+        result = build
+        new java.lang.ref.SoftReference(result)
+      }
+    })
+    result
   }
 
   /** The windowed near-dup pair graph over `documents` — shared by

@@ -211,7 +211,8 @@ object Round14b {
              AND event_id IS NOT NULL),
          bk AS (SELECT key, h, v FROM (SELECT key, h, v,
              row_number() OVER (PARTITION BY key ORDER BY h, v) AS rn
-           FROM h) WHERE rn <= $k),
+           FROM (SELECT DISTINCT key, h, v FROM h))
+           WHERE rn <= $k),
          r AS (SELECT key, h, v,
              row_number() OVER (PARTITION BY key ORDER BY v, h) AS rn,
              count(*) OVER (PARTITION BY key) AS n

@@ -46,12 +46,12 @@ object Round14c {
           .otherwise(col("p_type")).as("Estado de inmueble"),
         col("p_retailprice").as("Precio de lista"),
         col("p_size").cast("double").as("Area total"))
-      val projects = units.select("Proyecto").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      val files = XlsxWriter.perProjectXlsx(units, "Proyecto", out)
-      val sheets = projects.zip(files).map { case (p, f) =>
-        XlsxSheetReader.readSheet(s, f, p, xcfg)
-      }
+      // (project, path) pairs straight from the writer — the project a
+      // file belongs to travels WITH the file (round-14 ADVICE: the
+      // prior positional zip against a separately collected project
+      // list relied on two sorted-distinct orders staying in lockstep)
+      val sheets = XlsxWriter.perProjectXlsx(units, "Proyecto", out)
+        .map { case (p, f) => XlsxSheetReader.readSheet(s, f, p, xcfg) }
       UnionByName(sheets).select(
         col("Proyecto").as("proyecto"),
         col("Numero de inmueble").as("numero"),

@@ -249,10 +249,14 @@ object XlsxWriter {
   /** One workbook per project (`:399-406`): the driver loops the
     * (bounded, audit-scale) project list and filters per project —
     * the reference's own shape, kept deliberately driver-side. Project
-    * names pass through [[Writers.safeFilename]]. Returns the written
-    * paths in project order. */
+    * names pass through [[Writers.safeFilename]]. Returns
+    * (project, path) PAIRS, sorted by project — callers that need the
+    * project a file belongs to read it off the pair (round-14 ADVICE:
+    * a bare path list invites a positional zip against a separately
+    * collected project list, which silently mislabels every sheet if
+    * the two orders ever diverge). */
   def perProjectXlsx(df: DataFrame, projectCol: String, outDir: String,
-                     maxProjects: Int = 1000): Seq[String] = {
+                     maxProjects: Int = 1000): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
     val projects = df.select(col(projectCol)).where(col(projectCol).isNotNull)
       .distinct().limit(maxProjects + 1)
@@ -264,7 +268,7 @@ object XlsxWriter {
       val path = s"$outDir/Precios_${Writers.safeFilename(p)}.xlsx"
       writeWorkbook(path, Seq(safeSheetName(p) ->
         df.where(col(projectCol) === p)))
-      path
+      (p, path)
     }
   }
 

@@ -168,7 +168,16 @@ object StreamingQsketch {
   /** Batch per-key END state — identical to the streaming fold's
     * (bottom-k is order-free), computed on the bounded-buffer top-k
     * physical operator (never a per-key sort): (key, n, hs, vs) with
-    * arrays canonical. */
+    * arrays canonical. The kept pairs are dedup'd on (key, h, v)
+    * BEFORE the top-K (round-14 ADVICE): [[foldKeyed]] keeps a SET —
+    * a re-delivered row or duplicate rowKey folds onto its own
+    * (hash, value) pair — so the batch twin must too, or the two end
+    * states diverge exactly when re-delivery happens. `n` counts
+    * DELIVERIES on both sides (the streaming fold increments per row),
+    * so it is the one field that legitimately differs under
+    * at-least-once replay; the kept set and the quantile read-off are
+    * bit-identical regardless. The dedup is one exact-distinct shuffle
+    * on (key, h, v) — same key as the top-K's own exchange. */
   def keyedEndStates(df: DataFrame, keyCol: String, rowKey: Column,
                      valueCol: String): DataFrame = {
     val hashed = df
@@ -176,7 +185,7 @@ object StreamingQsketch {
         hashCol(rowKey).as("h"), col(valueCol).cast("double").as("v"))
       .where(col("key").isNotNull && col("v").isNotNull)
     val counts = hashed.groupBy("key").agg(count(lit(1)).as("n"))
-    Analytics.topKPerGroupExec(hashed.withColumn("negh", -col("h")),
+    Analytics.topKPerGroupExec(hashed.distinct().withColumn("negh", -col("h")),
         Seq("key"), "negh", KeyedK, Seq("v"))
       .groupBy("key")
       .agg(array_sort(collect_list(struct(col("h"), col("v"))))

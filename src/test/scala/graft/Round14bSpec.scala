@@ -216,4 +216,44 @@ class Round14bSpec extends SparkTestBase {
       assert((n, pairs) === want(k), s"stream end state diverged for $k")
     }
   }
+
+  test("keyed qsketch: at-least-once re-delivery leaves the kept set " +
+    "bit-identical between fold and batch twin (round-14 ADVICE fix — " +
+    "the batch top-K now dedups (key, h, v) like the fold's SET)") {
+    import graft.streaming.StreamingQsketch
+    import graft.streaming.StreamingQsketch.KQState
+    def hashOf(rid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rid.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    val base = (1 to 200).map(i =>
+      ("k" + (i % 2), i.toLong, (i * 53 % 97).toDouble))
+    // every third row delivered twice — the at-least-once shape
+    val redelivered = base ++ base.filter(_._2 % 3 == 0)
+    val batch = StreamingQsketch
+      .keyedEndStates(redelivered.toDF("key", "rid", "v"), "key",
+        col("rid"), "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getSeq[Long](2).zip(r.getSeq[Double](3)).sorted)))
+      .toMap
+    val folded = redelivered.groupBy(_._1).map { case (k, rows) =>
+      val st = rows.foldLeft(KQState(k, 0L, Nil, Nil))((s, r) =>
+        StreamingQsketch.foldKeyed(s, hashOf(r._2), r._3))
+      k -> ((st.n, st.hs.zip(st.vs).sorted))
+    }
+    assert(folded === batch,
+      "kept set AND delivery count must agree under duplicate rows")
+    // and the kept SET equals the clean (exactly-once) input's set —
+    // re-delivery cannot displace a kept pair
+    val clean = StreamingQsketch
+      .keyedEndStates(base.toDF("key", "rid", "v"), "key", col("rid"), "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](2).zip(r.getSeq[Double](3)).sorted)
+      .toMap
+    batch.foreach { case (k, (_, pairs)) => assert(pairs === clean(k)) }
+  }
 }

@@ -103,7 +103,9 @@ class XlsxWriterSpec extends SparkTestBase {
     val df = Seq(("Matera/2", "A-101", 1000.0), ("Matera/2", "A-102", 1100.0),
       ("Quilca", "B-201", 900.0)).toDF("Proyecto", "unidad", "precio")
     val dir = Files.createTempDirectory("xlsxw-pp").toString
-    val paths = XlsxWriter.perProjectXlsx(df, "Proyecto", dir)
+    val pairs = XlsxWriter.perProjectXlsx(df, "Proyecto", dir)
+    assert(pairs.map(_._1) === Seq("Matera/2", "Quilca"))
+    val paths = pairs.map(_._2)
     assert(paths.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
       Seq("Precios_Matera2.xlsx", "Precios_Quilca.xlsx"))
     val g = XlsxSheetReader.readGrid(paths.head)
