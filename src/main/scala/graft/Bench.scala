@@ -79,12 +79,20 @@ object Bench {
       if (acc == 42L) println(acc) // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    val calibSpark = {
+    // MULTI-probe (round-14 verdict item 2): a single probe showed 40%
+    // spread within one committed pair, and budget-breach adjudication
+    // plus cross-round host-vs-code attribution rested on that one
+    // number. Five probes, MEDIAN reported under the established key
+    // (tools/check_bench.py and every prior-round comparison read
+    // `spark_range_xxhash_s` — the median slots in unchanged), with the
+    // raw probes alongside so a reader can see the in-run spread.
+    val calibProbes = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       spark.range(200000000L).select(xxhash64(col("id")).as("h"))
         .agg(expr("bit_xor(h)")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibSpark = calibProbes.sorted.apply(calibProbes.size / 2)
 
     // optional dev filter: `runMain graft.Bench name1,name2` times just
     // those gates (the driver passes no args — full suite)
@@ -97,7 +105,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val calib = s""""calib":{"jvm_hash_loop_s":$calibJvm,""" +
-      s""""spark_range_xxhash_s":$calibSpark}"""
+      s""""spark_range_xxhash_s":$calibSpark,""" +
+      s""""spark_range_xxhash_probes":${
+        calibProbes.mkString("[", ",", "]")}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s"""$calib,"sf":"$sfDir"}"""

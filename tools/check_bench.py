@@ -24,6 +24,12 @@ every breach so contended-host noise (calib >> 1) is distinguishable
 from a real regression: a breach on a run whose calibration is itself
 inflated is a re-run signal, not a code signal.
 
+Since round 15 each run's `spark_range_xxhash_s` is the MEDIAN of 5
+in-run probes (round-14 verdict: a single probe showed 40% spread
+within one pair, too noisy to adjudicate breaches against); the raw
+probes ride along as `spark_range_xxhash_probes` and their min-max
+spread is printed so a reader can judge how much to trust the ratio.
+
 Exit status: 1 if any gate breaches its budget while the run's
 calibration is clean (ratio <= CALIB_NOISE), else 0.
 
@@ -74,6 +80,11 @@ def check(paths):
     host = "CONTENDED" if ratio > CALIB_NOISE else "ok"
     print(f"calibration: {calib:.3f}s vs reference {ref_calib:.3f}s "
           f"(ratio {ratio:.2f}, host {host})")
+    for p in paths:
+        probes = json.load(open(p))["calib"].get("spark_range_xxhash_probes")
+        if probes:
+            print(f"  {os.path.basename(p)}: median-of-{len(probes)} probes, "
+                  f"spread {min(probes):.3f}-{max(probes):.3f}s")
 
     new = sorted(q for q in best if q not in budgets)
     gone = sorted(q for q in budgets if q not in best)
