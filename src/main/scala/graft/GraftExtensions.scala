@@ -1007,6 +1007,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_kappa_fleiss"),
+      info("graft_kappa_fleiss",
+        "graft_kappa_fleiss(table, itemCol, labelCol, raters) - Fleiss' kappa panel agreement over items with exactly `raters` ratings: (n_items, n_raters, p_bar, p_e, kappa)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_kappa_fleiss expects 4 arguments")
+        val n = "graft_kappa_fleiss"
+        graft.operators.Kappa.fleiss(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "itemCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "labelCol", args(2))),
+            numLit(n, "raters", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_chi2"),
       info("graft_chi2",
         "graft_chi2(table, aCol, bCol) - chi-squared independence screen, one row per contingency cell: (a, b, o, e, chi2_term)"),

@@ -1136,7 +1136,18 @@ object Analytics {
     require(nBuckets > 1, s"nBuckets must exceed 1, got $nBuckets")
     val nn = df.where(col(valueCol).isNotNull)
     val cuts = groupedCutTable(nn, groupCol, rowKey, valueCol, k, nBuckets)
-    nn.join(broadcast(cuts), nn(groupCol) === cuts("__g"))
+    // ROW-CAPPED broadcast (round 15, the LanedPrefix.withPrefixGrouped
+    // treatment extended to the CUT table): one row per group, so at
+    // high group cardinality an unconditional hint ships a
+    // driver-killing table (1.6M groups ≈ 100+ MB of cut arrays) while
+    // at gate-scale group counts the hint is exactly right. The cut
+    // table is already materialized (localCheckpoint inside
+    // groupedCutTable), so the count is one cached sweep; over the cap
+    // the planner is left free — a shuffled join on the group key, the
+    // same decision the sums join makes.
+    val cutsH = if (cuts.count() <= LanedPrefix.broadcastRowCap)
+      broadcast(cuts) else cuts
+    nn.join(cutsH, nn(groupCol) === cutsH("__g"))
       .withColumn("bucket", aggregate(col("__cuts"), lit(0),
         (acc, c) => acc +
           when(col(valueCol).cast("double") > c, 1).otherwise(0)))

@@ -865,6 +865,53 @@ object ScaleRehearsal {
       f"$sn rows ${gs10}%.2f s (${gs10 / gs1}%.1fx, ~linear target; " +
       f"no global sort — 256 shard-local orders)")
 
+    // Grouped laned prefix at HIGH group cardinality (round-14 verdict
+    // item 1): at the small size the (group, lane) sums frame sits
+    // under BroadcastRowCap and the offsets join broadcasts; at the
+    // large size it crosses the cap and the UN-hinted branch runs —
+    // the planner's shuffled join, the exact path a 100x group count
+    // takes in production. Both must stay ~linear and exact.
+    def groupedPrefixTime(groups: Long): Double = {
+      val vals = spark.range(groups * 8)
+        .select(pmod(col("id"), lit(groups)).as("g"),
+          (col("id") / lit(groups)).cast("double").as("v"),
+          lit(1L).as("c"))
+      val t0 = System.nanoTime()
+      val (out, totals) = graft.operators.LanedPrefix.withPrefixGrouped(
+        vals, "g", "v", Seq("c"), k = 64, nLanes = 8, inclusive = true)
+      val tot = totals.agg(sum("c_tot")).head().getLong(0)
+      require(tot == groups * 8, s"lost rows: $tot != ${groups * 8}")
+      val heads = out.where(col("c_cum") === col("c")).count()
+      require(heads >= groups, s"prefix heads $heads < groups $groups")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val capSmall = 200000L // 200k groups x <=8 lanes -> under the 2M cap
+    val capBig = 1600000L // 1.6M groups x ... -> sums frame OVER the cap
+    val (gp1, gp8) = (groupedPrefixTime(capSmall), groupedPrefixTime(capBig))
+    println(f"[rehearsal] grouped prefix: $capSmall groups (broadcast " +
+      f"branch) ${gp1}%.2f s; $capBig groups (OVER-cap fallback, planner " +
+      f"join) ${gp8}%.2f s (${gp8 / gp1}%.1fx at 8x groups, ~linear " +
+      f"target; both branches exact)")
+
+    // Shard-partitioned parquet WRITE (sink_global_shuffle shape): the
+    // at-scale sink — repartition(shard) + sortWithinPartitions +
+    // partitionBy — one shuffle, per-shard local sorts, no global-sort
+    // funnel; wall time must track rows ~linearly
+    def shuffleSinkTime(rows: Long): Double = {
+      val ids = spark.range(rows).select(col("id"))
+      val out = java.nio.file.Files.createTempDirectory("gs-sink").toString
+      val t0 = System.nanoTime()
+      graft.operators.GlobalShuffle.shuffle(ids, col("id"), "rehearsal", 64)
+        .repartition(col("shard"))
+        .sortWithinPartitions("sort_key", "id")
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (ss1, ss10) = (shuffleSinkTime(sn / 10), shuffleSinkTime(sn))
+    println(f"[rehearsal] shuffle sink: ${sn / 10} rows ${ss1}%.2f s; " +
+      f"$sn rows ${ss10}%.2f s (${ss10 / ss1}%.1fx, ~linear target; " +
+      f"one shuffle, 64 shard files in shard-local order)")
+
     spark.stop()
   }
 }

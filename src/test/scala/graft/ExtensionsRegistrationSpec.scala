@@ -714,6 +714,21 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(kp.getAs[Double]("kappa") === 0.4,
         "graft_kappa must reproduce the 2x2 hand example")
 
+      // fleiss: two 3-rater items at 2-vs-1 splits with opposite
+      // majorities -> P_bar = 1/3, P_e = 1/2, kappa = -1/3; the
+      // 2-rating item must be dropped by the constant-panel filter
+      (Seq(("i1", "y"), ("i1", "y"), ("i1", "n"),
+        ("i2", "n"), ("i2", "n"), ("i2", "y"),
+        ("i3", "y"), ("i3", "y"))) // only 2 ratings: ineligible
+        .toDF("item", "label").createOrReplaceTempView("tvf_fleiss")
+      val fl = spark.sql(
+        "SELECT * FROM graft_kappa_fleiss('tvf_fleiss','item','label',3)")
+        .head()
+      assert(fl.getAs[Long]("n_items") === 2L &&
+        fl.getAs[Double]("kappa") === -0.333333,
+        "graft_kappa_fleiss must reproduce the 2-item hand example " +
+          "and drop off-panel items")
+
       // chi2: product table -> all-zero terms
       (for { a <- Seq("s1", "s2"); b <- Seq("en", "es") } yield (a, b))
         .toDF("a", "b").createOrReplaceTempView("tvf_chi2")
