@@ -1021,6 +1021,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_label_consensus"),
+      info("graft_label_consensus",
+        "graft_label_consensus(table, itemCol, labelCol) - majority-vote consensus per item, deterministic (votes DESC, label ASC) tie-break: (item, label, votes, total, confidence, unanimous)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_label_consensus expects 3 arguments")
+        val n = "graft_label_consensus"
+        graft.operators.Labeling.consensus(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "itemCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "labelCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_rater_accuracy"),
+      info("graft_rater_accuracy",
+        "graft_rater_accuracy(table, itemCol, raterCol, labelCol) - per-rater reliability vs the panel consensus: (rater, n, n_match, accuracy)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_rater_accuracy expects 4 arguments")
+        val n = "graft_rater_accuracy"
+        graft.operators.Labeling.raterAccuracy(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "itemCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "raterCol", args(2))),
+            org.apache.spark.sql.functions.col(strLit(n, "labelCol", args(3))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_kripp_alpha"),
+      info("graft_kripp_alpha",
+        "graft_kripp_alpha(table, itemCol, labelCol) - Krippendorff's alpha (nominal) over variable-size panels, singletons excluded: (n_units, n_ratings, d_o, d_e, alpha)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_kripp_alpha expects 3 arguments")
+        val n = "graft_kripp_alpha"
+        graft.operators.Labeling.krippendorffAlpha(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "itemCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "labelCol", args(2))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_chi2"),
       info("graft_chi2",
         "graft_chi2(table, aCol, bCol) - chi-squared independence screen, one row per contingency cell: (a, b, o, e, chi2_term)"),

@@ -729,6 +729,26 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         "graft_kappa_fleiss must reproduce the 2-item hand example " +
           "and drop off-panel items")
 
+      // labeling suite: consensus tie-break, rater accuracy vs it,
+      // and alpha = 1 on a perfectly-agreeing two-rating panel
+      Seq(("i1", "r1", "y"), ("i1", "r2", "y"),
+        ("i2", "r1", "a"), ("i2", "r2", "b")) // tie -> 'a' (label ASC)
+        .toDF("item", "rater", "label")
+        .createOrReplaceTempView("tvf_label")
+      val lc = spark.sql("SELECT * FROM graft_label_consensus(" +
+        "'tvf_label','item','label') ORDER BY item").collect()
+      assert(lc.map(r => (r.getString(0), r.getString(1))).toSeq ===
+        Seq(("i1", "y"), ("i2", "a")),
+        "consensus must break ties deterministically on label ASC")
+      val ra = spark.sql("SELECT * FROM graft_rater_accuracy(" +
+        "'tvf_label','item','rater','label') ORDER BY rater").collect()
+      assert(ra.map(_.getAs[Long]("n_match")).toSeq === Seq(2L, 1L),
+        "r1 matches both consensus labels, r2 loses the tie")
+      val ka = spark.sql("SELECT * FROM graft_kripp_alpha(" +
+        "'tvf_label','item','label')").head()
+      assert(ka.getAs[Long]("n_units") === 2L,
+        "both items are pairable (2 ratings each)")
+
       // chi2: product table -> all-zero terms
       (for { a <- Seq("s1", "s2"); b <- Seq("en", "es") } yield (a, b))
         .toDF("a", "b").createOrReplaceTempView("tvf_chi2")
