@@ -1021,6 +1021,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_keep_best"),
+      info("graft_keep_best",
+        "graft_keep_best(table, idCol, textCol, scoreCol) - exact dedup keeping the argmax-score copy per word-set digest (min id on ties): (dedup_key, keep_id, keep_score, n_docs)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_keep_best expects 4 arguments")
+        val n = "graft_keep_best"
+        graft.dedup.Dedup.exactKeepBest(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)),
+            org.apache.spark.sql.functions.col(strLit(n, "scoreCol", args(3))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_vocab_growth"),
+      info("graft_vocab_growth",
+        "graft_vocab_growth(table, idCol, textCol, seed) - Heaps-law vocabulary growth along the seeded shuffle order at the 1/5/10/25/50/100% prefixes: (pct, cutoff, docs, tokens, vocab)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, s"graft_vocab_growth expects 4 arguments")
+        val n = "graft_vocab_growth"
+        graft.textanalysis.TextAnalysis.vocabGrowth(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)),
+            strLit(n, "seed", args(3)),
+            graft.queries.Round15c.VocabPcts)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_label_consensus"),
       info("graft_label_consensus",
         "graft_label_consensus(table, itemCol, labelCol) - majority-vote consensus per item, deterministic (votes DESC, label ASC) tie-break: (item, label, votes, total, confidence, unanimous)"),

@@ -34,6 +34,32 @@ object Dedup {
       .groupBy("dedup_key")
       .agg(min(idCol).as("first_id"), count(lit(1)).as("n_docs"))
 
+  /** Exact dedup keeping the BEST copy, not the first: one
+    * representative per digest chosen by argmax score (min id on a
+    * score tie — a FIXED rule, so the winner replays on any engine).
+    * The production refinement of [[exactGroups]] once a quality score
+    * exists: near-identical crawl copies differ in boilerplate damage,
+    * and "first id wins" throws away the cleanest copy whenever it
+    * isn't the earliest. Same single-shuffle shape — the argmax rides
+    * the SAME map-side-combined aggregate as the count, as a
+    * max-of-struct over (score, −id); null scores rank lowest (a
+    * scored copy always beats an unscored one).
+    * Output: (dedup_key, keep_id, keep_score, n_docs). */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    scoreCol: Column): DataFrame =
+    df.select(wordSetKey(col(textCol)).as("dedup_key"),
+        col(idCol).cast("long").as("__id"),
+        scoreCol.cast("double").as("__score"))
+      .groupBy("dedup_key")
+      .agg(max(struct(
+          coalesce(col("__score"), lit(Double.MinValue)).as("s"),
+          (-col("__id")).as("ni"))).as("win"),
+        count(lit(1)).as("n_docs"))
+      .select(col("dedup_key"), (-col("win.ni")).as("keep_id"),
+        when(col("win.s") === Double.MinValue, lit(null))
+          .otherwise(col("win.s")).as("keep_score"),
+        col("n_docs"))
+
   /** Incremental dedup of a NEW batch against an existing corpus index —
     * the daily-ingest production shape: the index's digest table is
     * computed once (in production: persisted, bucketed by digest) and

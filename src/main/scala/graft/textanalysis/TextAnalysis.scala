@@ -636,4 +636,60 @@ object TextAnalysis {
     }
     when(total === 0, lit("und")).otherwise(best)
   }
+
+  /** Vocabulary-growth (Heaps-law) curve: distinct-token count as a
+    * function of corpus size, measured along a SEEDED random document
+    * order — the scaling-law input for "how much new vocabulary does
+    * the next 10x of data buy" and the canary for corpora whose tail
+    * is template spam (vocab flattens early).
+    *
+    * The trick that keeps it one pass and orderless: a document's
+    * position in the seeded shuffle is monotone in its 32-bit md5 hash
+    * (the [[graft.operators.GlobalShuffle]] family), so "the first p%
+    * of the shuffled corpus" IS "documents with hash < p·2^32" — no
+    * global sort, no rank window. Per prefix then: docs and tokens by
+    * conditional sums over one doc-level scan, and vocabulary as
+    * tokens whose MIN document hash clears the cutoff — one grouped
+    * min over the exploded tokens (map-side combined; the shuffle
+    * carries one row per distinct token), one conditional-sum reduce.
+    * Both sides exact; DuckDB replays the identical md5 cutoffs.
+    *
+    * Output: one row per requested prefix fraction, ascending —
+    * (pct, cutoff, docs, tokens, vocab). Blank/null docs count zero
+    * tokens (the [[tokenCount]] convention) and no vocabulary. */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, seed: String,
+                  pcts: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 1.0),
+      s"prefix fractions must sit in (0, 1], got $pcts")
+    val cutoffs = pcts.sorted.map(p =>
+      p -> math.floor(p * 4294967296.0).toLong)
+    val h32 = conv(substring(md5(concat(lit(seed), lit("|"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val docs = df.where(col(idCol).isNotNull)
+      .select(h32.as("h"), trim(col(textCol)).as("t"))
+      .select(col("h"), when(col("t").isNotNull && length(col("t")) > 0,
+        col("t")).otherwise(lit(null)).as("t"))
+    val docCols = cutoffs.flatMap { case (_, c) => Seq(
+      sum(when(col("h") < c, 1L).otherwise(0L)).as(s"docs_$c"),
+      sum(when(col("h") < c && col("t").isNotNull,
+        size(split(col("t"), "\\s+")).cast("long")).otherwise(0L))
+        .as(s"tokens_$c"))
+    }
+    val docAgg = docs.agg(docCols.head, docCols.tail: _*)
+    val tokMin = docs.where(col("t").isNotNull)
+      .select(col("h"), explode(split(col("t"), "\\s+")).as("tok"))
+      .groupBy("tok").agg(min("h").as("mh"))
+    val vocCols = cutoffs.map { case (_, c) =>
+      sum(when(col("mh") < c, 1L).otherwise(0L)).as(s"vocab_$c")
+    }
+    val vocAgg = tokMin.agg(vocCols.head, vocCols.tail: _*)
+    val stacked = cutoffs.map { case (p, c) =>
+      s"${p}D, ${c}L, docs_$c, tokens_$c, vocab_$c"
+    }.mkString(", ")
+    docAgg.crossJoin(vocAgg)
+      .selectExpr(s"stack(${cutoffs.size}, $stacked) AS " +
+        "(pct, cutoff, docs, tokens, vocab)")
+      .orderBy("pct")
+  }
 }
