@@ -1021,6 +1021,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_consensus_weighted"),
+      info("graft_consensus_weighted",
+        "graft_consensus_weighted(table, itemCol, raterCol, labelCol) - reliability-weighted consensus (raters vote with their 1e6-scaled round-1 accuracy): (item, label, w_votes, votes, total)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_consensus_weighted expects 4 arguments")
+        val n = "graft_consensus_weighted"
+        graft.operators.Labeling.weightedConsensus(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "itemCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "raterCol", args(2))),
+            org.apache.spark.sql.functions.col(strLit(n, "labelCol", args(3))))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_mix_plan"),
+      info("graft_mix_plan",
+        "graft_mix_plan(table, sourceCol, textCol, weightsSpec, budgetTokens) - source-mixture sampling plan; weightsSpec is 'src:w,src:w': (source, n_docs, n_tokens, weight, target_tokens, epochs)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_mix_plan expects 5 arguments")
+        val n = "graft_mix_plan"
+        val spec = strLit(n, "weightsSpec", args(3)).split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf(':')
+            require(i > 0 && i < kv.length - 1,
+              s"$n: weightsSpec entries are 'source:weight', got '$kv'")
+            kv.substring(0, i) -> kv.substring(i + 1).toDouble
+          }
+        graft.operators.MixPlan.plan(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            org.apache.spark.sql.functions.col(strLit(n, "sourceCol", args(1))),
+            org.apache.spark.sql.functions.col(strLit(n, "textCol", args(2))),
+            spec,
+            numLit(n, "budgetTokens", args(4)).toLong)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_keep_best"),
       info("graft_keep_best",
         "graft_keep_best(table, idCol, textCol, scoreCol) - exact dedup keeping the argmax-score copy per word-set digest (min id on ties): (dedup_key, keep_id, keep_score, n_docs)"),

@@ -76,6 +76,40 @@ object Labeling {
           * 1e6 + 0.5) / 1e6).as("accuracy"))
   }
 
+  /** One reliability-reweighting round on top of [[consensus]] — the
+    * Dawid–Skene-lite step every labeling pipeline eventually takes:
+    * first pass, plain majority; second pass, each rater votes with
+    * their round-1 [[raterAccuracy]] as weight, so a trusted rater
+    * outvotes two noisy ones. Weights are the 1e6-SCALED accuracies as
+    * LONGS, so the per-label weight sums are exact integers and the
+    * (weighted votes DESC, label ASC) tie-break replays on any engine
+    * — a float-weighted sum would make the winner depend on fold
+    * order at equality. Shape: the |raters|-row weight table joins
+    * back to the ratings (broadcast at any real panel size), then the
+    * same grouped-count + min-of-struct reduce as [[consensus]].
+    * Output: (item, label, w_votes, votes, total). */
+  def weightedConsensus(df: DataFrame, itemCol: Column, raterCol: Column,
+                        labelCol: Column): DataFrame = {
+    val ratings = df.select(itemCol.cast("string").as("item"),
+        raterCol.cast("string").as("rater"),
+        labelCol.cast("string").as("label"))
+      .where(col("item").isNotNull && col("rater").isNotNull &&
+        col("label").isNotNull)
+    val weights = raterAccuracy(df, itemCol, raterCol, labelCol)
+      .select(col("rater"),
+        floor(col("accuracy") * 1e6 + 0.5).cast("long").as("__w"))
+    ratings.join(broadcast(weights), "rater")
+      .groupBy("item", "label")
+      .agg(sum("__w").as("wv"), count(lit(1)).as("c"))
+      .groupBy("item")
+      .agg(min(struct((-col("wv")).as("nwv"), col("label").as("l"),
+          (-col("c")).as("nc"))).as("win"),
+        sum("c").as("total"))
+      .select(col("item"), col("win.l").as("label"),
+        (-col("win.nwv")).as("w_votes"), (-col("win.nc")).as("votes"),
+        col("total"))
+  }
+
   /** Krippendorff's alpha, nominal data — panel reliability when items
     * carry DIFFERENT numbers of ratings (the real shape of labeling
     * queues: some items double-keyed, some triple-keyed, some dropped):

@@ -240,23 +240,40 @@ object XlsWriter {
   }
 
   /** Wrap a workbook stream as a v3 compound file (512-byte sectors,
-    * single `Workbook` stream, regular-sector layout — the common
-    * real-workbook shape; zero padding after the final EOF is the
-    * reader's documented terminator). */
-  def cfb(stream0: Array[Byte]): Array[Byte] = {
+    * single `Workbook` stream). Two layouts, both real-world shapes:
+    * the default regular-sector layout pads the stream to the
+    * 4096-byte cutoff (zero padding after the final EOF is the
+    * reader's documented terminator); with `mini = true` a stream
+    * UNDER the cutoff is laid out the way small real workbooks are —
+    * carved into 64-byte mini sectors inside the root entry's
+    * mini-stream, chained through a mini-FAT sector — exercising the
+    * reader's second sector-resolution path end-to-end. */
+  def cfb(stream0: Array[Byte], mini: Boolean = false): Array[Byte] = {
     val FreeSect = 0xFFFFFFFF
     val EndOfChain = 0xFFFFFFFE
     val FatSect = 0xFFFFFFFD
-    // ≥ 4096 bytes keeps the stream out of the mini-FAT
-    val payload = java.util.Arrays.copyOf(stream0,
-      math.max(4096, (stream0.length + 511) / 512 * 512))
-    val nPayload = payload.length / 512
-    val fatCount = (1 + nPayload + 126) / 127
+    val useMini = mini && stream0.length < 4096
+    require(!mini || useMini,
+      s"mini layout holds streams under 4096 bytes, got ${stream0.length}")
+    // regular-sector payload: the stream itself (≥ 4096 keeps it out
+    // of the mini-FAT), or the 64-byte-mini-sector container holding it
+    val payload =
+      if (useMini) java.util.Arrays.copyOf(stream0,
+        (stream0.length + 63) / 64 * 64)
+      else java.util.Arrays.copyOf(stream0,
+        math.max(4096, (stream0.length + 511) / 512 * 512))
+    val paddedPayload =
+      java.util.Arrays.copyOf(payload, (payload.length + 511) / 512 * 512)
+    val nPayload = paddedPayload.length / 512
+    val extra = if (useMini) 1 else 0 // one mini-FAT sector
+    val fatCount = (1 + extra + nPayload + 126) / 127
     val dirSect = fatCount
-    val firstPayload = fatCount + 1
+    val miniFatSect = fatCount + 1 // only meaningful when mini
+    val firstPayload = fatCount + 1 + extra
     val fat = Array.fill(fatCount * 128)(FreeSect)
     (0 until fatCount).foreach(i => fat(i) = FatSect)
     fat(dirSect) = EndOfChain
+    if (useMini) fat(miniFatSect) = EndOfChain
     (0 until nPayload).foreach { j =>
       fat(firstPayload + j) =
         if (j == nPayload - 1) EndOfChain else firstPayload + j + 1
@@ -287,25 +304,40 @@ object XlsWriter {
     h.i32(dirSect)
     h.i32(0)
     h.i32(4096)
-    h.i32(EndOfChain).i32(0) // no mini-FAT
+    h.i32(if (useMini) miniFatSect else EndOfChain).i32(extra)
     h.i32(EndOfChain).i32(0) // no DIFAT chain
     (0 until 109).foreach(i => h.i32(if (i < fatCount) i else FreeSect))
     require(h.size == 512)
     val body = new Buf()
     fat.foreach(body.i32)
-    body.bytes(dirEntry("Root Entry", 5, 1, EndOfChain, 0))
-    body.bytes(dirEntry("Workbook", 2, FreeSect, firstPayload,
-      payload.length))
+    // directory: in mini mode the root's chain IS the mini-stream
+    body.bytes(dirEntry("Root Entry", 5, 1,
+      if (useMini) firstPayload else EndOfChain,
+      if (useMini) payload.length else 0))
+    body.bytes(dirEntry("Workbook", 2, FreeSect,
+      if (useMini) 0 else firstPayload,
+      if (useMini) stream0.length else payload.length))
     body.bytes(dirEntry("", 0, FreeSect, 0, 0))
     body.bytes(dirEntry("", 0, FreeSect, 0, 0))
-    body.bytes(payload)
+    if (useMini) {
+      val nMini = (stream0.length + 63) / 64
+      val mf = new Buf()
+      (0 until nMini).foreach(j =>
+        mf.i32(if (j == nMini - 1) EndOfChain else j + 1))
+      (nMini until 128).foreach(_ => mf.i32(FreeSect))
+      body.bytes(mf.result)
+    }
+    body.bytes(paddedPayload)
     h.result ++ body.result
   }
 
-  /** Write a real `.xls`: BIFF8 stream in a CFB container. */
+  /** Write a real `.xls`: BIFF8 stream in a CFB container. Pass
+    * `mini = true` for a sub-4096-byte workbook laid out through the
+    * mini-FAT (the small-file shape in the wild). */
   def writeWorkbook(path: String, sheets: Seq[(String, DataFrame)],
-                    maxRows: Int = Biff8MaxRows): Unit = {
-    val bytes = cfb(workbookStreamBytes(sheets, maxRows))
+                    maxRows: Int = Biff8MaxRows,
+                    mini: Boolean = false): Unit = {
+    val bytes = cfb(workbookStreamBytes(sheets, maxRows), mini)
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     Files.write(Paths.get(path), bytes)
   }

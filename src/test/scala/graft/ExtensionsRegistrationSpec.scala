@@ -748,6 +748,20 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         "'tvf_label','item','label')").head()
       assert(ka.getAs[Long]("n_units") === 2L,
         "both items are pairable (2 ratings each)")
+      val wcons = spark.sql("SELECT * FROM graft_consensus_weighted(" +
+        "'tvf_label','item','rater','label') ORDER BY item").collect()
+      assert(wcons.map(_.getString(1)).toSeq === Seq("y", "a"),
+        "weighted consensus agrees with raw on this panel")
+
+      // mix plan: 3:1 weights over a 1000-token budget
+      Seq(("w", "a b c"), ("b", "d")).toDF("src", "text")
+        .createOrReplaceTempView("tvf_mix")
+      val mp = spark.sql("SELECT * FROM graft_mix_plan(" +
+        "'tvf_mix','src','text','w:3,b:1',1000) ORDER BY source")
+        .collect()
+      assert(mp.map(r => (r.getString(0), r.getLong(4))).toSeq ===
+        Seq(("b", 250L), ("w", 750L)),
+        "graft_mix_plan must split the budget on normalized weights")
 
       // chi2: product table -> all-zero terms
       (for { a <- Seq("s1", "s2"); b <- Seq("en", "es") } yield (a, b))
