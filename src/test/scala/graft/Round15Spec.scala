@@ -106,6 +106,31 @@ class Round15Spec extends SparkTestBase {
     }
   }
 
+  test("xls writer: negative values survive every encoding (RK ints " +
+    "are arithmetic-shift-decoded, RK floats keep the sign bit)") {
+    val df = Seq(
+      (-1L, -2.5, "neg rk float"), // -1 RK int; -2.5 low-34-zero RK float
+      (-536870912L, -711.56, "rk int min"), // RK range edge; NUMBER
+      (-536870913L, -0.0078125, "below rk range")) // NUMBER int; RK float
+      .toDF("id", "v", "s")
+    val path = tmp("neg.xls")
+    XlsWriter.writeWorkbook(path, Seq("N" -> df))
+    val g = XlsSheetReader.readGrid(path).map(_.toSeq)
+    assert(g(1) === Seq("-1", "-2.5", "neg rk float"))
+    assert(g(2) === Seq("-536870912", "-711.56", "rk int min"))
+    assert(g(3) === Seq("-536870913", "-0.0078125", "below rk range"))
+  }
+
+  test("xls writer: non-latin sheet names take the UTF-16 BOUNDSHEET " +
+    "encoding and read back exactly") {
+    val df = Seq((1L, "x")).toDF("k", "s")
+    val path = tmp("wide.xls")
+    XlsWriter.writeWorkbook(path, Seq("Ξ数据" -> df, "plain" -> df))
+    assert(XlsSheetReader.sheetNames(path) === Seq("Ξ数据", "plain"))
+    assert(XlsSheetReader.readGrid(path, Some("Ξ数据"))(1).toSeq ===
+      Seq("1", "x"))
+  }
+
   test("corrupted-container tolerance: the truncated stream loses " +
     "exactly the dangling record, nothing before it") {
     val df = Seq((1L, "uno", "fin1"), (2L, "dos", "fin2"))
