@@ -131,6 +131,34 @@ class Round15Spec extends SparkTestBase {
       Seq("1", "x"))
   }
 
+  test("two independent BIFF8 writers agree: the production sink and " +
+    "the test-scope fixture emitter produce the same logical grid " +
+    "through the same reader") {
+    // same logical sheet, hand-built from XlsFixture primitives
+    // (written against the format spec, not XlsWriter's code) vs the
+    // production sink — both read back through XlsSheetReader; a
+    // mismatch means one of the three disagrees with MS-XLS
+    val fixtureStream = XlsFixture.workbookStream("T",
+      sstStrings = Seq("k", "s", "uno", "dos"), sstTotal = 4,
+      cellRecords = Seq(
+        XlsFixture.labelSst(0, 0, 0), XlsFixture.labelSst(0, 1, 1),
+        XlsFixture.rk(1, 0, XlsFixture.rkInt(1)),
+        XlsFixture.labelSst(1, 1, 2),
+        XlsFixture.number(2, 0, 2.75), XlsFixture.labelSst(2, 1, 3)))
+    val fp = tmp("fixture.xls")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fp),
+      XlsFixture.cfb(fixtureStream))
+    // the writer emits LABELSST for a string column where the fixture
+    // used typed RK/NUMBER cells — the READER normalizes both to the
+    // same grid strings, which is exactly the cross-implementation claim
+    val wp = tmp("writer.xls")
+    XlsWriter.writeWorkbook(wp, Seq("T" ->
+      Seq(("1", "uno"), ("2.75", "dos")).toDF("k", "s")))
+    val a = XlsSheetReader.readGrid(fp).map(_.toSeq)
+    val b = XlsSheetReader.readGrid(wp).map(_.toSeq)
+    assert(a === b, s"fixture grid $a != writer grid $b")
+  }
+
   test("corrupted-container tolerance: the truncated stream loses " +
     "exactly the dangling record, nothing before it") {
     val df = Seq((1L, "uno", "fin1"), (2L, "dos", "fin2"))
