@@ -1049,6 +1049,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"$n: weightsSpec entries are 'source:weight', got '$kv'")
             kv.substring(0, i) -> kv.substring(i + 1).toDouble
           }
+        require(spec.map(_._1).distinct.size == spec.size,
+          s"$n: duplicate sources in weightsSpec: ${spec.map(_._1)}")
         graft.operators.MixPlan.plan(
             SparkSession.active.table(strLit(n, "table", args.head)),
             org.apache.spark.sql.functions.col(strLit(n, "sourceCol", args(1))),

@@ -22,10 +22,29 @@ object Labeling {
   /** Per-item (item, label) counts with null ratings dropped. */
   private def cells(df: DataFrame, itemCol: Column,
                     labelCol: Column): DataFrame =
-    df.select(itemCol.cast("string").as("item"),
+    cellsFromRatings(df.select(itemCol.cast("string").as("item"),
         labelCol.cast("string").as("label"))
-      .where(col("item").isNotNull && col("label").isNotNull)
-      .groupBy("item", "label").agg(count(lit(1)).as("c"))
+      .where(col("item").isNotNull && col("label").isNotNull))
+
+  /** (item, label) counts over an already-normalized ratings frame. */
+  private def cellsFromRatings(ratings: DataFrame): DataFrame =
+    ratings.groupBy("item", "label").agg(count(lit(1)).as("c"))
+
+  /** Normalized (item, rater, label) ratings — null-rater rows dropped
+    * alongside null items/labels, so every downstream frame (consensus,
+    * accuracy, weights) sees the SAME population as the oracle. One
+    * [[org.apache.spark.sql.DataFrame.localCheckpoint localCheckpoint]]
+    * here is what makes [[raterAccuracy]]/[[weightedConsensus]]
+    * single-scan: the source is read once and the cells/consensus/join
+    * passes replay the materialized frame. */
+  private def ratingsFrame(df: DataFrame, itemCol: Column,
+                           raterCol: Column, labelCol: Column): DataFrame =
+    df.select(itemCol.cast("string").as("item"),
+        raterCol.cast("string").as("rater"),
+        labelCol.cast("string").as("label"))
+      .where(col("item").isNotNull && col("rater").isNotNull &&
+        col("label").isNotNull)
+      .localCheckpoint()
 
   /** Majority-vote consensus per item, deterministic tie-break: the
     * winning label is the most-voted one, smallest label lexically on
@@ -37,8 +56,10 @@ object Labeling {
     * window or a second shuffle. */
   def consensus(df: DataFrame, itemCol: Column,
                 labelCol: Column): DataFrame =
-    cells(df, itemCol, labelCol)
-      .groupBy("item")
+    consensusFromCells(cells(df, itemCol, labelCol))
+
+  private def consensusFromCells(cs: DataFrame): DataFrame =
+    cs.groupBy("item")
       .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
         .as("win"),
         sum("c").as("total"))
@@ -58,13 +79,15 @@ object Labeling {
     * it when small; at 10^9 items it is a co-partitioned shuffle join —
     * both correct), then one grouped count per rater. */
   def raterAccuracy(df: DataFrame, itemCol: Column, raterCol: Column,
-                    labelCol: Column): DataFrame = {
-    val ratings = df.select(itemCol.cast("string").as("item"),
-        raterCol.cast("string").as("rater"),
-        labelCol.cast("string").as("label"))
-      .where(col("item").isNotNull && col("rater").isNotNull &&
-        col("label").isNotNull)
-    val cons = consensus(df, itemCol, labelCol)
+                    labelCol: Column): DataFrame =
+    raterAccuracyFrom(ratingsFrame(df, itemCol, raterCol, labelCol))
+
+  /** [[raterAccuracy]] over a pre-materialized [[ratingsFrame]]. The
+    * consensus is computed from the SAME rater-filtered frame the
+    * accuracy counts use (a null-rater rating can neither vote nor be
+    * scored — the oracle's semantics), so the source is scanned once. */
+  private def raterAccuracyFrom(ratings: DataFrame): DataFrame = {
+    val cons = consensusFromCells(cellsFromRatings(ratings))
       .select(col("item"), col("label").as("__consensus"))
     ratings.join(cons, "item")
       .groupBy("rater")
@@ -90,12 +113,8 @@ object Labeling {
     * Output: (item, label, w_votes, votes, total). */
   def weightedConsensus(df: DataFrame, itemCol: Column, raterCol: Column,
                         labelCol: Column): DataFrame = {
-    val ratings = df.select(itemCol.cast("string").as("item"),
-        raterCol.cast("string").as("rater"),
-        labelCol.cast("string").as("label"))
-      .where(col("item").isNotNull && col("rater").isNotNull &&
-        col("label").isNotNull)
-    val weights = raterAccuracy(df, itemCol, raterCol, labelCol)
+    val ratings = ratingsFrame(df, itemCol, raterCol, labelCol)
+    val weights = raterAccuracyFrom(ratings)
       .select(col("rater"),
         floor(col("accuracy") * 1e6 + 0.5).cast("long").as("__w"))
     ratings.join(broadcast(weights), "rater")

@@ -26,6 +26,10 @@ object MixPlan {
            weights: Seq[(String, Double)], budgetTokens: Long): DataFrame = {
     require(weights.nonEmpty, "at least one target weight")
     require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    // a duplicate source would duplicate that source's output rows via
+    // the full_outer join AND silently skew wSum for every other source
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in weights: ${weights.map(_._1)}")
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     val spark = df.sparkSession
     val wSum = weights.map(_._2).sum

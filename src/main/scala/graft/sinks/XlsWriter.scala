@@ -201,6 +201,12 @@ object XlsWriter {
     require(sheets.nonEmpty, "at least one sheet")
     require(maxRows <= Biff8MaxRows,
       s"BIFF8 holds at most $Biff8MaxRows rows per sheet, got $maxRows")
+    // distinct AFTER sanitization — 'Plan:1' and 'Plan*1' both sanitize
+    // to 'Plan1' and duplicate BOUNDSHEET names make readSheet(sheet=…)
+    // silently resolve to the first (same guard as XlsxWriter)
+    val safeNames = sheets.map { case (n, _) => XlsxWriter.safeSheetName(n) }
+    require(safeNames.distinct.size == safeNames.size,
+      s"sheet names collide after sanitization: $safeNames")
     val sst = new Sst
     val sheetBodies = sheets.map { case (_, df) =>
       val cols = df.columns.toSeq
@@ -314,9 +320,14 @@ object XlsWriter {
     body.bytes(dirEntry("Root Entry", 5, 1,
       if (useMini) firstPayload else EndOfChain,
       if (useMini) payload.length else 0))
+    // declared size is the TRUE stream length (strict CFB readers treat
+    // trailing declared bytes as content; the sector chain already covers
+    // the padding) — EXCEPT a regular-layout stream under the 4096-byte
+    // mini cutoff, which must declare ≥ 4096 or compliant readers resolve
+    // it through the mini-stream it is not in (MS-CFB cutoff rule)
     body.bytes(dirEntry("Workbook", 2, FreeSect,
       if (useMini) 0 else firstPayload,
-      if (useMini) stream0.length else payload.length))
+      if (useMini) stream0.length else math.max(stream0.length, 4096)))
     body.bytes(dirEntry("", 0, FreeSect, 0, 0))
     body.bytes(dirEntry("", 0, FreeSect, 0, 0))
     if (useMini) {

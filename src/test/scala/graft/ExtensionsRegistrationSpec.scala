@@ -762,6 +762,13 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(mp.map(r => (r.getString(0), r.getLong(4))).toSeq ===
         Seq(("b", 250L), ("w", 750L)),
         "graft_mix_plan must split the budget on normalized weights")
+      // duplicate sources in the spec would duplicate join rows and
+      // skew every other source's normalization — rejected at parse
+      val mpDup = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_mix_plan(" +
+          "'tvf_mix','src','text','w:3,w:1',1000)").collect()
+      }
+      assert(mpDup.getMessage.contains("duplicate sources"))
 
       // chi2: product table -> all-zero terms
       (for { a <- Seq("s1", "s2"); b <- Seq("en", "es") } yield (a, b))

@@ -52,6 +52,22 @@ class LabelingSpec extends SparkTestBase {
     assert(got.toSeq === Seq(("bad", 2L, 0L, 0.0), ("good", 4L, 4L, 1.0)))
   }
 
+  test("rater accuracy scores against the RATER-FILTERED consensus: a " +
+    "null-rater rating cannot swing the consensus it is scored against") {
+    // with the anonymous (null-rater) 'y' votes counted, i1's consensus
+    // would be y; rater-filtered it is a 1-1 x/y tie -> x (label ASC)
+    val df = Seq(
+      ("i1", "A", "x"), ("i1", "B", "y"),
+      ("i1", null, "y"), ("i1", null, "y"))
+      .toDF("item", "rater", "label")
+    val got = Labeling.raterAccuracy(df, col("item"), col("rater"),
+        col("label"))
+      .orderBy("rater").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(("A", 1L, 1L, 1.0), ("B", 1L, 0L, 0.0)))
+  }
+
   test("krippendorff alpha: perfect agreement is 1, singletons are " +
     "excluded, and the textbook mixed panel lands on its hand value") {
     val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"),
