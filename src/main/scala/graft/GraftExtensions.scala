@@ -1269,5 +1269,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               strLit(n, "catCol", args(2))))
           .queryExecution.logical
       }))
+    e.injectFunction((
+      FunctionIdentifier("format_pen"),
+      info("format_pen",
+        "format_pen(x) - es-PE PEN display format: 'S/ 1,234,567' (half-up to whole soles), en-dash on null/NaN"),
+      (args: Seq[Expression]) => {
+        arity("format_pen", 1, args)
+        // the Catalyst twin of GraftFunctions.formatCurrency (the
+        // Column DSL can't be handed to injectFunction: it wraps as an
+        // unresolvable ColumnNodeExpression) — Round16Spec and
+        // ExtensionsRegistrationSpec pin the two forms to the same
+        // values on the same lanes
+        import org.apache.spark.sql.catalyst.expressions.{
+          CaseWhen, Cast, Concat, IsNaN, IsNull, Literal, Or, Round}
+        import org.apache.spark.sql.types.DoubleType
+        val d = Cast(args.head, DoubleType)
+        CaseWhen(
+          Seq((Or(IsNull(d), IsNaN(d)), Literal("–"))),
+          Some(Concat(Seq(Literal("S/ "),
+            org.apache.spark.sql.catalyst.expressions.FormatNumber(
+              Round(d, Literal(0)), Literal(0))))))
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_video_frames"),
+      info("graft_video_frames",
+        "graft_video_frames(table, idCol, stride, tw, th) - REAL animated-GIF fixture decode: keep every stride-th frame, NN-resample to tw x th: (doc_id, frame_idx, n_frames, width, height, checksum)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5, s"graft_video_frames expects 5 arguments")
+        val n = "graft_video_frames"
+        graft.multimodal.Multimodal.videoRoundTrip(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            numLit(n, "stride", args(2)).toInt,
+            numLit(n, "tw", args(3)).toInt,
+            numLit(n, "th", args(4)).toInt)
+          .toDF().queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_image_phash_pairs"),
+      info("graft_image_phash_pairs",
+        "graft_image_phash_pairs(table, idCol, clusterSize, maxHamming) - dHash the REAL-decoded image fixture tier, Hamming-banded near-dup pair join: (doc_id_a, doc_id_b, hamming)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_image_phash_pairs expects 4 arguments")
+        val n = "graft_image_phash_pairs"
+        graft.multimodal.Multimodal.imageNearDupPairs(
+            graft.multimodal.Multimodal.imageDHashes(
+              SparkSession.active.table(strLit(n, "table", args.head)),
+              strLit(n, "idCol", args(1)),
+              numLit(n, "clusterSize", args(2)).toInt).toDF(),
+            numLit(n, "maxHamming", args(3)).toInt)
+          .queryExecution.logical
+      }))
   }
 }

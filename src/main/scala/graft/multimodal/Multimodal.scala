@@ -21,6 +21,13 @@ case class AudioDecoded(doc_id: Long, sample_rate: Int, n_samples: Int,
 case class ImageDecoded(doc_id: Long, width: Int, height: Int,
                         checksum: Long)
 
+/** One REAL-decoded, stride-sampled, resampled video frame. */
+case class FrameDecoded(doc_id: Long, frame_idx: Int, n_frames: Int,
+                        width: Int, height: Int, checksum: Long)
+
+/** Per-image 64-bit difference hash over the decoded gray raster. */
+case class ImageHash(doc_id: Long, dhash: Long)
+
 /** Multimodal column plumbing. The Spark-side shape is real and tested:
   * binary payload column, typed feature schema, partition-parallel batch
   * decode via `mapPartitions` (the Scala analogue of arrow-batched
@@ -34,9 +41,13 @@ case class ImageDecoded(doc_id: Long, width: Int, height: Int,
   * The AUDIO kernel is real too: [[decodeWavPcm16]] parses RIFF/WAVE
   * PCM through the JVM's built-in `javax.sound.sampled` codec (format
   * chunk, endianness, frame boundaries — nothing hand-rolled on the
-  * read side). Only video and compressed-audio kinds (where no
-  * JVM-built-in codec exists) keep the byte-derived convention of
-  * [[decodeStub]] / [[sampleFramesStub]].
+  * read side). The VIDEO kernel walks a real multi-frame container:
+  * [[encodeGrayGif]] / [[decodeFrames]] round-trip animated GIF through
+  * the JDK's own sequence codec (lossless for 8-bit gray via the
+  * identity palette), so frame counting, stride sampling and per-frame
+  * resampling run against actually-decoded rasters. Only compressed
+  * audio/video codecs the JVM does not ship (MP3/H.264/…) keep the
+  * byte-derived convention of [[decodeStub]] / [[sampleFramesStub]].
   */
 object Multimodal {
 
@@ -289,6 +300,243 @@ object Multimodal {
         }
         AudioDecoded(id, r2, dec.length,
           dec.length.toLong * 1000L / r2, pk, cs)
+      }
+    }
+  }
+
+  // ---- perceptual image near-dup (dHash over the REAL-decoded tier —
+  //      the image sibling of the SimHash text family) ----
+
+  /** 64-bit difference hash of a decoded raster: NN-resample to 9×8,
+    * then bit i = y·8+x is set iff pixel(x,y) > pixel(x+1,y). Gradient
+    * SIGNS survive brightness/contrast shifts and resampling noise, so
+    * perceptually-identical images land within a few Hamming bits —
+    * the standard dHash construction, exact-integer end to end (NN
+    * index math + a comparison), hence SQL-replayable. */
+  def dHash64(pix: Array[Int], w: Int, h: Int): Long = {
+    val g = resizeNearest(pix, w, h, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) > g(y * 9 + x + 1)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Near-dup image fixture: docs sharing `id / clusterSize` render the
+    * SAME base pattern (cluster-keyed [[testPixel]]/[[testDims]]) with
+    * ONE doc-specific pixel brightened by 128 — a perceptual near-dup
+    * family (same image, one-pixel retouch) whose dHashes differ by
+    * 0–4 bits within a cluster and ~half the bits across clusters.
+    * Constant FAMILY size, so the pair count scales linearly with the
+    * corpus instead of quadratically. */
+  def testClusterPixel(id: Long, clusterSize: Int, x: Int, y: Int): Int = {
+    val cl = id / clusterSize
+    val (w0, h0) = testDims(cl)
+    // the NONLINEAR mix is load-bearing, and it must be nonlinear in a
+    // strong sense: dHash is brightness-shift-invariant BY DESIGN, so
+    // any per-cluster map that is ~linear in the cluster id (including
+    // a Knuth multiply-shift) renders distinct clusters as the same
+    // pattern plus a constant offset — identical gradient signs, and
+    // the pair set goes quadratic. Squaring mod 1e9+7 makes the
+    // cluster difference depend on the pixel term (2tδ+δ²), so
+    // cross-cluster hashes decorrelate to ~32 Hamming bits. Both
+    // products stay under 2^63, so DuckDB replays it without tripping
+    // its checked arithmetic.
+    val t = (cl * 1000003L + x.toLong * 31 + y.toLong) % 1000000007L
+    val base = ((t * t % 1000000007L) % 256).toInt
+    if (x == (id % w0).toInt && y == (id * 7 % h0).toInt) (base + 128) % 256
+    else base
+  }
+
+  /** One REAL-decoded dHash per id: synthesize the cluster-fixture PNG,
+    * decode it back through ImageIO, and hash the actual raster.
+    * Partition-parallel, no shuffle. */
+  def imageDHashes(docs: DataFrame, idCol: String,
+                   clusterSize: Int): Dataset[ImageHash] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w0, h0) = testDims(id / clusterSize)
+        val png = encodeGrayPng(w0, h0,
+          (x, y) => testClusterPixel(id, clusterSize, x, y))
+        val (w, h, pix) = decodeGray(png)
+        ImageHash(id, dHash64(pix, w, h))
+      }
+    }
+  }
+
+  /** Hamming-banded near-dup pairs over a (doc_id, dhash) frame — the
+    * image sibling of `Dedup.simhashNearDupsMd5`: the 64-bit hash
+    * splits into four 16-bit bands; a pair is a CANDIDATE iff some band
+    * matches exactly (one pigeonhole band survives ≤3-bit spread per
+    * band — never an all-pairs product), then the exact Hamming
+    * distance filters candidates to `maxHamming`. Shuffles on the
+    * (band, value) bucket key; output (doc_id_a < doc_id_b, hamming).
+    * At 10⁹ images the bucket join's skew ceiling is the largest
+    * near-dup family, the same bound as the text families. */
+  def imageNearDupPairs(hashes: DataFrame,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad bound $maxHamming")
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * 16).bitwiseAND(lit(65535L))
+              .as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("dhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.select(col("band"), col("bval"),
+      col("doc_id").as("doc_id_a"), col("dhash").as("__ha"))
+    val b = banded.select(col("band").as("__band_b"),
+      col("bval").as("__bval_b"),
+      col("doc_id").as("doc_id_b"), col("dhash").as("__hb"))
+    a.join(b, col("band") === col("__band_b") &&
+        col("bval") === col("__bval_b") &&
+        col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_id_a", "doc_id_b")
+  }
+
+  // ---- real video kernel (animated GIF via javax.imageio — the one
+  //      multi-frame container the JVM ships a codec for, offline) ----
+
+  /** Fixture frame count varies per id (2..6) so stride sampling keeps
+    * a different number of frames row to row. */
+  def testFrameCount(id: Long): Int = (2 + id % 5).toInt
+
+  /** Deterministic fixture pixel for frame `f` of video `id` — the
+    * SINGLE formula the fixture encoder, the specs, and the DuckDB
+    * oracle all derive from (the frame term means a codec that drops,
+    * reorders, or composites frames shifts every checksum). */
+  def testFramePixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f.toLong * 41 + x.toLong * 7 + y.toLong * 13) % 256).toInt
+
+  /** Encode grayscale rasters as a REAL animated GIF through the JDK's
+    * own sequence writer (`prepareWriteSequence`/`writeToSequence`) —
+    * container layout, local color tables and LZW are the JVM codec's,
+    * not ours. The palette is the 256-gray identity ramp, so GIF's
+    * indexed storage is lossless for 8-bit gray: decode returns the
+    * exact samples written. */
+  def encodeGrayGif(w: Int, h: Int, nFrames: Int,
+                    pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0, s"bad gif shape ${w}x$h x$nFrames")
+    val ramp = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, pixel(f, x, y) & 0xff); x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL FRAME WALK: open whatever multi-frame container the ImageIO
+    * registry recognizes (animated GIF; a single-frame PNG/BMP/JPEG
+    * yields one frame), count frames with `getNumImages(true)` and
+    * decode each to (width, height, row-major gray samples). Indexed
+    * frames read through the palette (`getRGB` on an `IndexColorModel`
+    * is an exact table lookup — no color management), gray rasters
+    * sample-direct, anything else folds to integer luma — the same
+    * band conventions as [[decodeGray]]. */
+  def decodeFrames(bytes: Array[Byte]): IndexedSeq[(Int, Int, Array[Int])] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "payload is not a decodable media container")
+    val rd = readers.next()
+    try {
+      rd.setInput(iis)
+      val n = rd.getNumImages(true)
+      (0 until n).map { f =>
+        val img = rd.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        val indexed =
+          img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+        if (!indexed && img.getRaster.getNumBands == 1) {
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              out(y * w + x) = (r * 299 + g * 587 + b * 114 + 500) / 1000
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (w, h, out)
+      }
+    } finally { rd.dispose(); iis.close() }
+  }
+
+  /** Stride-sampled REAL-decoded frames per id: synthesize the animated
+    * GIF fixture from [[testFramePixel]]/[[testDims]]/[[testFrameCount]],
+    * REAL-decode every frame back through the JVM codec
+    * ([[decodeFrames]]), keep every `stride`-th frame (the frame-sample
+    * step of a video pipeline), resample each kept frame to (tw, th)
+    * with the exact-integer NN math, and emit one typed row per kept
+    * frame with the order-weighted checksum `sum(pixel_i * (i+1))`.
+    * Partition-parallel flatMap, no shuffle; the oracle replays the
+    * integers straight from the formula + the NN index math. */
+  def videoRoundTrip(docs: DataFrame, idCol: String, stride: Int,
+                     tw: Int, th: Int): Dataset[FrameDecoded] = {
+    require(stride > 0 && tw > 0 && th > 0)
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].flatMap { id =>
+      val (w0, h0) = testDims(id)
+      val n = testFrameCount(id)
+      val gif = encodeGrayGif(w0, h0, n, (f, x, y) => testFramePixel(id, f, x, y))
+      val frames = decodeFrames(gif)
+      require(frames.length == n,
+        s"codec returned ${frames.length} frames, wrote $n")
+      frames.zipWithIndex.collect {
+        case ((w, h, pix), f) if f % stride == 0 =>
+          val rs = resizeNearest(pix, w, h, tw, th)
+          var cs = 0L
+          var i = 0
+          while (i < rs.length) { cs += rs(i).toLong * (i + 1); i += 1 }
+          FrameDecoded(id, f, n, w, h, cs)
       }
     }
   }

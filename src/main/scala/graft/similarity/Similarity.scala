@@ -516,4 +516,42 @@ object Similarity {
       .select(col(idCol), col("__cell").as("cell"),
         col("__dup").isNull.as("keep"))
   }
+
+  /** Incremental IVF maintenance — the append path every vector index
+    * needs between refits: assign a NEW batch against the EXISTING
+    * (frozen) centroids, never touching the already-indexed corpus.
+    * Identity (the gate's oracle): on unchanged centroids, the appended
+    * rows land in exactly the cells a full rebuild's final assignment
+    * round would give them — append is a pure extension, not a drift.
+    * Shape: the same zero-Exchange broadcast-argmax as [[ivfIndex]]'s
+    * assignment step (literal-inlined under [[AssignInlineMaxNlist]]
+    * cells, data-driven HOF loop above it); at scale the batch appends
+    * to the `__cell`-partitioned store without rewriting old lists.
+    * Returns (id, __cell, vec) rows for the batch. */
+  def ivfAppend(centroids: DataFrame, batch: DataFrame, idCol: String,
+                vecCol: String, nlist: Int): DataFrame =
+    if (nlist <= AssignInlineMaxNlist)
+      assign(batch, idCol, vecCol, centroids)
+    else assignJoin(batch, idCol, vecCol, centroids)
+
+  /** Per-cell drift report for an [[ivfAppend]] round — the occupancy
+    * growth a maintenance job watches to decide when a refit is due
+    * (cells growing much faster than their indexed mass signal the new
+    * data's distribution has moved off the frozen codebook). Both
+    * inputs are (…, __cell, …) assignment frames; output is one row
+    * per cell carrying appended vectors: (cell, n_indexed, n_appended,
+    * growth = n_appended/n_indexed, 1e-6-rounded). Two map-side-combined
+    * counts joined on the ≤nlist-row cell key — never a window, never
+    * data-sized state. */
+  def ivfDrift(indexed: DataFrame, appended: DataFrame): DataFrame = {
+    val base = indexed.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("n_indexed"))
+    val add = appended.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("n_appended"))
+    add.join(base, Seq("__cell"))
+      .select(col("__cell").cast("long").as("cell"), col("n_indexed"),
+        col("n_appended"),
+        (floor(col("n_appended").cast("double") /
+          col("n_indexed").cast("double") * 1e6 + 0.5) / 1e6).as("growth"))
+  }
 }

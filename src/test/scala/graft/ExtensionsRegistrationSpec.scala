@@ -786,6 +786,29 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(nfcRow.getString(0) === "é" && nfcRow.isNullAt(1),
         "nfc_normalize must compose and stay null-safe")
 
+      // format_pen: grouping + half-up + null en-dash in one lane
+      val pen = spark.sql(
+        "SELECT format_pen(1234567.0), format_pen(1200.5), " +
+        "format_pen(CAST(NULL AS DOUBLE))").head()
+      assert(pen.getString(0) === "S/ 1,234,567" &&
+        pen.getString(1) === "S/ 1,201" && pen.getString(2) === "–")
+
+      // video frames: ids 0 (2 frames, stride keeps 1) and 1 (3, keeps 2)
+      Seq(0L, 1L).toDF("doc_id").createOrReplaceTempView("tvf_frames")
+      val fr = spark.sql("SELECT doc_id, frame_idx FROM graft_video_frames(" +
+        "'tvf_frames','doc_id',2,6,6) ORDER BY doc_id, frame_idx").collect()
+      assert(fr.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+        Seq((0L, 0), (1L, 0), (1L, 2)),
+        "graft_video_frames must walk + stride-sample real GIF frames")
+
+      // image phash: one family of two -> exactly one near-dup pair
+      Seq(0L, 1L, 7L).toDF("doc_id").createOrReplaceTempView("tvf_phash")
+      val ph = spark.sql("SELECT * FROM graft_image_phash_pairs(" +
+        "'tvf_phash','doc_id',2,8)").collect()
+      assert(ph.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((0L, 1L)),
+        "graft_image_phash_pairs must pair the family, not cluster 3")
+
       // kcore: pendant peels, triangle survives
       Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
         .createOrReplaceTempView("tvf_kcore")

@@ -274,6 +274,76 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(f => new String(f._3)).toSeq === Seq("abc", "ghi"))
     assert(frames.forall(_._1 == 7L))
   }
+
+  test("real video codec: animated-GIF sequence round trip is " +
+    "frame- and pixel-exact") {
+    val (w, h, n) = (11, 7, 4)
+    def px(f: Int, x: Int, y: Int): Int = (f * 31 + x * 7 + y * 13) % 256
+    val gif = Multimodal.encodeGrayGif(w, h, n, px)
+    assert(new String(gif, 0, 6, "US-ASCII").startsWith("GIF8"),
+      "must be a real GIF container")
+    val frames = Multimodal.decodeFrames(gif)
+    assert(frames.length === n, "getNumImages must walk every frame")
+    frames.zipWithIndex.foreach { case ((dw, dh, pix), f) =>
+      assert(dw === w && dh === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(pix(y * w + x) === px(f, x, y), s"frame $f pixel ($x,$y)")
+    }
+    // a single-frame PNG walks as one frame through the same path
+    val png = Multimodal.encodeGrayPng(5, 4, (x, y) => x * 40 + y)
+    assert(Multimodal.decodeFrames(png).length === 1)
+  }
+
+  test("videoRoundTrip matches the driver-side formula replay " +
+    "(stride sampling + per-frame NN resample)") {
+    val ids = Seq(0L, 3L, 7L, 12L)
+    val got = Multimodal.videoRoundTrip(ids.toDF("doc_id"), "doc_id",
+      stride = 2, 6, 6).collect()
+      .map(r => (r.doc_id, r.frame_idx) -> r).toMap
+    val want = ids.flatMap { id =>
+      val (w, h) = Multimodal.testDims(id)
+      val n = Multimodal.testFrameCount(id)
+      (0 until n by 2).map { f =>
+        var cs = 0L
+        for (y2 <- 0 until 6; x2 <- 0 until 6)
+          cs += Multimodal.testFramePixel(id, f, x2 * w / 6, y2 * h / 6)
+            .toLong * (y2 * 6 + x2 + 1)
+        (id, f) -> ((n, w, h, cs))
+      }
+    }.toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, (n, w, h, cs)) =>
+      val r = got(k)
+      assert((r.n_frames, r.width, r.height, r.checksum) === ((n, w, h, cs)),
+        s"row $k")
+    }
+  }
+
+  test("dHash: brightness-shift invariant, one-pixel retouch moves " +
+    "few bits, family pairs surface and cross-family pairs don't") {
+    val w = 13; val h = 9
+    def base(x: Int, y: Int): Int = 30 + (x * 11 + y * 17) % 120
+    val (_, _, p1) = Multimodal.decodeGray(
+      Multimodal.encodeGrayPng(w, h, base))
+    val (_, _, p2) = Multimodal.decodeGray(
+      Multimodal.encodeGrayPng(w, h, (x, y) => base(x, y) + 80))
+    assert(Multimodal.dHash64(p1, w, h) === Multimodal.dHash64(p2, w, h),
+      "gradient signs must survive a uniform brightness shift")
+    val (_, _, p3) = Multimodal.decodeGray(Multimodal.encodeGrayPng(w, h,
+      (x, y) => if (x == 4 && y == 3) 255 else base(x, y)))
+    val d = java.lang.Long.bitCount(
+      Multimodal.dHash64(p1, w, h) ^ Multimodal.dHash64(p3, w, h))
+    assert(d >= 1 && d <= 4, s"one retouched pixel moved $d bits")
+    // families {0..4} and {5..9}: all within-family pairs, no cross
+    val hashes = Multimodal.imageDHashes((0L to 9L).toDF("doc_id"),
+      "doc_id", clusterSize = 5).toDF()
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within = (for { a <- 0 to 9; b <- 0 to 9
+      if a < b && a / 5 == b / 5 } yield (a.toLong, b.toLong)).toSet
+    assert(pairs === within,
+      s"missing ${within -- pairs}, strays ${pairs -- within}")
+  }
 }
 
 class StreamingSpec extends SparkTestBase {

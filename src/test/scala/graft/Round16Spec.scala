@@ -49,6 +49,51 @@ class Round16Spec extends SparkTestBase {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("ivfAppend is a pure extension: re-assigning the indexed corpus " +
+    "against the frozen centroids reproduces its assignment, and drift " +
+    "counts are exact") {
+    import graft.similarity.Similarity
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        math.cos((i % 6 + 1).toDouble * (d + 1)) + (i % 7) * 0.01))
+    }.toDF("vec_id", "embedding")
+    val base = vecs.where(col("vec_id") % 3 =!= 0L)
+    val batch = vecs.where(col("vec_id") % 3 === 0L)
+    val (assigned, cents) = Similarity.ivfIndex(base, "vec_id",
+      "embedding", dim = 8, nlist = 4, iters = 1)
+    // identity: appending the base itself lands every row in its own cell
+    val re = Similarity.ivfAppend(cents, base, "vec_id", "embedding", 4)
+      .select(col("vec_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orig = assigned.select(col("vec_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re === orig)
+    // drift: per-cell counts reconcile with the two inputs
+    val appended = Similarity.ivfAppend(cents, batch, "vec_id",
+      "embedding", 4)
+    val drift = Similarity.ivfDrift(assigned, appended).collect()
+    val appCells = appended.groupBy("__cell").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(drift.map(r => r.getLong(0) -> r.getLong(2)).toMap === appCells)
+    drift.foreach { r =>
+      val expect = math.floor(
+        r.getLong(2).toDouble / r.getLong(1) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(3) === expect)
+    }
+    assert(drift.map(_.getLong(2)).sum === batch.count())
+  }
+
+  test("es-PE currency gate lanes: grouping, half-up rounding, en-dash " +
+    "null placeholder") {
+    import graft.functions.GraftFunctions
+    val got = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1234567.0), (2L, 1200.5), (3L, null), (4L, 0.49))
+      .toDF("k", "v")
+      .select(col("k"), GraftFunctions.formatCurrency(col("v")).as("s"))
+      .orderBy("k").collect().map(_.getString(1)).toSeq
+    assert(got === Seq("S/ 1,234,567", "S/ 1,201", "–", "S/ 0"))
+  }
+
   test("mix plan rejects duplicate sources in the weight spec (they " +
     "would duplicate join rows and skew the normalization)") {
     val df = Seq(("en", "one two"), ("fr", "trois")).toDF("src", "text")
