@@ -912,6 +912,117 @@ object ScaleRehearsal {
       f"$sn rows ${ss10}%.2f s (${ss10 / ss1}%.1fx, ~linear target; " +
       f"one shuffle, 64 shard files in shard-local order)")
 
+    // Labeling panel at scale (round-15 verdict item 8): items x 20
+    // raters, 5 labels. weightedConsensus (two grouped counts + one
+    // broadcast weights join over the ONE checkpointed ratings frame)
+    // and krippendorffAlpha (integer class sums, float fold only over
+    // the rater-count classes) must both stay ~linear — the scaladoc's
+    // "no window over data" claim, measured.
+    def labelTimes(items: Long): (Double, Double) = {
+      val ratings = spark.range(items * 20).select(
+        (col("id") % items).as("item"),
+        (col("id") / lit(items)).cast("int").as("rater"),
+        concat(lit("l"), pmod(col("id") * 2654435761L, lit(5L)))
+          .as("label"))
+      val t0 = System.nanoTime()
+      val wc = graft.operators.Labeling.weightedConsensus(ratings,
+        col("item"), col("rater"), col("label")).count()
+      val t1 = System.nanoTime()
+      require(wc == items, s"lost items: $wc != $items")
+      val a = graft.operators.Labeling.krippendorffAlpha(ratings,
+        col("item"), col("label")).head()
+      val t2 = System.nanoTime()
+      require(a.getAs[Long]("n_ratings") == items * 20)
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }
+    val ((lw1, lk1), (lw10, lk10)) = (labelTimes(100000L), labelTimes(1000000L))
+    println(f"[rehearsal] labeling 2M ratings: weighted ${lw1}%.2f s, " +
+      f"alpha ${lk1}%.2f s; 20M ratings: weighted ${lw10}%.2f s " +
+      f"(${lw10 / lw1}%.1fx), alpha ${lk10}%.2f s (${lk10 / lk1}%.1fx; " +
+      f"~linear target, 10x data)")
+
+    // BPE merge rounds are corpus-size-FLAT (round-15 verdict item 5):
+    // the one corpus-scale pass is the vocabulary count; every merge
+    // round after it operates on the unique-word table, whose size
+    // depends on the LANGUAGE, not the corpus. Measured: vocab pass
+    // ~linear in docs, 8 merge rounds ~equal at 1x vs 10x docs.
+    def bpeTimes(docs: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val v = graft.textanalysis.BpeTrain.vocabulary(docs, "text").count()
+      val t1 = System.nanoTime()
+      require(v > 0)
+      val m = graft.textanalysis.BpeTrain.trainMerges(docs, "text", 8)
+        .count()
+      val t2 = System.nanoTime()
+      require(m == 8, s"expected 8 merges, got $m")
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9 - (t1 - t0) / 1e9)
+    }
+    val smallCorpus = (0 until math.max(1, k / 10)).map { i =>
+      base.select((col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
+        col("text"))
+    }.reduce(_.unionAll(_))
+    val (bv1, bm1) = bpeTimes(smallCorpus)
+    val (bv10, bm10) = bpeTimes(corpus)
+    println(f"[rehearsal] bpe: vocab pass ${bv1}%.2f s -> ${bv10}%.2f s " +
+      f"(${bv10 / bv1}%.1fx at 10x docs, ~linear); 8 merge rounds " +
+      f"${bm1}%.2f s -> ${bm10}%.2f s (${bm10 / math.max(bm1, 0.01)}%.1fx, " +
+      f"FLAT target — rounds scan the unique-word table, not the corpus)")
+
+    // Incremental IVF append (r16): pure broadcast-argmax map over the
+    // batch — no refit, no touch of the indexed corpus; ~linear.
+    def ivfAppendTime(rows: Long, cents: org.apache.spark.sql.DataFrame)
+        : Double = {
+      val batch = spark.range(rows).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 16), d -> " +
+          "cos(cast(id % 97 AS DOUBLE) * d))").as("embedding"))
+      val t0 = System.nanoTime()
+      val out = graft.similarity.Similarity.ivfAppend(
+        cents, batch, "vec_id", "embedding", 64)
+      require(out.groupBy("__cell").count().count() <= 64)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val seedVecs = spark.range(100000L).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 16), d -> " +
+        "cos(cast(id % 97 AS DOUBLE) * d))").as("embedding"))
+    val (_, appendCents) = graft.similarity.Similarity.ivfIndex(
+      seedVecs, "vec_id", "embedding", dim = 16, nlist = 64, iters = 1)
+    val ac = appendCents.localCheckpoint()
+    val (ia1, ia10) = (ivfAppendTime(sn / 10, ac), ivfAppendTime(sn, ac))
+    println(f"[rehearsal] ivf append: ${sn / 10} vecs ${ia1}%.2f s; " +
+      f"$sn vecs ${ia10}%.2f s (${ia10 / ia1}%.1fx, ~linear target; " +
+      f"frozen 64-cell codebook, zero-Exchange argmax)")
+
+    // Real media decode tiers (r16): per-row JDK codec work (GIF
+    // sequence walk, PNG decode + dHash) — embarrassingly parallel
+    // mapPartitions, must scale ~linearly with rows.
+    def framesTime(rows: Long): Double = {
+      val ids = spark.range(rows).toDF("doc_id")
+        .repartition(64, col("doc_id"))
+      val t0 = System.nanoTime()
+      val c = graft.multimodal.Multimodal.videoRoundTrip(
+        ids, "doc_id", stride = 2, 6, 6).count()
+      require(c > rows, s"must keep >1 frame per doc on average: $c")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def phashTime(rows: Long): Double = {
+      val ids = spark.range(rows).toDF("doc_id")
+        .repartition(64, col("doc_id"))
+      val t0 = System.nanoTime()
+      val p = graft.multimodal.Multimodal.imageNearDupPairs(
+        graft.multimodal.Multimodal.imageDHashes(ids, "doc_id", 5).toDF(),
+        maxHamming = 8).count()
+      require(p >= rows, s"families of 5 -> >=10 pairs per 5 docs: $p")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (vf1, vf10) = (framesTime(20000L), framesTime(200000L))
+    println(f"[rehearsal] video frames: 20k docs ${vf1}%.2f s; 200k docs " +
+      f"${vf10}%.2f s (${vf10 / vf1}%.1fx, ~linear target; real GIF " +
+      f"sequence decode per doc)")
+    val (ip1, ip10) = (phashTime(20000L), phashTime(200000L))
+    println(f"[rehearsal] image phash pairs: 20k docs ${ip1}%.2f s; " +
+      f"200k docs ${ip10}%.2f s (${ip10 / ip1}%.1fx, ~linear target; " +
+      f"real PNG decode + banded pair join)")
+
     spark.stop()
   }
 }
