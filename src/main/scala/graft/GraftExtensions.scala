@@ -1321,5 +1321,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             numLit(n, "maxHamming", args(3)).toInt)
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_video_neardups"),
+      info("graft_video_neardups",
+        "graft_video_neardups(table, idCol, clusterSize, maxHamming, minMatch) - per-frame dHash over the REAL GIF sequence-decode tier, (frame, band)-bucketed pair join: (doc_id_a, doc_id_b, n_frames, n_match)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"graft_video_neardups expects 5 arguments")
+        val n = "graft_video_neardups"
+        graft.multimodal.Multimodal.videoNearDupPairs(
+            graft.multimodal.Multimodal.videoFrameHashes(
+              SparkSession.active.table(strLit(n, "table", args.head)),
+              strLit(n, "idCol", args(1)),
+              numLit(n, "clusterSize", args(2)).toInt),
+            numLit(n, "maxHamming", args(3)).toInt,
+            numLit(n, "minMatch", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_audio_neardups"),
+      info("graft_audio_neardups",
+        "graft_audio_neardups(table, idCol, clusterSize, maxHamming) - energy-sign fingerprint over the REAL WAV decode tier, Hamming-banded pair join: (doc_id_a, doc_id_b, hamming)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_audio_neardups expects 4 arguments")
+        val n = "graft_audio_neardups"
+        graft.multimodal.Multimodal.audioNearDupPairs(
+            graft.multimodal.Multimodal.audioFingerprints(
+              SparkSession.active.table(strLit(n, "table", args.head)),
+              strLit(n, "idCol", args(1)),
+              numLit(n, "clusterSize", args(2)).toInt).toDF(),
+            numLit(n, "maxHamming", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_dup_weights"),
+      info("graft_dup_weights",
+        "graft_dup_weights(table, idCol, textCol) - duplicate-count sampling weights over the exact-dedup digest: (id, dedup_key, n_docs, weight)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_dup_weights expects 3 arguments")
+        val n = "graft_dup_weights"
+        graft.dedup.Dedup.dupWeights(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)))
+          .queryExecution.logical
+      }))
   }
 }

@@ -60,6 +60,25 @@ object Dedup {
           .otherwise(col("win.s")).as("keep_score"),
         col("n_docs"))
 
+  /** Duplicate-count sampling weights — the keep-EVERYTHING alternative
+    * to dropping dups: each document weighted 1/n over its exact-dedup
+    * multiplicity, so a page crawled 40 times contributes one page's
+    * worth of gradient (the standard de-duplication-by-reweighting
+    * regime when provenance must be preserved). Shape: the
+    * [[exactGroups]] single-shuffle aggregate joined back on the digest
+    * — two shuffles total, both on the digest key, co-partitioned.
+    * Output (id, dedup_key, n_docs, weight = 1/n, 1e-6-rounded). */
+  def dupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+      wordSetKey(col(textCol)).as("dedup_key"))
+    val groups = keyed.groupBy("dedup_key")
+      .agg(count(lit(1)).as("n_docs"))
+    keyed.join(groups, "dedup_key")
+      .select(col("id"), col("dedup_key"), col("n_docs"),
+        (floor(lit(1e6) / col("n_docs").cast("double") + 0.5) / 1e6)
+          .as("weight"))
+  }
+
   /** Incremental dedup of a NEW batch against an existing corpus index —
     * the daily-ingest production shape: the index's digest table is
     * computed once (in production: persisted, bucketed by digest) and

@@ -405,6 +405,189 @@ object Multimodal {
       .dropDuplicates("doc_id_a", "doc_id_b")
   }
 
+  // ---- video near-dup: per-frame dHash fingerprints over the REAL
+  //      sequence-decode tier (the video sibling of the image family) --
+
+  /** Near-dup video fixture: videos sharing `id / clusterSize` render
+    * the SAME cluster-keyed frame stack (frame count, dims and the
+    * squared-hash pixel base all keyed on the cluster — see
+    * [[testClusterPixel]] for why the nonlinearity is load-bearing),
+    * with ONE doc-specific pixel brightened by 128 in ONE doc-specific
+    * frame — a re-encode-with-one-frame-retouched family. */
+  def testVideoPixel(id: Long, clusterSize: Int, f: Int, x: Int,
+                     y: Int): Int = {
+    val cl = id / clusterSize
+    val (w0, h0) = testDims(cl)
+    val n = testFrameCount(cl)
+    val t = (cl * 1000003L + f.toLong * 8009 + x.toLong * 31 + y.toLong) %
+      1000000007L
+    val base = ((t * t % 1000000007L) % 256).toInt
+    if (f == (id * 3 % n).toInt && x == (id % w0).toInt &&
+      y == (id * 7 % h0).toInt) (base + 128) % 256
+    else base
+  }
+
+  /** Per-(video, frame) dHash rows from the REAL sequence walk:
+    * synthesize the family GIF, decode every frame back through the
+    * JDK codec, dHash each decoded raster. Partition-parallel flatMap,
+    * no shuffle. Output (doc_id, frame_idx, n_frames, dhash). */
+  def videoFrameHashes(docs: DataFrame, idCol: String,
+                       clusterSize: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].flatMap { id =>
+      val cl = id / clusterSize
+      val (w0, h0) = testDims(cl)
+      val n = testFrameCount(cl)
+      val gif = encodeGrayGif(w0, h0, n,
+        (f, x, y) => testVideoPixel(id, clusterSize, f, x, y))
+      decodeFrames(gif).zipWithIndex.map { case ((w, h, pix), f) =>
+        (id, f, n, dHash64(pix, w, h))
+      }
+    }.toDF("doc_id", "frame_idx", "n_frames", "dhash")
+  }
+
+  /** Video near-dup pairs from per-frame fingerprints: two videos are
+    * near-dups when at least `minMatchFrames` of their frames agree at
+    * the SAME frame index within `maxHamming` dHash bits. Candidates
+    * come from a (frame_idx, band, value) bucket join — a video-length
+    * stack of [[imageNearDupPairs]]-shaped joins, never all-pairs —
+    * then per-frame Hamming filters and one grouped count per pair.
+    * At 10⁹ videos the shuffle is bounded by per-bucket occupancy,
+    * exactly like the text/image band families; frame stacks are
+    * bounded (≤ a few hundred frames), so the explode is a constant
+    * fan-out, not a data-sized blowup.
+    * Output (doc_id_a < doc_id_b, n_frames, n_match). */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int,
+                        minMatchFrames: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64 && minMatchFrames >= 1)
+    val banded = frameHashes.select(col("doc_id"), col("frame_idx"),
+        col("n_frames"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * 16).bitwiseAND(lit(65535L))
+              .as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("dhash"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.select(col("frame_idx"), col("band"), col("bval"),
+      col("doc_id").as("doc_id_a"), col("n_frames").as("n_frames_a"),
+      col("dhash").as("__ha"))
+    val b = banded.select(col("frame_idx").as("__f_b"),
+      col("band").as("__band_b"), col("bval").as("__bval_b"),
+      col("doc_id").as("doc_id_b"), col("dhash").as("__hb"))
+    a.join(b, col("frame_idx") === col("__f_b") &&
+        col("band") === col("__band_b") &&
+        col("bval") === col("__bval_b") &&
+        col("doc_id_a") < col("doc_id_b"))
+      .where(bit_count(col("__ha").bitwiseXOR(col("__hb")))
+        <= maxHamming)
+      // a frame can band-match in up to 4 bands: count DISTINCT frames
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(max(col("n_frames_a")).as("n_frames"),
+        countDistinct(col("frame_idx")).cast("long").as("n_match"))
+      .where(col("n_match") >= minMatchFrames)
+  }
+
+  // ---- audio near-dup: energy-sign fingerprint over the REAL
+  //      RIFF/WAVE decode tier (the audio sibling of dHash) ----
+
+  /** Near-dup audio fixture: docs sharing `id / clusterSize` carry the
+    * SAME cluster-keyed PCM16 track, with ONE doc-specific sample
+    * replaced by the same position of a different track — a one-sample
+    * dropout/click family. The track is the SQUARED-hash mix (same
+    * rationale as [[testClusterPixel]]): [[testSample]]'s linear
+    * `cl·131` term wraps mod 65536 with period ~500 in the cluster id,
+    * so distant clusters carried near-identical energy envelopes and
+    * the pair set went quadratic; squaring mod 1e9+7 decorrelates the
+    * envelopes (measured: cross-family candidate rate drops ~50×). */
+  def testClusterSample(id: Long, clusterSize: Int, i: Int): Short = {
+    val cl = id / clusterSize
+    def h(c: Long): Short = {
+      val t = (c * 1000003L + i.toLong * 31 + 7) % 1000000007L
+      ((t * t % 1000000007L) % 65536L - 32768L).toShort
+    }
+    if (i == (id % testAudioLen(cl)).toInt) h(cl + 7919L) else h(cl)
+  }
+
+  /** 31-bit energy-sign fingerprint of a PCM track: split the samples
+    * into 32 contiguous windows (window w covers samples
+    * [w·n/32, (w+1)·n/32)), energy = Σ s² per window as an EXACT Long,
+    * bit w−1 set iff energy(w) > energy(w−1). Gradient signs of the
+    * energy envelope survive level changes (volume is a positive
+    * scale: s² scales uniformly) — the standard audio-fingerprint
+    * construction collapsed to one band, exact-integer end to end. */
+  def audioFingerprint(samples: Array[Short]): Long = {
+    val n = samples.length
+    require(n >= 32, s"fingerprint needs >= 32 samples, got $n")
+    val energy = new Array[Long](32)
+    var w = 0
+    while (w < 32) {
+      var i = w * n / 32
+      val end = (w + 1) * n / 32
+      var e = 0L
+      while (i < end) {
+        e += samples(i).toLong * samples(i).toLong; i += 1
+      }
+      energy(w) = e
+      w += 1
+    }
+    var fp = 0L
+    w = 1
+    while (w < 32) {
+      if (energy(w) > energy(w - 1)) fp |= 1L << (w - 1)
+      w += 1
+    }
+    fp
+  }
+
+  /** One REAL-decoded fingerprint per id: synthesize the family WAV,
+    * decode it back through the JVM codec, fingerprint the actual
+    * samples. Partition-parallel, no shuffle.
+    * Output (doc_id, n_samples, fp). */
+  def audioFingerprints(docs: DataFrame, idCol: String,
+                        clusterSize: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val cl = id / clusterSize
+        val n = testAudioLen(cl)
+        val wav = encodeWavPcm16(testAudioRate(cl),
+          Array.tabulate(n)(i => testClusterSample(id, clusterSize, i)))
+        val (_, ch, dec) = decodeWavPcm16(wav)
+        require(ch == 1, s"mono fixture decoded as $ch channels")
+        (id, dec.length, audioFingerprint(dec))
+      }
+    }.toDF("doc_id", "n_samples", "fp")
+  }
+
+  /** Hamming-banded audio near-dup pairs over (doc_id, fp) — two
+    * 16-bit bands of the 31-bit fingerprint bucket the join (a
+    * one-sample retouch moves ≤2 adjacent energy-sign bits, so at
+    * least one band always matches), exact `bit_count` filter after.
+    * Output (doc_id_a < doc_id_b, hamming). */
+  def audioNearDupPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, s"bad bound $maxHamming")
+    val banded = fps.select(col("doc_id"), col("fp"),
+        explode(array((0 until 2).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fp"), b * 16).bitwiseAND(lit(65535L))
+              .as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.select(col("band"), col("bval"),
+      col("doc_id").as("doc_id_a"), col("fp").as("__fa"))
+    val b = banded.select(col("band").as("__band_b"),
+      col("bval").as("__bval_b"),
+      col("doc_id").as("doc_id_b"), col("fp").as("__fb"))
+    a.join(b, col("band") === col("__band_b") &&
+        col("bval") === col("__bval_b") &&
+        col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast("int")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_id_a", "doc_id_b")
+  }
+
   // ---- real video kernel (animated GIF via javax.imageio — the one
   //      multi-frame container the JVM ships a codec for, offline) ----
 

@@ -809,6 +809,24 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         Seq((0L, 1L)),
         "graft_image_phash_pairs must pair the family, not cluster 3")
 
+      // video/audio near-dups: one family of two, cluster 3 stays out
+      val vp = spark.sql("SELECT * FROM graft_video_neardups(" +
+        "'tvf_phash','doc_id',2,8,2)").collect()
+      assert(vp.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((0L, 1L)), "graft_video_neardups must pair the family")
+      val ap = spark.sql("SELECT * FROM graft_audio_neardups(" +
+        "'tvf_phash','doc_id',2,4)").collect()
+      assert(ap.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((0L, 1L)), "graft_audio_neardups must pair the family")
+
+      // dup weights: 2 copies of {a,b} at 0.5, singleton at 1.0
+      Seq((1L, "a b"), (2L, "b a"), (3L, "c")).toDF("doc_id", "text")
+        .createOrReplaceTempView("tvf_dupw")
+      val dw = spark.sql("SELECT * FROM graft_dup_weights(" +
+        "'tvf_dupw','doc_id','text') ORDER BY id").collect()
+      assert(dw.map(r => (r.getLong(0), r.getDouble(3))).toSeq ===
+        Seq((1L, 0.5), (2L, 0.5), (3L, 1.0)))
+
       // kcore: pendant peels, triangle survives
       Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
         .createOrReplaceTempView("tvf_kcore")

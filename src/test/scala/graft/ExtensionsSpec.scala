@@ -344,6 +344,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs === within,
       s"missing ${within -- pairs}, strays ${pairs -- within}")
   }
+
+  test("video near-dup: families pair on every frame, frame hashes come " +
+    "from the real sequence decode") {
+    val fh = Multimodal.videoFrameHashes((0L to 9L).toDF("doc_id"),
+      "doc_id", clusterSize = 5)
+    // frame stacks are cluster-keyed: 2 + cl % 5 frames
+    val counts = fh.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(counts(_) == 2L) &&
+      (5L to 9L).forall(counts(_) == 3L))
+    val pairs = Multimodal.videoNearDupPairs(fh, maxHamming = 8,
+        minMatchFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val within = (for { a <- 0 to 9; b <- 0 to 9
+      if a < b && a / 5 == b / 5 } yield (a.toLong, b.toLong)).toSet
+    assert(pairs.keySet === within,
+      s"missing ${within -- pairs.keySet}, strays ${pairs.keySet -- within}")
+    // a one-frame retouch never breaks a frame match: all frames agree
+    assert(pairs.forall { case ((a, _), m) => m == counts(a) },
+      s"every frame of a family pair must match: $pairs")
+  }
+
+  test("audio fingerprint: volume-invariant energy envelope, one-sample " +
+    "click moves <= 2 adjacent bits, families pair") {
+    val quiet = Array.tabulate(64)(i => ((i * 37) % 127 - 63).toShort)
+    val loud = quiet.map(s => (s * 250).toShort) // uniform gain
+    assert(Multimodal.audioFingerprint(quiet) ===
+      Multimodal.audioFingerprint(loud),
+      "energy-gradient signs must survive a uniform volume change")
+    // a click at any position moves AT MOST the 2 adjacent envelope
+    // bits (and may legally move none, when the window's relative order
+    // survives) — both facts checked across every position
+    val ds = (0 until 64).map { pos =>
+      val clicked = quiet.clone(); clicked(pos) = 32000
+      java.lang.Long.bitCount(Multimodal.audioFingerprint(quiet) ^
+        Multimodal.audioFingerprint(clicked))
+    }
+    assert(ds.max <= 2, s"one click moved ${ds.max} bits")
+    assert(ds.exists(_ >= 1), "no click position moved the envelope")
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.audioFingerprints((0L to 9L).toDF("doc_id"), "doc_id",
+          clusterSize = 5).toDF(),
+        maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within = (for { a <- 0 to 9; b <- 0 to 9
+      if a < b && a / 5 == b / 5 } yield (a.toLong, b.toLong)).toSet
+    assert(pairs === within,
+      s"missing ${within -- pairs}, strays ${pairs -- within}")
+  }
 }
 
 class StreamingSpec extends SparkTestBase {

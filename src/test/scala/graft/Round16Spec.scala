@@ -94,6 +94,19 @@ class Round16Spec extends SparkTestBase {
     assert(got === Seq("S/ 1,234,567", "S/ 1,201", "–", "S/ 0"))
   }
 
+  test("dup weights: every doc kept, weight = 1/multiplicity, mass per " +
+    "group sums to ~1") {
+    import graft.dedup.Dedup
+    val df = Seq((1L, "a b"), (2L, "b a"), (3L, "b  a "), (4L, "c"),
+      (5L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.dupWeights(df, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // docs 1-3 share the {a,b} word set (order/dup/space-insensitive)
+    assert(got.toSeq === Seq((1L, 3L, 0.333333), (2L, 3L, 0.333333),
+      (3L, 3L, 0.333333), (4L, 1L, 1.0), (5L, 1L, 1.0)))
+  }
+
   test("mix plan rejects duplicate sources in the weight spec (they " +
     "would duplicate join rows and skew the normalization)") {
     val df = Seq(("en", "one two"), ("fr", "trois")).toDF("src", "text")
