@@ -1355,6 +1355,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_split_by_digest"),
+      info("graft_split_by_digest",
+        "graft_split_by_digest(table, idCol, textCol, trainPct, valPct) - leakage-free train/val/test split keyed on the exact-dedup digest (identical copies always co-split): (id, dedup_key, split)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"graft_split_by_digest expects 5 arguments")
+        val n = "graft_split_by_digest"
+        graft.operators.DatasetSplit.byDigest(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)),
+            numLit(n, "trainPct", args(3)).toInt,
+            numLit(n, "valPct", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_dup_weights"),
       info("graft_dup_weights",
         "graft_dup_weights(table, idCol, textCol) - duplicate-count sampling weights over the exact-dedup digest: (id, dedup_key, n_docs, weight)"),

@@ -827,6 +827,12 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(dw.map(r => (r.getLong(0), r.getDouble(3))).toSeq ===
         Seq((1L, 0.5), (2L, 0.5), (3L, 1.0)))
 
+      // split by digest: exact copies co-split, percents respected
+      val spl = spark.sql("SELECT * FROM graft_split_by_digest(" +
+        "'tvf_dupw','doc_id','text',80,10) ORDER BY id").collect()
+      assert(spl.length === 3 && spl(0).getString(2) === spl(1).getString(2),
+        "identical word sets must land in the same split")
+
       // kcore: pendant peels, triangle survives
       Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
         .createOrReplaceTempView("tvf_kcore")

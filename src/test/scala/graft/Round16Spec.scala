@@ -107,6 +107,37 @@ class Round16Spec extends SparkTestBase {
       (3L, 3L, 0.333333), (4L, 1L, 1.0), (5L, 1L, 1.0)))
   }
 
+  test("dataset split: exact copies can never straddle a split, near-dup " +
+    "leakage is counted once per incident split") {
+    import graft.operators.DatasetSplit
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "x y z"), (4L, "p q"),
+      (5L, "m n o")).toDF("doc_id", "text")
+    val assign = DatasetSplit.byDigest(docs, "doc_id", "text", 80, 10)
+    val bySplit = assign.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(bySplit(1L) === bySplit(2L),
+      "identical word sets must land in the same split")
+    assert(assign.count() === 5)
+    // force a known leak: pretend (1,3) and (4,5) are near-dup pairs
+    val pairs = Seq((1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val rep = DatasetSplit.leakageReport(assign, pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep.values.map(_._1).sum === 5L, "every doc in exactly one split")
+    assert(rep.values.map(_._3).sum % 2 === 0L,
+      "each crossing pair is counted once per incident split (even total)")
+    val expectedLeaks = Seq((1L, 3L), (4L, 5L))
+      .count { case (a, b) => bySplit(a) != bySplit(b) } * 2L
+    assert(rep.values.map(_._3).sum === expectedLeaks)
+    // leakage of an empty pair frame is zero everywhere
+    val none = DatasetSplit.leakageReport(assign,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(none.collect().forall(_.getLong(3) == 0L))
+    intercept[IllegalArgumentException] {
+      DatasetSplit.byDigest(docs, "doc_id", "text", 90, 10)
+    }
+  }
+
   test("mix plan rejects duplicate sources in the weight spec (they " +
     "would duplicate join rows and skew the normalization)") {
     val df = Seq(("en", "one two"), ("fr", "trois")).toDF("src", "text")
