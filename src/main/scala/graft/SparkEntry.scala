@@ -18,7 +18,7 @@ object SparkEntry {
       Round13b.defs ++ Round13c.defs ++ Round13d.defs ++ Round13e.defs ++
       Round13f.defs ++ Round13g.defs ++ Round13h.defs ++ Round13i.defs ++
       Round13j.defs ++ Round13k.defs ++ Round14.defs ++ Round14b.defs ++
-      Round14c.defs ++ Round15.defs ++ Round15b.defs ++ Round15c.defs ++ Round15d.defs ++ Round16.defs ++ Round16b.defs ++ Round16c.defs
+      Round14c.defs ++ Round15.defs ++ Round15b.defs ++ Round15c.defs ++ Round15d.defs ++ Round16.defs ++ Round16b.defs ++ Round16c.defs ++ Round16d.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       Round13e.oracles ++ Round13f.oracles ++ Round13g.oracles ++
       Round13h.oracles ++ Round13i.oracles ++ Round13j.oracles ++
       Round13k.oracles ++ Round14.oracles ++ Round14b.oracles ++
-      Round14c.oracles ++ Round15.oracles ++ Round15b.oracles ++ Round15c.oracles ++ Round15d.oracles ++ Round16.oracles ++ Round16b.oracles ++ Round16c.oracles
+      Round14c.oracles ++ Round15.oracles ++ Round15b.oracles ++ Round15c.oracles ++ Round15d.oracles ++ Round16.oracles ++ Round16b.oracles ++ Round16c.oracles ++ Round16d.oracles
 }

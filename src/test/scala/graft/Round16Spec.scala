@@ -138,6 +138,30 @@ class Round16Spec extends SparkTestBase {
     }
   }
 
+  test("curation-4 composition: duplication-corrected masses reconcile " +
+    "exactly across splits") {
+    val docs = Seq((1L, "en", "a b"), (2L, "en", "b a"), (3L, "es", "x"),
+      (4L, "en", "p q r")).toDF("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("__r16d_docs")
+    val rows = graft.queries.Round16d.defs("pipeline_curation4")(spark,
+      writeTmpTable(docs))
+    val got = rows.agg(sum("n_docs"), sum("n_tokens"), sum("w_docs_ppm"),
+      sum("w_tokens_ppm")).head()
+    // group {1,2}: wppm 500000 each; singletons 1e6; tokens 2,2,1,3
+    assert(got.getLong(0) === 4L && got.getLong(1) === 8L)
+    assert(got.getLong(2) === 3000000L, "w_docs mass = 3 effective docs")
+    assert(got.getLong(3) === 6000000L,
+      "w_tokens mass = 2 + 1 + 3 effective tokens")
+  }
+
+  /** Round16d's gate reads documents.parquet from a dir — stage the
+    * fixture the same way. */
+  private def writeTmpTable(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r16d").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("mix plan rejects duplicate sources in the weight spec (they " +
     "would duplicate join rows and skew the normalization)") {
     val df = Seq(("en", "one two"), ("fr", "trois")).toDF("src", "text")
