@@ -51,6 +51,20 @@ case class ImageHash(doc_id: Long, dhash: Long)
   */
 object Multimodal {
 
+  /** Id column of a decode stage, SPREAD before the per-row codec work:
+    * a compact parquet scan of the id column arrives in one or two
+    * splits, which would run a CPU-bound decode stage serially on a
+    * 32-core executor (and on ONE executor of a 1000-node cluster).
+    * The shuffle moves only 8-byte ids — orders of magnitude cheaper
+    * than the codec work it parallelizes. */
+  private def spreadIds(docs: DataFrame, idCol: String): Dataset[Long] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .as[Long]
+  }
+
   /** Wrap any string payload column as a binary media column. */
   def blobify(df: DataFrame, idCol: String, payloadCol: String,
               kind: String): DataFrame =
@@ -191,12 +205,12 @@ object Multimodal {
     * [[testPixel]]/[[testDims]], REAL-decode it back, resample to
     * (tw, th), and emit decoded dims plus an order-weighted checksum
     * `sum(pixel_i * (i+1))` — position-sensitive, so row/column swaps
-    * don't cancel. Partition-parallel, no shuffle; the oracle replays
-    * the same integers straight from the formula. */
+    * don't cancel. Partition-parallel after the [[spreadIds]] id
+    * shuffle; the oracle replays the same integers from the formula. */
   def imageRoundTrip(docs: DataFrame, idCol: String,
                      tw: Int, th: Int): Dataset[ImageDecoded] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.map { id =>
         val (w0, h0) = testDims(id)
         val png = encodeGrayPng(w0, h0, (x, y) => testPixel(id, x, y))
@@ -276,12 +290,12 @@ object Multimodal {
     * [[testSample]]/[[testAudioLen]]/[[testAudioRate]], REAL-decode it
     * back through the JVM codec, and emit rate, length, integral-ms
     * duration, peak |amplitude|, and the order-weighted checksum
-    * `sum(s_i * (i+1))`. Partition-parallel, no shuffle; the oracle
-    * replays the same integers straight from the formula. */
+    * `sum(s_i * (i+1))`. Partition-parallel after the [[spreadIds]] id
+    * shuffle; the oracle replays the same integers from the formula. */
   def audioRoundTrip(docs: DataFrame,
                      idCol: String): Dataset[AudioDecoded] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.map { id =>
         val n = testAudioLen(id)
         val rate = testAudioRate(id)
@@ -356,11 +370,11 @@ object Multimodal {
 
   /** One REAL-decoded dHash per id: synthesize the cluster-fixture PNG,
     * decode it back through ImageIO, and hash the actual raster.
-    * Partition-parallel, no shuffle. */
+    * Partition-parallel after the [[spreadIds]] id shuffle. */
   def imageDHashes(docs: DataFrame, idCol: String,
                    clusterSize: Int): Dataset[ImageHash] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.map { id =>
         val (w0, h0) = testDims(id / clusterSize)
         val png = encodeGrayPng(w0, h0,
@@ -429,12 +443,13 @@ object Multimodal {
 
   /** Per-(video, frame) dHash rows from the REAL sequence walk:
     * synthesize the family GIF, decode every frame back through the
-    * JDK codec, dHash each decoded raster. Partition-parallel flatMap,
-    * no shuffle. Output (doc_id, frame_idx, n_frames, dhash). */
+    * JDK codec, dHash each decoded raster. Partition-parallel flatMap
+    * after the [[spreadIds]] id shuffle.
+    * Output (doc_id, frame_idx, n_frames, dhash). */
   def videoFrameHashes(docs: DataFrame, idCol: String,
                        clusterSize: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].flatMap { id =>
+    spreadIds(docs, idCol).flatMap { id =>
       val cl = id / clusterSize
       val (w0, h0) = testDims(cl)
       val n = testFrameCount(cl)
@@ -541,12 +556,12 @@ object Multimodal {
 
   /** One REAL-decoded fingerprint per id: synthesize the family WAV,
     * decode it back through the JVM codec, fingerprint the actual
-    * samples. Partition-parallel, no shuffle.
+    * samples. Partition-parallel after the [[spreadIds]] id shuffle.
     * Output (doc_id, n_samples, fp). */
   def audioFingerprints(docs: DataFrame, idCol: String,
                         clusterSize: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    spreadIds(docs, idCol).mapPartitions { it =>
       it.map { id =>
         val cl = id / clusterSize
         val n = testAudioLen(cl)
@@ -700,13 +715,13 @@ object Multimodal {
     * step of a video pipeline), resample each kept frame to (tw, th)
     * with the exact-integer NN math, and emit one typed row per kept
     * frame with the order-weighted checksum `sum(pixel_i * (i+1))`.
-    * Partition-parallel flatMap, no shuffle; the oracle replays the
-    * integers straight from the formula + the NN index math. */
+    * Partition-parallel flatMap after the [[spreadIds]] id shuffle; the
+    * oracle replays the integers from the formula + the NN index math. */
   def videoRoundTrip(docs: DataFrame, idCol: String, stride: Int,
                      tw: Int, th: Int): Dataset[FrameDecoded] = {
     require(stride > 0 && tw > 0 && th > 0)
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].flatMap { id =>
+    spreadIds(docs, idCol).flatMap { id =>
       val (w0, h0) = testDims(id)
       val n = testFrameCount(id)
       val gif = encodeGrayGif(w0, h0, n, (f, x, y) => testFramePixel(id, f, x, y))
