@@ -79,7 +79,7 @@ object Round16 {
     // F17 — es-PE PEN display format (ref `index.html:104-106`):
     // round half-up to whole soles, comma thousands grouping, the
     // dashboard's en-dash placeholder on the null lane
-    "scalar_currency_pen" -> ((s, dir) =>
+    "scalar_currency_pen_total" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .where(col("l_orderkey") <= 2000L)
         .select(col("l_orderkey").cast("long").as("okey"),
@@ -206,7 +206,7 @@ object Round16 {
     // DuckDB round() is half-away-from-zero on the double's binary
     // value; at WHOLE-sol precision the half grid (.5) is exactly
     // representable, so it agrees with Spark's shortest-repr HALF_UP
-    "scalar_currency_pen" ->
+    "scalar_currency_pen_total" ->
       """SELECT l_orderkey::BIGINT AS okey, l_linenumber::BIGINT AS line,
            'S/ ' || format('{:,}', round(l_extendedprice)::BIGINT)
              AS precio,
