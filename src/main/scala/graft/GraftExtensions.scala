@@ -1371,6 +1371,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_dsir_weights"),
+      info("graft_dsir_weights",
+        "graft_dsir_weights(table, idCol, textCol, targetLangCol, targetLang, buckets) - DSIR hashed-unigram importance log-weights, target vs pool, ppm-exact: (id, is_target, n_tokens, logw_ppm)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          s"graft_dsir_weights expects 6 arguments")
+        val n = "graft_dsir_weights"
+        graft.operators.Dsir.importanceWeights(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)),
+            org.apache.spark.sql.functions.col(
+              strLit(n, "targetLangCol", args(3))) ===
+              strLit(n, "targetLang", args(4)),
+            numLit(n, "buckets", args(5)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_ccnet_buckets"),
+      info("graft_ccnet_buckets",
+        "graft_ccnet_buckets(table, idCol, textCol, langCol) - CCNet head/middle/tail per-language perplexity triage over the add-1 unigram LM: (lang, bucket, n_docs, n_tokens, lp_min, lp_max)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_ccnet_buckets expects 4 arguments")
+        val n = "graft_ccnet_buckets"
+        graft.textanalysis.PerplexityBuckets.summary(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)),
+            strLit(n, "langCol", args(3)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_dup_weights"),
       info("graft_dup_weights",
         "graft_dup_weights(table, idCol, textCol) - duplicate-count sampling weights over the exact-dedup digest: (id, dedup_key, n_docs, weight)"),

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+import graft.textanalysis.PerplexityBuckets
+
+/** Round-16 fifth batch: the paper-backed DATA-SELECTION tier — the
+  * step between "the corpus is clean" and "this is the corpus we
+  * train on": DSIR hashed-n-gram importance weights (Xie et al. 2023),
+  * deterministic Gumbel top-k importance resampling over those
+  * weights, and CCNet head/middle/tail perplexity triage per language
+  * (Wenzek et al. 2020). All cross-row accumulation is ppm/1e-4
+  * fixed-point, so every gate replays exactly in DuckDB. */
+object Round16e {
+
+  /** Feature buckets for the hashed bag-of-words models. */
+  private val DsirBuckets = 2048
+
+  /** Resample size for the Gumbel top-k gate. */
+  private val DsirK = 100
+
+  /** Shared oracle CTEs: per-doc DSIR importance log-weights in ppm
+    * integers, target = English docs, raw = the whole pool. */
+  private def dsirWeightCtes: String =
+    s"""d AS (SELECT doc_id AS id, lang = 'en' AS t,
+           regexp_split_to_array(trim(text), '\\s+') AS arr
+         FROM documents
+         WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       toks AS (SELECT id, t,
+           CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % $DsirBuckets
+             AS b
+         FROM (SELECT id, t, unnest(arr) AS w FROM d)),
+       cnt AS (SELECT b,
+           sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS tc,
+           count(*)::BIGINT AS rc
+         FROM toks GROUP BY b),
+       tot AS (SELECT sum(tc)::BIGINT AS tt, sum(rc)::BIGINT AS rt
+         FROM cnt),
+       lr AS (SELECT b,
+           CAST(floor(ln(((tc + 1) * (rt + $DsirBuckets))::DOUBLE /
+               ((rc + 1) * (tt + $DsirBuckets))::DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS lrp
+         FROM cnt, tot),
+       w AS (SELECT toks.id, bool_or(toks.t) AS is_target,
+           count(*)::BIGINT AS n_tokens,
+           sum(lr.lrp)::BIGINT AS logw_ppm
+         FROM toks JOIN lr USING (b) GROUP BY toks.id)"""
+
+  val defs: Map[String, Q] = Map(
+
+    // DSIR (Xie et al. 2023): hashed-unigram target-vs-pool importance
+    // log-weights, target = the English slice; per-bucket log-ratios
+    // fixed-pointed to ppm so the per-doc sums are exact longs — one
+    // model aggregation, one broadcast-join scoring pass
+    "curate_dsir_weights" -> ((s, dir) =>
+      Dsir.importanceWeights(tbl(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = DsirBuckets)
+        .orderBy("id")),
+
+    // Gumbel top-k importance resampling over the DSIR weights: key =
+    // logw + Gumbel(0,1) from a deterministic md5 uniform, k largest
+    // keys win — plans as TakeOrderedAndProject, no global sort
+    "sample_importance" -> ((s, dir) =>
+      Dsir.gumbelTopK(
+          Dsir.importanceWeights(tbl(s, dir, "documents"), "doc_id",
+            "text", isTarget = col("lang") === "en",
+            buckets = DsirBuckets),
+          k = DsirK)
+        .orderBy(col("key_ppm").desc, col("id"))),
+
+    // CCNet (Wenzek et al. 2020) perplexity triage: per-language
+    // unigram LM score, EXACT per-language terciles, head/middle/tail
+    // doc+token counts and the score span each bucket covers
+    "curate_ccnet_buckets" -> ((s, dir) =>
+      PerplexityBuckets.summary(tbl(s, dir, "documents"), "doc_id",
+          "text", "lang")
+        .orderBy("lang", "bucket")))
+
+  val oracles: Map[String, String] = Map(
+
+    "curate_dsir_weights" ->
+      s"""WITH $dsirWeightCtes
+         SELECT id, is_target, n_tokens, logw_ppm FROM w ORDER BY id""",
+
+    "sample_importance" ->
+      s"""WITH $dsirWeightCtes,
+         keyed AS (SELECT id, is_target, n_tokens, logw_ppm,
+             logw_ppm + CAST(floor(-ln(-ln(
+                 ((CAST(('0x' || substr(md5('g|' || id::VARCHAR), 1, 8))
+                     AS BIGINT) % 1048576)::DOUBLE + 0.5) / 1048576.0))
+               * 1000000 + 0.5) AS BIGINT) AS key_ppm
+           FROM w)
+         SELECT id, is_target, n_tokens, logw_ppm, key_ppm FROM keyed
+         ORDER BY key_ppm DESC, id LIMIT $DsirK""",
+
+    "curate_ccnet_buckets" ->
+      """WITH d AS (SELECT doc_id AS id, lang,
+           regexp_split_to_array(trim(text), '\s+') AS arr
+         FROM documents
+         WHERE text IS NOT NULL AND length(trim(text)) > 0
+           AND lang IS NOT NULL),
+       toks AS (SELECT id, lang, unnest(arr) AS w FROM d),
+       model AS (SELECT lang, w, count(*)::BIGINT AS c
+         FROM toks GROUP BY 1, 2),
+       stats AS (SELECT lang, sum(c)::BIGINT AS tt, count(*)::BIGINT AS vv
+         FROM model GROUP BY 1),
+       lp AS (SELECT lang, w, ln((c + 1)::DOUBLE / (tt + vv)::DOUBLE)
+           AS lp
+         FROM model JOIN stats USING (lang)),
+       sc AS (SELECT id, t.lang, count(*)::BIGINT AS n_tokens,
+           floor(avg(lp.lp) * 10000 + 0.5) / 10000 AS alp
+         FROM toks t JOIN lp USING (lang, w) GROUP BY 1, 2),
+       cuts AS (SELECT lang,
+           floor(quantile_cont(alp, 1.0/3.0) * 10000 + 0.5) / 10000
+             AS q33,
+           floor(quantile_cont(alp, 2.0/3.0) * 10000 + 0.5) / 10000
+             AS q67
+         FROM sc GROUP BY 1),
+       b AS (SELECT sc.lang, sc.n_tokens, sc.alp,
+           CASE WHEN sc.alp > cuts.q67 THEN 'head'
+             WHEN sc.alp > cuts.q33 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM sc JOIN cuts USING (lang))
+       SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS n_tokens,
+         min(alp) AS lp_min, max(alp) AS lp_max
+       FROM b GROUP BY 1, 2 ORDER BY 1, 2""")
+}

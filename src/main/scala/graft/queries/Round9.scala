@@ -16,7 +16,7 @@ object Round9 {
 
   /** Merge-step count shared by the Spark queries and the generated
     * oracle SQL so the two sides cannot drift. */
-  private val BpeMerges = 8
+  private[queries] val BpeMerges = 8
 
   val defs: Map[String, Q] = Map(
     // corpus-scale word count once, then every iteration runs on the
@@ -45,7 +45,7 @@ object Round9 {
 
   /** The shared CTE chain: vocabulary v0, then per step k the pair
     * counts p_k, argmax b_k, and recursive leftmost-apply r_k → v_k. */
-  private def bpeCtes(n: Int): String = {
+  private[queries] def bpeCtes(n: Int): String = {
     val stages = (1 to n).map { k =>
       s"""p$k AS MATERIALIZED (SELECT p[1] AS a, p[2] AS b, sum(freq) AS cnt
            FROM (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p,

@@ -1,0 +1,81 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+  * document under ITS OWN language's LM, then split each language into
+  * head / middle / tail terciles by score — the standard crawl-quality
+  * triage that feeds "train on head+middle, audit tail". The LM here
+  * is the [[UnigramLm]] add-1 unigram (the cheap stand-in the pipeline
+  * shape doesn't depend on); the cuts are EXACT per-language terciles
+  * via [[Analytics.exactQuantilesSelectGrouped]] — no sampled sketch,
+  * so the assignment replays exactly.
+  *
+  * Shape at scale: the per-language model is one grouped (lang, token)
+  * count (map-side combined) joined back to the token stream — the
+  * same two-scan shape as [[UnigramLm.scoreDocs]] with a composite
+  * key; the tercile selection reads only O(|langs| · 2) boundary rows
+  * to the driver; bucket assignment is a broadcast cut-table join +
+  * pure map. Cut values round to the same 1e-4 grid as the scores
+  * before comparison, so boundary docs classify identically in any
+  * engine. */
+object PerplexityBuckets {
+
+  /** Per-document mean token log-prob under the doc's own language
+    * model: (id, lang, n_tokens, avg_logprob·1e-4-rounded). Empty and
+    * null-lang docs drop. */
+  def perLangLogprob(df: DataFrame, idCol: String, textCol: String,
+                     langCol: String): DataFrame = {
+    val toks = df
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 &&
+        col(langCol).isNotNull)
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
+        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+    val model = toks.groupBy("lang", "__w").agg(count(lit(1)).as("__c"))
+    val stats = model.groupBy("lang")
+      .agg(sum("__c").as("__T"), count(lit(1)).as("__V"))
+    val scored = model.join(broadcast(stats), Seq("lang"))
+      .select(col("lang"), col("__w"),
+        log((col("__c") + 1L).cast("double") /
+          (col("__T") + col("__V")).cast("double")).as("__lp"))
+    toks.join(scored, Seq("lang", "__w"))
+      .groupBy("id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg("__lp") * 1e4 + 0.5) / 1e4).as("avg_logprob"))
+  }
+
+  /** Head/middle/tail assignment per language over [[perLangLogprob]]
+    * scores (head = top tercile by log-prob = lowest perplexity).
+    * Returns the per-doc frame with a `bucket` column. */
+  def assign(scores: DataFrame): DataFrame = {
+    val cuts = Analytics.exactQuantilesSelectGrouped(scores, "lang",
+        col("id"), "avg_logprob",
+        Seq("q33" -> (1.0 / 3.0), "q67" -> (2.0 / 3.0)),
+        k = 1024, nBuckets = 32)
+      .groupBy(col("lang"))
+      .pivot("prob", Seq("q33", "q67")).agg(first("exact_q"))
+      .select(col("lang"),
+        (floor(col("q33") * 1e4 + 0.5) / 1e4).as("__q33"),
+        (floor(col("q67") * 1e4 + 0.5) / 1e4).as("__q67"))
+    scores.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_logprob") > col("__q67"), "head")
+          .when(col("avg_logprob") > col("__q33"), "middle")
+          .otherwise("tail"))
+      .drop("__q33", "__q67")
+  }
+
+  /** The per-(lang, bucket) triage summary a curation run reports:
+    * doc/token counts and the score range each bucket spans. */
+  def summary(df: DataFrame, idCol: String, textCol: String,
+              langCol: String): DataFrame =
+    assign(perLangLogprob(df, idCol, textCol, langCol))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("avg_logprob").as("lp_min"),
+        max("avg_logprob").as("lp_max"))
+}
