@@ -749,7 +749,7 @@ object Analytics7 {
 
   /** The text_quality oracle's scoring CTE, reused by filter_quantile so
     * the two gates cannot drift. Yields q(doc_id, quality). */
-  private val QualitySql =
+  private[queries] val QualitySql =
     """t AS (SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN 0.0
            ELSE len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE

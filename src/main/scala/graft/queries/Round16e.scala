@@ -21,11 +21,13 @@ object Round16e {
   private val DsirK = 100
 
   /** Shared oracle CTEs: per-doc DSIR importance log-weights in ppm
-    * integers, target = English docs, raw = the whole pool. */
-  private def dsirWeightCtes: String =
+    * integers, target = English docs, raw = the whole pool. `src` is
+    * any relation with (doc_id, lang, text) — the corpus the model
+    * fits on AND scores. */
+  private[queries] def dsirWeightCtes(src: String = "documents"): String =
     s"""d AS (SELECT doc_id AS id, lang = 'en' AS t,
            regexp_split_to_array(trim(text), '\\s+') AS arr
-         FROM documents
+         FROM $src
          WHERE text IS NOT NULL AND length(trim(text)) > 0),
        toks AS (SELECT id, t,
            CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % $DsirBuckets
@@ -80,50 +82,61 @@ object Round16e {
   val oracles: Map[String, String] = Map(
 
     "curate_dsir_weights" ->
-      s"""WITH $dsirWeightCtes
+      s"""WITH ${dsirWeightCtes()}
          SELECT id, is_target, n_tokens, logw_ppm FROM w ORDER BY id""",
 
     "sample_importance" ->
-      s"""WITH $dsirWeightCtes,
-         keyed AS (SELECT id, is_target, n_tokens, logw_ppm,
-             logw_ppm + CAST(floor(-ln(-ln(
-                 ((CAST(('0x' || substr(md5('g|' || id::VARCHAR), 1, 8))
-                     AS BIGINT) % 1048576)::DOUBLE + 0.5) / 1048576.0))
-               * 1000000 + 0.5) AS BIGINT) AS key_ppm
-           FROM w)
+      s"""WITH ${dsirWeightCtes()}, $gumbelKeyedCte
          SELECT id, is_target, n_tokens, logw_ppm, key_ppm FROM keyed
          ORDER BY key_ppm DESC, id LIMIT $DsirK""",
 
     "curate_ccnet_buckets" ->
-      """WITH d AS (SELECT doc_id AS id, lang,
+      s"""WITH $ccnetAssignCtes
+       SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS n_tokens,
+         min(alp) AS lp_min, max(alp) AS lp_max
+       FROM cb GROUP BY 1, 2 ORDER BY 1, 2""")
+
+  /** Gumbel top-k key over the `w` weights CTE — the deterministic
+    * md5-uniform draw [[graft.operators.Dsir.gumbelTopK]] replays. */
+  private[queries] def gumbelKeyedCte: String =
+    """keyed AS (SELECT id, is_target, n_tokens, logw_ppm,
+         logw_ppm + CAST(floor(-ln(-ln(
+             ((CAST(('0x' || substr(md5('g|' || id::VARCHAR), 1, 8))
+                 AS BIGINT) % 1048576)::DOUBLE + 0.5) / 1048576.0))
+           * 1000000 + 0.5) AS BIGINT) AS key_ppm
+       FROM w)"""
+
+  /** Shared oracle CTEs for the CCNet triage: per-doc
+    * (id, lang, n_tokens, alp, bucket) in `cb`. CTE names carry a
+    * c-prefix so the chain composes with [[dsirWeightCtes]]. */
+  private[queries] def ccnetAssignCtes: String =
+    """cd AS (SELECT doc_id AS id, lang,
            regexp_split_to_array(trim(text), '\s+') AS arr
          FROM documents
          WHERE text IS NOT NULL AND length(trim(text)) > 0
            AND lang IS NOT NULL),
-       toks AS (SELECT id, lang, unnest(arr) AS w FROM d),
-       model AS (SELECT lang, w, count(*)::BIGINT AS c
-         FROM toks GROUP BY 1, 2),
-       stats AS (SELECT lang, sum(c)::BIGINT AS tt, count(*)::BIGINT AS vv
-         FROM model GROUP BY 1),
-       lp AS (SELECT lang, w, ln((c + 1)::DOUBLE / (tt + vv)::DOUBLE)
+       ctoks AS (SELECT id, lang, unnest(arr) AS w FROM cd),
+       cmodel AS (SELECT lang, w, count(*)::BIGINT AS c
+         FROM ctoks GROUP BY 1, 2),
+       cstats AS (SELECT lang, sum(c)::BIGINT AS tt,
+           count(*)::BIGINT AS vv
+         FROM cmodel GROUP BY 1),
+       clp AS (SELECT lang, w, ln((c + 1)::DOUBLE / (tt + vv)::DOUBLE)
            AS lp
-         FROM model JOIN stats USING (lang)),
-       sc AS (SELECT id, t.lang, count(*)::BIGINT AS n_tokens,
-           floor(avg(lp.lp) * 10000 + 0.5) / 10000 AS alp
-         FROM toks t JOIN lp USING (lang, w) GROUP BY 1, 2),
-       cuts AS (SELECT lang,
+         FROM cmodel JOIN cstats USING (lang)),
+       csc AS (SELECT id, t.lang, count(*)::BIGINT AS n_tokens,
+           floor(avg(clp.lp) * 10000 + 0.5) / 10000 AS alp
+         FROM ctoks t JOIN clp USING (lang, w) GROUP BY 1, 2),
+       ccuts AS (SELECT lang,
            floor(quantile_cont(alp, 1.0/3.0) * 10000 + 0.5) / 10000
              AS q33,
            floor(quantile_cont(alp, 2.0/3.0) * 10000 + 0.5) / 10000
              AS q67
-         FROM sc GROUP BY 1),
-       b AS (SELECT sc.lang, sc.n_tokens, sc.alp,
-           CASE WHEN sc.alp > cuts.q67 THEN 'head'
-             WHEN sc.alp > cuts.q33 THEN 'middle'
+         FROM csc GROUP BY 1),
+       cb AS (SELECT csc.id, csc.lang, csc.n_tokens, csc.alp,
+           CASE WHEN csc.alp > ccuts.q67 THEN 'head'
+             WHEN csc.alp > ccuts.q33 THEN 'middle'
              ELSE 'tail' END AS bucket
-         FROM sc JOIN cuts USING (lang))
-       SELECT lang, bucket, count(*)::BIGINT AS n_docs,
-         sum(n_tokens)::BIGINT AS n_tokens,
-         min(alp) AS lp_min, max(alp) AS lp_max
-       FROM b GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM csc JOIN ccuts USING (lang))"""
 }
