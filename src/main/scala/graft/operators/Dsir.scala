@@ -146,6 +146,17 @@ object Dsir {
   def gumbelTopK(weights: DataFrame, k: Int, tauPpm: Long = 1000000L)
       : DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    withGumbelKey(weights, tauPpm)
+      .orderBy(col("key_ppm").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The Gumbel sampling key alone (`key_ppm` appended) — shared by
+    * [[gumbelTopK]] and the streaming selector
+    * ([[graft.streaming.StreamingImportance]]), so batch and stream
+    * rank by the identical deterministic draw. */
+  def withGumbelKey(weights: DataFrame, tauPpm: Long = 1000000L)
+      : DataFrame = {
     require(tauPpm > 0, s"tauPpm must be positive, got $tauPpm")
     val h20 = conv(substring(md5(concat(lit("g|"),
       col("id").cast("string"))), 1, 8), 16, 10).cast("long") % 1048576L
@@ -155,9 +166,6 @@ object Dsir {
     val scaled =
       if (tauPpm == 1000000L) col("logw_ppm")
       else expr(s"(logw_ppm * 1000000) div $tauPpm")
-    weights
-      .withColumn("key_ppm", scaled + gumbelPpm)
-      .orderBy(col("key_ppm").desc, col("id"))
-      .limit(k)
+    weights.withColumn("key_ppm", scaled + gumbelPpm)
   }
 }

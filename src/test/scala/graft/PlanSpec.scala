@@ -368,6 +368,37 @@ class PlanSpec extends SparkTestBase {
       s"grouped sample must run the bounded-buffer operator:\n$pg")
   }
 
+  test("dsir: model table broadcasts into the scoring join, resample " +
+    "plans as bounded top-k, no window anywhere") {
+    val pw = plan("curate_dsir_weights")
+    assert(pw.contains("BroadcastHashJoin"),
+      s"the <=buckets-row log-ratio table must broadcast:\n$pw")
+    assert(!pw.contains("Window") && !pw.contains("SortMergeJoin"),
+      s"DSIR scoring is aggregation + a broadcast join only:\n$pw")
+    val ps = plan("sample_importance")
+    assert(ps.contains("TakeOrderedAndProject"),
+      s"Gumbel top-k must plan as TakeOrderedAndProject:\n$ps")
+  }
+
+  test("curriculum: every window is partitioned or bounded — the " +
+    "band/within ranks ride the laned prefix, not a one-task sort") {
+    val p = plan("curate_curriculum")
+    // in plan text an UNPARTITIONED spec starts with a sort column:
+    // windowspecdefinition(x ASC ...); a partitioned one leads with the
+    // bare partition column before the sort
+    val wins = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    val unpart = wins.count(l =>
+      raw"windowspecdefinition\([^,]*\b(ASC|DESC)\b".r
+        .findFirstIn(l).isDefined)
+    assert(wins.nonEmpty, s"ranks must exist in the plan:\n$p")
+    assert(unpart <= 2,
+      s"only the <= nLanes offset windows may be unpartitioned:\n$p")
+    assert(wins.size > unpart,
+      s"the data-sized rank window must be lane-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("duplicated spans: two partial-agg shuffles + a key join, no window") {
     val df = graft.textanalysis.TextAnalysis.duplicatedSpans(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 8)
