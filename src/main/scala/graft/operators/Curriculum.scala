@@ -27,11 +27,16 @@ object Curriculum {
   def interleave(df: DataFrame, difficultyCol: String, nBands: Int)
       : DataFrame = {
     require(nBands > 0, s"nBands must be positive, got $nBands")
+    // pin the banded frame: the grouped rank below runs several jobs
+    // (per-band cut sketch, lane counts, the rank join) and each would
+    // otherwise re-execute the whole global-rank pipeline (the
+    // PerplexityBuckets/Labeling multi-scan lesson)
     val ranked = RankNormalize(df, difficultyCol)
       .withColumn("band",
         least(floor(col("rank_pct") * nBands), lit(nBands - 1).cast("long"))
           .cast("int"))
       .drop("rank_pct")
+      .localCheckpoint()
     val within = RankNormalize.grouped(ranked, col("band"), difficultyCol)
     within.withColumn("within_pct",
         floor(col("rank_pct") * 1e6 + 0.5) / 1e6)
