@@ -4,18 +4,53 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and emits a JSON artifact with per-query seconds.
   *
   * Each query is forced through a full evaluation by hashing every output
   * column into one aggregate — `count()` alone would let Catalyst prune
   * projections and skip the actual operator work being measured.
   *
-  * Every query is timed twice and the BEST run is reported: a one-shot
-  * measurement has no defense against transient host contention (the
-  * round-7 committed bench overstated ~16 gates by 3–14× versus a quiet
-  * rerun of the identical binary). The minimum of two runs bounds the
-  * noise a single contended scheduling window can inject while staying
-  * cheap enough for the per-round driver run.
+  * DESIGN: coverage first, precision second. The round-16 driver bench
+  * was killed at its wall-clock cap (rc=124) before the single
+  * end-of-run JSON line was printed, so the official artifact parsed to
+  * null even though the engine was healthy. This version:
+  *
+  *   1. silences INFO/WARN log spam (the WindowExec warnings flooded
+  *      the driver's ~2000-char stdout tail past the JSON line);
+  *   2. optionally warms every gate once on a 1%-scale sibling dir
+  *      (sf0.001) so JIT/codegen/shuffle paths are primed and run 1 is
+  *      gradable (round-16 verdict item 8: contended first runs showed
+  *      graph gates 2–27x; set SPARK_GRAFT_BENCH_WARMUP=off to skip);
+  *   3. times every gate ONCE and re-emits the cumulative artifact —
+  *      stdout compact line + full-precision file — after EVERY gate,
+  *      so a kill at any instant leaves the latest parseable line in
+  *      the stdout tail and a complete file on disk;
+  *   4. only then refines with a second (and for stream_* a third)
+  *      timing pass, keeping the best and re-emitting as it goes. A
+  *      one-shot measurement has no defense against transient host
+  *      contention (the round-7 committed bench overstated ~16 gates by
+  *      3–14x vs a quiet rerun), so best-of-2 stays the quoted number
+  *      whenever the cap allows the refinement pass to finish.
+  *
+  * Knobs (all env):
+  *   SPARK_GRAFT_SF_DIR       data dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_BENCH_OUT    full-precision artifact path
+  *                            (default target/bench.json)
+  *   SPARK_GRAFT_BENCH_WARMUP "auto" (default: use the sf0.001 sibling
+  *                            of SF_DIR if it exists), "off", or an
+  *                            explicit warmup data dir
+  *   SPARK_GRAFT_BENCH_PASSES timing passes, default 2 (stream_* gates
+  *                            get one extra — micro-batch scheduling
+  *                            adds jitter batch queries don't have;
+  *                            observed same-gate run-pair ratios to 1.8x)
+  *   SPARK_GRAFT_BENCH_SHARD  "i/n" (i in 0..n-1): time only gates whose
+  *                            index mod n == i in the sorted gate list,
+  *                            so a time-capped harness can split the
+  *                            suite across invocations and merge the
+  *                            per-shard `queries` maps
+  *   SPARK_GRAFT_CPUS         local[] parallelism (default all cores)
+  * Dev filter: `runMain graft.Bench name1,name2` times just those gates
+  * (the driver passes no args — full suite).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,12 +64,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: per-batch WindowExec/streaming WARN lines ran to
+    // hundreds of kB over 317 gates and pushed the final JSON line out
+    // of the driver harness's bounded stdout tail (round-16 artifact
+    // loss). Anything log-worthy for a bench run is already captured in
+    // the per-gate failure handler below.
+    spark.sparkContext.setLogLevel("ERROR")
 
-    def once(name: String): Double = {
+    def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        val df = SparkEntry.queries(name)(spark, dir)
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(expr("bit_xor(__h)")).collect() // xor: no ANSI sum overflow
       } catch {
@@ -44,27 +84,6 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-
-    // best of 2: immune to a transiently contended host window. The
-    // stream_* family gets best of 3 — micro-batch scheduling adds
-    // jitter batch queries don't have (observed same-gate run-pair
-    // ratios up to 1.8x), and one extra sample separates a real
-    // regression from a slow scheduler wakeup.
-    def forceEval(name: String): Double = {
-      val tries = if (name.startsWith("stream_")) 3 else 2
-      var best = once(name)
-      if (best < 0) return best
-      var i = 1
-      while (i < tries) {
-        val t = once(name)
-        if (t >= 0 && t < best) best = t
-        i += 1
-      }
-      best
-    }
-
-    // warmup: JIT + codegen + filesystem caches on a trivial scan
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
 
     // host calibration: gate seconds are only comparable across rounds
     // when the host is. Two fixed probes — a single-thread JVM hash
@@ -80,12 +99,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // MULTI-probe (round-14 verdict item 2): a single probe showed 40%
-    // spread within one committed pair, and budget-breach adjudication
-    // plus cross-round host-vs-code attribution rested on that one
-    // number. Five probes, MEDIAN reported under the established key
-    // (tools/check_bench.py and every prior-round comparison read
-    // `spark_range_xxhash_s` — the median slots in unchanged), with the
-    // raw probes alongside so a reader can see the in-run spread.
+    // spread within one committed pair. Five probes, MEDIAN reported
+    // under the established key (tools/check_bench.py and every
+    // prior-round comparison read `spark_range_xxhash_s`), raw probes
+    // alongside so a reader can see the in-run spread.
     val calibProbes = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       spark.range(200000000L).select(xxhash64(col("id")).as("h"))
@@ -93,54 +110,123 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibSpark = calibProbes.sorted.apply(calibProbes.size / 2)
-
-    // optional dev filter: `runMain graft.Bench name1,name2` times just
-    // those gates (the driver passes no args — full suite)
-    val only: Option[Set[String]] =
-      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
-      .map(n => n -> forceEval(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
     val calib = s""""calib":{"jvm_hash_loop_s":$calibJvm,""" +
       s""""spark_range_xxhash_s":$calibSpark,""" +
       s""""spark_range_xxhash_probes":${
         calibProbes.mkString("[", ",", "]")}}"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s"""$calib,"sf":"$sfDir"}"""
-    // STDOUT gets a line that FITS: the driver keeps only the last
-    // ~2000 chars of console output, and the full per-query map (200+
-    // gates) is ~7 kB — every round's BENCH artifact parsed to null
-    // because the line's head was cut off. The printed line carries
-    // the suite total, calibration, and the 40 slowest gates (the ones
-    // a regression reader looks at first) at 3-decimal precision —
-    // ~1.3 kB, inside the window with room for sbt's trailer — plus a
-    // pointer to the full-precision file below.
+
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val shard: Option[(Int, Int)] =
+      sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { s =>
+        val Array(i, n) = s.split("/").map(_.trim.toInt)
+        require(n > 0 && i >= 0 && i < n,
+          s"SPARK_GRAFT_BENCH_SHARD must be i/n with 0 <= i < n, got $s")
+        (i, n)
+      }
+    val gates = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .zipWithIndex
+      .filter { case (_, ix) => shard.forall { case (i, n) => ix % n == i } }
+      .map(_._1)
+
+    // warmup: one untimed run per gate at 1% scale primes JIT, codegen
+    // caches, and shuffle/broadcast machinery so the FIRST timed run is
+    // gradable. sf0.001 is ~1/100 of sf0.1 — the warmup prices in
+    // seconds what contention otherwise inflates by 2–27x on run 1.
+    val warmupDir: Option[String] =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "auto") match {
+        case "off" => None
+        case "auto" =>
+          val sib = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+          if (sib != sfDir && java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(sib))) Some(sib)
+          else None
+        case dir => Some(dir)
+      }
+    warmupDir.foreach { wd =>
+      spark.read.parquet(s"$wd/nation.parquet").count()
+      gates.foreach(once(_, wd))
+    }
+    // even with no warmup dir: touch the data path once
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+
+    // ---- incremental emission ------------------------------------
     def f3(v: Double): String = // Locale.ROOT: a comma separator from
       String.format(java.util.Locale.ROOT, "%.3f", // the host locale
         Double.box(v)) // would break the JSON
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(40)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-        s""""n_queries":${results.size},"queries":$slow,$calib,""" +
-        s""""queries_full":"see bench file","sf":"$sfDir"}""")
-    // persist the FULL line (every gate, full precision): the stdout
-    // tail can never carry it intact. Override the path via
-    // SPARK_GRAFT_BENCH_OUT.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "target/bench.json")
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(p, line + "\n")
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    /** Rewrite the full-precision file and print the compact stdout
+      * line reflecting everything timed so far. Called after EVERY
+      * gate: the stdout tail then always ends on a parseable line and
+      * the file on disk is never stale by more than one gate. The
+      * compact line carries the suite total, calibration, and the 40
+      * slowest gates at 3-decimal precision (~1.3 kB — inside the
+      * harness's tail window); the file carries every gate at full
+      * precision. `partial` flags an emission the suite hasn't fully
+      * covered yet (pass 1 still running or a dev/shard subset).
+      */
+    def emit(pass: Int, done: Int): Unit = {
+      val results = best.toSeq
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val meta = s""""n_queries":${results.size},"n_gates":${gates.size},""" +
+        s""""pass":$pass,"partial":${done < gates.size},""" +
+        shard.map { case (i, n) => s""""shard":"$i/$n",""" }.getOrElse("")
+      val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec",$meta""" +
+          s""""queries":$qsFull,$calib,"sf":"$sfDir"}"""
+      try {
+        val p = java.nio.file.Paths.get(outPath)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(p, line + "\n")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+      // STDOUT gets a line that FITS: the driver keeps only the last
+      // ~2000 chars of console output, and the full per-query map (300+
+      // gates) is ~10 kB — printed whole it would self-truncate.
+      val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(40)
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      println(
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meta""" +
+          s""""queries":$slow,$calib,""" +
+          s""""queries_full":"$outPath","sf":"$sfDir"}""")
+    }
+
+    // pass 1: full coverage as fast as possible, artifact after each gate
+    var done = 0
+    gates.foreach { n =>
+      best(n) = once(n, sfDir)
+      done += 1
+      emit(1, done)
+    }
+    // refinement passes: keep the best observed time per gate. stream_*
+    // gates get one extra pass (micro-batch scheduling jitter).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    for (p <- 2 to passes) {
+      gates.foreach { n =>
+        if (best(n) >= 0) {
+          val t = once(n, sfDir)
+          if (t >= 0 && t < best(n)) best(n) = t
+        }
+        emit(p, done)
+      }
+    }
+    if (passes >= 2) {
+      gates.filter(_.startsWith("stream_")).foreach { n =>
+        if (best(n) >= 0) {
+          val t = once(n, sfDir)
+          if (t >= 0 && t < best(n)) best(n) = t
+        }
+        emit(passes + 1, done)
+      }
     }
     spark.stop()
   }

@@ -1416,5 +1416,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(n, "textCol", args(2)))
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_importance_sample"),
+      info("graft_importance_sample",
+        "graft_importance_sample(table, k, tauPpm) - deterministic Gumbel top-k importance resampling over a weights frame with (id, logw_ppm) columns (e.g. graft_dsir_weights output): input columns + key_ppm, the k largest keys"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_importance_sample expects 3 arguments")
+        val n = "graft_importance_sample"
+        graft.operators.Dsir.gumbelTopK(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            numLit(n, "k", args(1)).toInt,
+            numLit(n, "tauPpm", args(2)).toLong)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_curriculum"),
+      info("graft_curriculum",
+        "graft_curriculum(table, difficultyCol, nBands) - band-interleaved curriculum schedule over the laned rank machinery: input columns + band + within_pct; consume ORDER BY within_pct, band"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_curriculum expects 3 arguments")
+        val n = "graft_curriculum"
+        graft.operators.Curriculum.interleave(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "difficultyCol", args(1)),
+            numLit(n, "nBands", args(2)).toInt)
+          .queryExecution.logical
+      }))
   }
 }

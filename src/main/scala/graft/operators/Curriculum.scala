@@ -24,19 +24,30 @@ import org.apache.spark.sql.functions._
   * `ORDER BY within_pct, band, <difficulty, tie-break>`. */
 object Curriculum {
 
-  def interleave(df: DataFrame, difficultyCol: String, nBands: Int)
-      : DataFrame = {
+  /** @param checkpointDir when set, the banded-frame pin uses RELIABLE
+    *   `checkpoint()` into this directory (HDFS/object store on a real
+    *   cluster) — `localCheckpoint()` stores corpus-sized blocks on
+    *   executors with NO lineage to recover them, so at the 100 TB
+    *   target a single lost executor kills the whole schedule job.
+    *   Unset (dev/local) falls back to localCheckpoint, which avoids
+    *   the disk round-trip. The same dual [[graft.dedup.Dedup
+    *   .connectedComponents]] exposes. */
+  def interleave(df: DataFrame, difficultyCol: String, nBands: Int,
+                 checkpointDir: Option[String] = None): DataFrame = {
     require(nBands > 0, s"nBands must be positive, got $nBands")
     // pin the banded frame: the grouped rank below runs several jobs
     // (per-band cut sketch, lane counts, the rank join) and each would
     // otherwise re-execute the whole global-rank pipeline (the
     // PerplexityBuckets/Labeling multi-scan lesson)
-    val ranked = RankNormalize(df, difficultyCol)
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    val banded = RankNormalize(df, difficultyCol)
       .withColumn("band",
         least(floor(col("rank_pct") * nBands), lit(nBands - 1).cast("long"))
           .cast("int"))
       .drop("rank_pct")
-      .localCheckpoint()
+    val ranked =
+      if (checkpointDir.isDefined) banded.checkpoint()
+      else banded.localCheckpoint()
     val within = RankNormalize.grouped(ranked, col("band"), difficultyCol)
     within.withColumn("within_pct",
         floor(col("rank_pct") * 1e6 + 0.5) / 1e6)

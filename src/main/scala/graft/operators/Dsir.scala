@@ -20,9 +20,11 @@ import graft.dedup.Dedup
   * `buckets` transcendentals total), fixed-pointed to `floor(·1e6 +
   * 0.5)`, and the per-doc sum is then exact long arithmetic — the
   * result replays bit-for-bit in any engine regardless of summation
-  * order. The ln argument itself is an exactly-representable integer
-  * product ratio (counts ≪ 2^26 each side), so both engines feed ln
-  * the identical double.
+  * order. The ln argument is a ratio of double products whose factors
+  * are exact integer-valued doubles — exact up to 2^53 per product and
+  * overflow-free at any corpus size (an int64 product would wrap
+  * silently at ~1e11 total tokens), so both engines feed ln the
+  * identical double.
   *
   * Shape at scale: one token-bucket count aggregation over the corpus
   * (map-side combined, ≤ `buckets` rows out), a 1-row totals frame,
@@ -41,13 +43,19 @@ object Dsir {
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_cnt"),
         count(lit(1)).as("raw_cnt"))
     val tot = cnt.agg(sum("tgt_cnt").as("__tT"), sum("raw_cnt").as("__rT"))
-    // ln( (tgt+1)/(tgtTot+B) / ((raw+1)/(rawTot+B)) ) as one ln over an
-    // exactly-representable ratio; ppm fixed-point at the edge
+    // ln( (tgt+1)/(tgtTot+B) / ((raw+1)/(rawTot+B)) ) as one ln over a
+    // ratio of exact double products; ppm fixed-point at the edge. Each
+    // FACTOR casts to double BEFORE the multiply: an int64 product like
+    // (tgt_cnt+1)*(rawTot+B) wraps silently past 2^63 (ANSI off) at
+    // ~1e11 total tokens — the 100 TB regime this module targets —
+    // while the double product stays exact up to 2^53 and merely rounds
+    // (correctly, feeding ln the nearest double) beyond that.
     cnt.crossJoin(broadcast(tot))
       .select(col("__b").as("bucket"), col("tgt_cnt"), col("raw_cnt"),
-        floor(log(((col("tgt_cnt") + 1L) * (col("__rT") + buckets))
-            .cast("double") /
-          ((col("raw_cnt") + 1L) * (col("__tT") + buckets)).cast("double"))
+        floor(log(((col("tgt_cnt") + 1L).cast("double") *
+            (col("__rT") + buckets).cast("double")) /
+          ((col("raw_cnt") + 1L).cast("double") *
+            (col("__tT") + buckets).cast("double")))
           * 1e6 + 0.5).cast("long").as("log_ratio_ppm"))
   }
 
@@ -102,13 +110,16 @@ object Dsir {
         sum(when(col("__sel"), 1L).otherwise(0L)).as("sc"))
     val tot = cnt.agg(sum("tc").as("__tT"), sum("pc").as("__pT"),
       sum("sc").as("__sT"), count(lit(1)).as("__nObs"))
-    // p_t(b)·ln(p_t(b)/p_x(b)) with the ln fed an exactly-representable
-    // integer-product ratio, fixed-pointed at 1e-12
+    // p_t(b)·ln(p_t(b)/p_x(b)) with the ln fed a ratio of exact double
+    // products (each factor cast BEFORE the multiply — int64 products
+    // wrap past 2^63 at ~1e11 tokens; see logRatios), fixed at 1e-12
     def termE12(xc: Column, xT: Column): Column =
       floor(((col("tc") + 1L).cast("double") /
           (col("__tT") + buckets).cast("double")) *
-        log(((col("tc") + 1L) * (xT + buckets)).cast("double") /
-          ((xc + 1L) * (col("__tT") + buckets)).cast("double"))
+        log(((col("tc") + 1L).cast("double") *
+            (xT + buckets).cast("double")) /
+          ((xc + 1L).cast("double") *
+            (col("__tT") + buckets).cast("double")))
         * 1e12 + 0.5).cast("long")
     val observed = cnt.crossJoin(broadcast(tot))
       .select(termE12(col("sc"), col("__sT")).as("__ts"),

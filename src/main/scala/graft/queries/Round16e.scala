@@ -40,8 +40,8 @@ object Round16e {
        tot AS (SELECT sum(tc)::BIGINT AS tt, sum(rc)::BIGINT AS rt
          FROM cnt),
        lr AS (SELECT b,
-           CAST(floor(ln(((tc + 1) * (rt + $DsirBuckets))::DOUBLE /
-               ((rc + 1) * (tt + $DsirBuckets))::DOUBLE)
+           CAST(floor(ln(((tc + 1)::DOUBLE * (rt + $DsirBuckets)::DOUBLE) /
+               ((rc + 1)::DOUBLE * (tt + $DsirBuckets)::DOUBLE))
              * 1000000 + 0.5) AS BIGINT) AS lrp
          FROM cnt, tot),
        w AS (SELECT toks.id, bool_or(toks.t) AS is_target,
@@ -122,11 +122,13 @@ object Round16e {
        cstats AS (SELECT lang, sum(c)::BIGINT AS tt,
            count(*)::BIGINT AS vv
          FROM cmodel GROUP BY 1),
-       clp AS (SELECT lang, w, ln((c + 1)::DOUBLE / (tt + vv)::DOUBLE)
-           AS lp
+       clp AS (SELECT lang, w,
+           CAST(floor(ln((c + 1)::DOUBLE / (tt + vv)::DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS lpe6
          FROM cmodel JOIN cstats USING (lang)),
        csc AS (SELECT id, t.lang, count(*)::BIGINT AS n_tokens,
-           floor(avg(clp.lp) * 10000 + 0.5) / 10000 AS alp
+           floor(sum(clp.lpe6)::DOUBLE / (count(*) * 100)::DOUBLE + 0.5)
+             / 10000 AS alp
          FROM ctoks t JOIN clp USING (lang, w) GROUP BY 1, 2),
        ccuts AS (SELECT lang,
            floor(quantile_cont(alp, 1.0/3.0) * 10000 + 0.5) / 10000

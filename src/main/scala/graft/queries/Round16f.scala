@@ -94,8 +94,8 @@ object Round16f {
        tot0 AS (SELECT sum(tc)::BIGINT AS tt, sum(rc)::BIGINT AS rt
          FROM cnt0),
        lr AS (SELECT b,
-           CAST(floor(ln(((tc + 1) * (rt + $B))::DOUBLE /
-               ((rc + 1) * (tt + $B))::DOUBLE) * 1000000 + 0.5)
+           CAST(floor(ln(((tc + 1)::DOUBLE * (rt + $B)::DOUBLE) /
+               ((rc + 1)::DOUBLE * (tt + $B)::DOUBLE)) * 1000000 + 0.5)
              AS BIGINT) AS lrp
          FROM cnt0, tot0),
        w AS (SELECT toks.id, count(*)::BIGINT AS n_tokens,
@@ -119,12 +119,12 @@ object Round16f {
          FROM cnt),
        obs AS (SELECT
            sum(CAST(floor(((tc + 1)::DOUBLE / (tt + $B)::DOUBLE) *
-               ln(((tc + 1) * (st + $B))::DOUBLE /
-                 ((sc + 1) * (tt + $B))::DOUBLE)
+               ln(((tc + 1)::DOUBLE * (st + $B)::DOUBLE) /
+                 ((sc + 1)::DOUBLE * (tt + $B)::DOUBLE))
                * 1000000000000 + 0.5) AS BIGINT))::BIGINT AS os,
            sum(CAST(floor(((tc + 1)::DOUBLE / (tt + $B)::DOUBLE) *
-               ln(((tc + 1) * (pt + $B))::DOUBLE /
-                 ((pc + 1) * (tt + $B))::DOUBLE)
+               ln(((tc + 1)::DOUBLE * (pt + $B)::DOUBLE) /
+                 ((pc + 1)::DOUBLE * (tt + $B)::DOUBLE))
                * 1000000000000 + 0.5) AS BIGINT))::BIGINT AS op
          FROM cnt, tot),
        fin AS (SELECT $B AS buckets,

@@ -37,14 +37,26 @@ object PerplexityBuckets {
     val model = toks.groupBy("lang", "__w").agg(count(lit(1)).as("__c"))
     val stats = model.groupBy("lang")
       .agg(sum("__c").as("__T"), count(lit(1)).as("__V"))
+    // per-(lang, word) log-prob fixed-pointed to 1e-6 LONGS at the one
+    // place a transcendental runs (once per unique pair, ln fed an
+    // exact integer ratio); the per-doc accumulation is then an exact
+    // long sum — a plain double avg() would make a doc sitting exactly
+    // on the 1e-4 rounding boundary classify differently across
+    // engines/summation orders (the Dsir.logRatios recipe)
     val scored = model.join(broadcast(stats), Seq("lang"))
       .select(col("lang"), col("__w"),
-        log((col("__c") + 1L).cast("double") /
-          (col("__T") + col("__V")).cast("double")).as("__lp"))
+        floor(log((col("__c") + 1L).cast("double") /
+            (col("__T") + col("__V")).cast("double")) * 1e6 + 0.5)
+          .cast("long").as("__lp_e6"))
+    // avg·1e4 = sum_e6 / (100·n): one exact-long-over-exact-long double
+    // division (IEEE correctly-rounded, identical in any engine), then
+    // the 1e-4 grid snap
     toks.join(scored, Seq("lang", "__w"))
       .groupBy("id", "lang")
       .agg(count(lit(1)).as("n_tokens"),
-        (floor(avg("__lp") * 1e4 + 0.5) / 1e4).as("avg_logprob"))
+        (floor(sum("__lp_e6").cast("double") /
+          (count(lit(1)) * 100L).cast("double") + 0.5) / 1e4)
+          .as("avg_logprob"))
   }
 
   /** Head/middle/tail assignment per language over [[perLangLogprob]]

@@ -46,4 +46,29 @@ class CurriculumSpec extends SparkTestBase {
     assert(tied.map(_._2).distinct.length === 1, "equal values, one band")
     assert(tied.map(_._3).distinct.length === 1, "equal values, one rank")
   }
+
+  test("interleave: reliable-checkpoint mode lands the identical " +
+    "schedule (the cluster-durability path — localCheckpoint blocks " +
+    "have no lineage to survive executor loss)") {
+    val dir = java.nio.file.Files.createTempDirectory("curr-ckpt")
+      .toString
+    try {
+      val df = (1 to 40).map(i => (i.toLong, (i * 7 % 40).toDouble))
+        .toDF("id", "diff")
+      val local = Curriculum.interleave(df, "diff", nBands = 4)
+        .select("id", "band", "within_pct").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+      val reliable = Curriculum.interleave(df, "diff", nBands = 4,
+          checkpointDir = Some(dir))
+        .select("id", "band", "within_pct").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+      assert(local.toSeq === reliable.toSeq)
+      // the reliable path actually materialized into the directory
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "checkpoint() must write to the reliable dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -863,6 +863,38 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(mo.getDouble(3) === 0.0 && mo.getDouble(4) === -2.0,
         "graft_moments must compute the shape moments")
 
+      // importance sample: plans to gumbelTopK over the weights frame
+      Seq((1L, 1000000L), (2L, -500000L), (3L, 2000000L))
+        .toDF("id", "logw_ppm").createOrReplaceTempView("tvf_weights")
+      val sqlImp = spark.sql(
+        "SELECT * FROM graft_importance_sample('tvf_weights',2,1000000)")
+      val apiImp = graft.operators.Dsir.gumbelTopK(
+        spark.table("tvf_weights"), k = 2, tauPpm = 1000000L)
+      assert(sqlImp.queryExecution.optimizedPlan
+        .sameResult(apiImp.queryExecution.optimizedPlan),
+        "graft_importance_sample must plan to Dsir.gumbelTopK")
+      assert(sqlImp.count() === 2L)
+
+      // curriculum: interleave pins its banded frame with an eager
+      // localCheckpoint, so the TVF plan is data-backed (LogicalRDD) —
+      // value check, not sameResult (the graft_exact_quantiles
+      // precedent above)
+      Seq.tabulate(8)(i => (i.toLong, i * 1.0)).toDF("doc_id", "diff")
+        .createOrReplaceTempView("tvf_curr")
+      val sqlCur = spark.sql(
+        "SELECT * FROM graft_curriculum('tvf_curr','diff',2)")
+      val apiCur = graft.operators.Curriculum.interleave(
+        spark.table("tvf_curr"), "diff", 2)
+      def currRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "band", "within_pct").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+      assert(currRows(sqlCur) === currRows(apiCur),
+        "graft_curriculum must land Curriculum.interleave's schedule")
+      assert(sqlCur.groupBy("band").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+        === Map(0 -> 4L, 1 -> 4L))
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {
