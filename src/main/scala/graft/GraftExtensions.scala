@@ -1417,6 +1417,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical
       }))
     e.injectTableFunction((
+      FunctionIdentifier("graft_exact_substr"),
+      info("graft_exact_substr",
+        "graft_exact_substr(table, idCol, textCol, minLen) - character-level ExactSubstr dedup (Lee et al. 2021): cut every non-canonical occurrence of a >= minLen-char duplicated substring, keep-first: (id, n_chars, n_removed, clean_text)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_exact_substr expects 4 arguments")
+        val n = "graft_exact_substr"
+        graft.textanalysis.TextAnalysis.exactSubstrDedup(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)),
+            numLit(n, "minLen", args(3)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_jpeg_dhash"),
+      info("graft_jpeg_dhash",
+        "graft_jpeg_dhash(table, idCol, quality) - REAL lossy JPEG round trip per id (JDK writer at quality, ImageIO decode, dHash of the decoded raster): (doc_id, width, height, dhash)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_jpeg_dhash expects 3 arguments")
+        val n = "graft_jpeg_dhash"
+        graft.multimodal.Multimodal.jpegDHashes(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            numLit(n, "quality", args(2)).toFloat)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_ccnet_stream_buckets"),
+      info("graft_ccnet_stream_buckets",
+        "graft_ccnet_stream_buckets(table, idCol, textCol, langCol) - streaming twin of graft_ccnet_buckets: triage cuts from the bounded keyed quantile sketch instead of the exact terciles: (lang, bucket, n_docs, n_tokens, lp_min, lp_max)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_ccnet_stream_buckets expects 4 arguments")
+        val n = "graft_ccnet_stream_buckets"
+        graft.textanalysis.PerplexityBuckets.streamingSummary(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)),
+            strLit(n, "langCol", args(3)))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
       FunctionIdentifier("graft_importance_sample"),
       info("graft_importance_sample",
         "graft_importance_sample(table, k, tauPpm) - deterministic Gumbel top-k importance resampling over a weights frame with (id, logw_ppm) columns (e.g. graft_dsir_weights output): input columns + key_ppm, the k largest keys"),

@@ -28,6 +28,10 @@ case class FrameDecoded(doc_id: Long, frame_idx: Int, n_frames: Int,
 /** Per-image 64-bit difference hash over the decoded gray raster. */
 case class ImageHash(doc_id: Long, dhash: Long)
 
+/** dHash of a REAL JPEG encode→decode round trip plus decoded dims. */
+case class JpegImageHash(doc_id: Long, width: Int, height: Int,
+                         dhash: Long)
+
 /** Multimodal column plumbing. The Spark-side shape is real and tested:
   * binary payload column, typed feature schema, partition-parallel batch
   * decode via `mapPartitions` (the Scala analogue of arrow-batched
@@ -601,6 +605,95 @@ object Multimodal {
           .as("hamming"))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("doc_id_a", "doc_id_b")
+  }
+
+  // ---- real JPEG kernel (javax.imageio — the dominant web image
+  //      container; LOSSY, so the tier asserts perceptual stability,
+  //      not bit round-trip) ----
+
+  /** Fixture cell size (3..5) — dims are 9·cs × 8·cs, so the dHash's
+    * 9×8 NN resample samples exactly one pixel per cell. */
+  def testJpegCell(id: Long): Int = (3 + id % 3).toInt
+
+  /** Deterministic JPEG fixture pixel: a 9×8 grid of cs×cs cells
+    * alternating 48/208 along x, with each ROW's phase taken from one
+    * bit of the doc id (`(id >> cellRow) & 1`). The design is what
+    * makes a LOSSY container gateable: every horizontal cell pair the
+    * dHash compares differs by exactly 160 gray levels, an order of
+    * magnitude above JPEG-quality-0.9 reconstruction error, so the
+    * decoded gradient SIGNS — hence the whole dHash — replay from this
+    * formula even though the decoded pixel VALUES don't. */
+  def testJpegPixel(id: Long, x: Int, y: Int, cs: Int): Int = {
+    val bit = (((id >> (y / cs)) & 1L) + (x / cs)) % 2L
+    (48L + 160L * bit).toInt
+  }
+
+  /** The formula-side dHash [[jpegDHashes]] must land after the real
+    * encode→decode trip: bit y·8+x set iff the (x,y) cell is the 208
+    * lane, i.e. `((id >> y) + x) % 2 == 1`. */
+  def testJpegDHash(id: Long): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((((id >> y) & 1L) + x) % 2L == 1L) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Encode a grayscale raster as a REAL JPEG via the JDK's own writer
+    * at an explicit compression quality — DCT, quantization and
+    * entropy coding are the JVM codec's, not ours. */
+  def encodeGrayJpeg(w: Int, h: Int, quality: Float,
+                     pixel: (Int, Int) => Int): Array[Byte] = {
+    require(quality > 0f && quality <= 1f, s"bad quality $quality")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try {
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** One REAL lossy round trip per id: synthesize the margin-160
+    * fixture, encode through the JDK JPEG writer at `quality`, decode
+    * the actual JFIF bytes back through ImageIO, dHash the decoded
+    * raster. Partition-parallel after the [[spreadIds]] id shuffle.
+    * The decoded dims and the dHash replay from the fixture formula
+    * ([[testJpegDHash]]); the pixel values deliberately don't — that
+    * lossiness is what the tier exercises. */
+  def jpegDHashes(docs: DataFrame, idCol: String,
+                  quality: Float): Dataset[JpegImageHash] = {
+    import docs.sparkSession.implicits._
+    spreadIds(docs, idCol).mapPartitions { it =>
+      it.map { id =>
+        val cs = testJpegCell(id)
+        val (w0, h0) = (9 * cs, 8 * cs)
+        val jpg = encodeGrayJpeg(w0, h0, quality,
+          (x, y) => testJpegPixel(id, x, y, cs))
+        val (w, h, pix) = decodeGray(jpg)
+        JpegImageHash(id, w, h, dHash64(pix, w, h))
+      }
+    }
   }
 
   // ---- real video kernel (animated GIF via javax.imageio — the one

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.textanalysis.TextAnalysis
+import graft.multimodal.Multimodal
+import graft.textanalysis.{PerplexityBuckets, TextAnalysis}
 
 /** Round-17 batch: character-level ExactSubstr deduplication — the
   * Lee et al. 2021 suffix-array pass's semantics (substrings ≥ 50
@@ -16,6 +17,9 @@ object Round17 {
   /** The paper's threshold: 50 characters. */
   private val SubstrMinLen = 50
 
+  /** JPEG compression quality for the lossy-tier gate. */
+  private val JpegQuality = 0.9f
+
   val defs: Map[String, Q] = Map(
 
     // ExactSubstr (Lee et al. 2107.06499): cut every non-canonical
@@ -25,7 +29,29 @@ object Round17 {
     "dedup_exact_substr" -> ((s, dir) =>
       TextAnalysis.exactSubstrDedup(tbl(s, dir, "documents"), "doc_id",
           "text", minLen = SubstrMinLen)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // REAL lossy JPEG trip: margin-160 fixture -> JDK JPEG writer at
+    // quality 0.9 -> ImageIO decode of the actual JFIF bytes -> dHash.
+    // The pixel VALUES don't survive (lossy by construction, the spec
+    // asserts it); the dims and the 64 gradient SIGNS do, so the
+    // oracle replays them straight from the fixture formula — a codec
+    // that mangles dims, channels, or block decode flips bits
+    "mm_jpeg_real" -> ((s, dir) =>
+      Multimodal.jpegDHashes(tbl(s, dir, "documents"), "doc_id",
+          quality = JpegQuality)
+        .toDF().orderBy("doc_id")),
+
+    // streaming twin of curate_ccnet_buckets: same per-language LM
+    // scores, same assignment rule, but the tercile cuts come from the
+    // BOUNDED keyed quantile sketch (the state an unbounded
+    // StreamingQsketch.keyedStream run converges to) instead of the
+    // exact selection — the order-free batch replay, DuckDB-replayable
+    // because the sketch sample is a deterministic md5 bottom-K
+    "stream_ccnet_buckets" -> ((s, dir) =>
+      PerplexityBuckets.streamingSummary(tbl(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        .orderBy("lang", "bucket")))
 
   val oracles: Map[String, String] = Map(
 
@@ -67,5 +93,66 @@ object Round17 {
            ELSE cut.pre || substr(d.text, cut.laste + 1) END AS clean_text
        FROM d LEFT JOIN cut ON cut.id = d.id
        ORDER BY doc_id"""
+    },
+
+    // replays testJpegCell (dims 9cs x 8cs) and testJpegDHash: bit
+    // y*8+x set iff ((doc_id >> y) + x) % 2 = 1; bit 63's power
+    // spelled as MinLong (1 << 63 overflows checked arithmetic)
+    "mm_jpeg_real" ->
+      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 3 AS INT) AS cs
+           FROM documents),
+         b AS (SELECT doc_id, cs, unnest(generate_series(0, 63)) AS i
+           FROM d),
+         v AS (SELECT doc_id, cs, i,
+             ((doc_id // (1::BIGINT << CAST(i // 8 AS INT))) + (i % 8))
+               % 2 AS bit
+           FROM b)
+       SELECT doc_id, CAST(9 * cs AS INT) AS width,
+         CAST(8 * cs AS INT) AS height,
+         CAST(sum(CASE WHEN bit = 1 THEN
+           CASE WHEN i = 63 THEN -9223372036854775807 - 1
+             ELSE 1::BIGINT << CAST(i AS INT) END
+           ELSE 0 END) AS BIGINT) AS dhash
+       FROM v GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    // replays the csc score CTE (shared with curate_ccnet_buckets),
+    // then the bounded keyed sketch: 60-bit md5 bottom-64 per lang
+    // (dedup'd, ORDER BY h,v), the deterministic lower-index read-off
+    // rn = floor(p*(n-1))+1, the 1e-4 cut snap, and the > cut rules
+    "stream_ccnet_buckets" -> {
+      val k = graft.streaming.StreamingQsketch.KeyedK
+      s"""WITH ${Round16e.ccnetAssignCtes},
+         sh AS (SELECT lang,
+             CAST(('0x' || substr(md5(id::VARCHAR), 1, 15)) AS BIGINT)
+               AS h,
+             alp AS v
+           FROM csc),
+         bk AS (SELECT lang, h, v FROM (SELECT lang, h, v,
+             row_number() OVER (PARTITION BY lang ORDER BY h, v) AS rn
+           FROM (SELECT DISTINCT lang, h, v FROM sh))
+           WHERE rn <= $k),
+         r AS (SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v, h) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM bk),
+         p AS (SELECT unnest(['q33', 'q67']) AS prob,
+             unnest([1.0/3.0, 2.0/3.0]::DOUBLE[]) AS pv),
+         est AS (SELECT lang, prob, v AS est_q
+           FROM r JOIN p ON r.rn = (floor(pv * (n - 1)) + 1)::BIGINT),
+         scuts AS (SELECT lang,
+             floor(max(CASE WHEN prob = 'q33' THEN est_q END)
+               * 10000 + 0.5) / 10000 AS q33,
+             floor(max(CASE WHEN prob = 'q67' THEN est_q END)
+               * 10000 + 0.5) / 10000 AS q67
+           FROM est GROUP BY lang),
+         sa AS (SELECT csc.lang, csc.n_tokens, csc.alp,
+             CASE WHEN csc.alp > scuts.q67 THEN 'head'
+               WHEN csc.alp > scuts.q33 THEN 'middle'
+               ELSE 'tail' END AS bucket
+           FROM csc JOIN scuts USING (lang))
+       SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS n_tokens,
+         min(alp) AS lp_min, max(alp) AS lp_max
+       FROM sa GROUP BY 1, 2 ORDER BY 1, 2"""
     })
 }

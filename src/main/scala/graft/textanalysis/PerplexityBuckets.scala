@@ -78,12 +78,57 @@ object PerplexityBuckets {
       .select(col("lang"),
         (floor(col("q33") * 1e4 + 0.5) / 1e4).as("__q33"),
         (floor(col("q67") * 1e4 + 0.5) / 1e4).as("__q67"))
+    assignByCuts(scores, cuts)
+  }
+
+  /** Bucket assignment against a per-language cut table
+    * (lang, __q33, __q67) — broadcast join + pure map, shared by the
+    * exact [[assign]] and the sketch-based streaming twin. */
+  private def assignByCuts(scores: DataFrame, cuts: DataFrame): DataFrame =
     scores.join(broadcast(cuts), Seq("lang"))
       .withColumn("bucket",
         when(col("avg_logprob") > col("__q67"), "head")
           .when(col("avg_logprob") > col("__q33"), "middle")
           .otherwise("tail"))
       .drop("__q33", "__q67")
+
+  /** STREAMING-twin cut table: per-language q33/q67 read off the
+    * bounded keyed quantile sketch ([[graft.streaming.StreamingQsketch]]
+    * — one ≤ K-row bottom-K-by-uniform-hash sample per language) in
+    * place of the exact tercile selection. Over an unbounded feed the
+    * same fold runs live via `StreamingQsketch.keyedStream`; this is
+    * the order-free batch replay of that fold's END state, so the cuts
+    * an unbounded run converges to are exactly these (the
+    * StreamingImportance convention). Cuts snap to the same 1e-4 grid
+    * as the scores before comparison, mirroring [[assign]]. */
+  def streamingCuts(scores: DataFrame): DataFrame =
+    graft.streaming.StreamingQsketch.keyedQuantiles(
+        graft.streaming.StreamingQsketch.keyedEndStates(
+          scores, "lang", col("id"), "avg_logprob"),
+        Seq("q33" -> (1.0 / 3.0), "q67" -> (2.0 / 3.0)))
+      .groupBy(col("key"))
+      .pivot("prob", Seq("q33", "q67")).agg(first("est_q"))
+      .select(col("key").as("lang"),
+        (floor(col("q33") * 1e4 + 0.5) / 1e4).as("__q33"),
+        (floor(col("q67") * 1e4 + 0.5) / 1e4).as("__q67"))
+
+  /** The per-(lang, bucket) triage summary off the STREAMING sketch
+    * cuts — the unbounded-feed sibling of [[summary]]: identical
+    * scores, identical assignment rule, cuts from the bounded keyed
+    * sketch instead of the exact selection. The scores frame pins with
+    * localCheckpoint: the sketch replay (distinct + count + top-K) and
+    * the assignment join would otherwise re-run the two-scan LM per
+    * job (the [[assign]] lesson). */
+  def streamingSummary(df: DataFrame, idCol: String, textCol: String,
+                       langCol: String): DataFrame = {
+    val scores = perLangLogprob(df, idCol, textCol, langCol)
+      .localCheckpoint()
+    assignByCuts(scores, streamingCuts(scores))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("avg_logprob").as("lp_min"),
+        max("avg_logprob").as("lp_max"))
   }
 
   /** The per-(lang, bucket) triage summary a curation run reports:

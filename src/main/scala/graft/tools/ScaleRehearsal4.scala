@@ -67,6 +67,23 @@ object ScaleRehearsal4 {
       f"target; gram explode + map-side-combined count + bounded " +
       f"per-doc merge)")
 
+    // JPEG tier: pure CPU-bound codec work — the spreadIds shuffle is
+    // what keeps it parallel on a compact id scan, so wall clock must
+    // scale ~linearly in ids with all cores busy
+    def jpegTime(ids: Long): Double = {
+      val d = spark.range(ids).select(col("id").as("doc_id"))
+      val t0 = System.nanoTime()
+      val ok = graft.multimodal.Multimodal.jpegDHashes(d, "doc_id", 0.9f)
+        .toDF().agg(count(lit(1))).head().getLong(0)
+      require(ok == ids, s"every id hashes: $ok != $ids")
+      (System.nanoTime() - t0) / 1e9
+    }
+    jpegTime(2000L) // warmup
+    val (j1, j10) = (jpegTime(20000L), jpegTime(200000L))
+    println(f"[rehearsal] jpeg lossy dHash: 20000 ids ${j1}%.2f s; " +
+      f"200000 ids ${j10}%.2f s (${j10 / j1}%.1fx, ~linear target; " +
+      f"encode+decode+dHash per id after the spreadIds exchange)")
+
     spark.stop()
   }
 }

@@ -118,4 +118,57 @@ class DsirSpec extends SparkTestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty,
       "adding French docs must not move English scores")
   }
+
+  test("ccnet streaming twin: a REAL keyedStream run over the scores " +
+    "lands the same cuts — and hence the same triage summary — as the " +
+    "batch replay streamingSummary uses") {
+    import graft.streaming.StreamingQsketch
+    import graft.streaming.StreamingQsketch.KQEvent
+    val docs = (1 to 60).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      (i.toLong, s"w${i % 7} w${i % 5} common common", lang)
+    }.toDF("doc_id", "text", "lang")
+    val scores = PerplexityBuckets.perLangLogprob(docs, "doc_id",
+      "text", "lang").localCheckpoint()
+    // drive the live micro-batch path in two splits
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = scores.select(col("lang"),
+        StreamingQsketch.hashCol(col("id")).as("h"),
+        col("avg_logprob")).collect()
+      .map(r => KQEvent(r.getString(0), r.getLong(1), r.getDouble(2)))
+    val input = MemoryStream[KQEvent]
+    val q = StreamingQsketch.keyedStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_ccnet_test").start()
+    val streamedStates = try {
+      val (b1, b2) = evs.splitAt(25)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      spark.table("stream_ccnet_test").collect()
+        .groupBy(_.getString(0))
+        .map { case (_, rows) => rows.maxBy(_.getLong(1)) }.toSeq
+    } finally q.stop()
+    import spark.implicits._
+    val streamedCuts = StreamingQsketch.keyedQuantiles(
+        streamedStates.map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Long](2), r.getSeq[Double](3)))
+          .toDF("key", "n", "hs", "vs"),
+        Seq("q33" -> (1.0 / 3.0), "q67" -> (2.0 / 3.0)))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2))).toSet
+    val batchCuts = StreamingQsketch.keyedQuantiles(
+        StreamingQsketch.keyedEndStates(scores, "lang", col("id"),
+          "avg_logprob"),
+        Seq("q33" -> (1.0 / 3.0), "q67" -> (2.0 / 3.0)))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2))).toSet
+    assert(streamedCuts === batchCuts,
+      "live stream and batch replay must read off identical cuts")
+    // summary shape sanity on the composed operator
+    val sum = PerplexityBuckets.streamingSummary(docs, "doc_id", "text",
+      "lang").collect()
+    assert(sum.map(_.getLong(2)).sum === 60L,
+      "every scored doc lands in exactly one bucket")
+  }
 }

@@ -863,6 +863,38 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
       assert(mo.getDouble(3) === 0.0 && mo.getDouble(4) === -2.0,
         "graft_moments must compute the shape moments")
 
+      // exact-substr dedup: deferred plan, sameResult pin
+      Seq((1L, "x" * 2 + "SHAREDRUNTWELVE" + "y" * 2),
+        (2L, "a" * 3 + "SHAREDRUNTWELVE" + "b"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tvf_substr")
+      val sqlSub = spark.sql(
+        "SELECT * FROM graft_exact_substr('tvf_substr','doc_id','text',10)")
+      val apiSub = graft.textanalysis.TextAnalysis.exactSubstrDedup(
+        spark.table("tvf_substr"), "doc_id", "text", 10)
+      assert(sqlSub.queryExecution.optimizedPlan
+        .sameResult(apiSub.queryExecution.optimizedPlan),
+        "graft_exact_substr must plan to exactSubstrDedup")
+      assert(sqlSub.where(col("doc_id") === 2L).head().getLong(2) === 15L,
+        "doc 2's shared run must cut")
+
+      // jpeg dhash: every row's hash replays the fixture formula
+      val sqlJpeg = spark.sql(
+        "SELECT * FROM graft_jpeg_dhash('tvf_dupw','doc_id',0.9)")
+      assert(sqlJpeg.collect().forall(r => r.getLong(3) ===
+        graft.multimodal.Multimodal.testJpegDHash(r.getLong(0))),
+        "graft_jpeg_dhash must land the real-decode dHash")
+
+      // streaming ccnet twin: localCheckpoint-backed plan, value check
+      Seq((1L, "a a b", "en"), (2L, "a b c", "en"), (3L, "c c c", "en"),
+        (4L, "x y", "es"), (5L, "x x", "es"), (6L, "y y y", "es"))
+        .toDF("doc_id", "text", "lang")
+        .createOrReplaceTempView("tvf_ccnet")
+      val sqlCc = spark.sql("SELECT * FROM graft_ccnet_stream_buckets(" +
+        "'tvf_ccnet','doc_id','text','lang')")
+      assert(sqlCc.agg(org.apache.spark.sql.functions.sum("n_docs"))
+        .head().getLong(0) === 6L,
+        "every doc must land in exactly one sketch-cut bucket")
+
       // importance sample: plans to gumbelTopK over the weights frame
       Seq((1L, 1000000L), (2L, -500000L), (3L, 2000000L))
         .toDF("id", "logw_ppm").createOrReplaceTempView("tvf_weights")

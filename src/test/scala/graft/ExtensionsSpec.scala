@@ -345,6 +345,58 @@ class MultimodalSpec extends SparkTestBase {
       s"missing ${within -- pairs}, strays ${pairs -- within}")
   }
 
+  test("real JPEG codec: the lossy round trip is actually lossy, yet " +
+    "the margin-160 fixture's dHash replays the formula exactly") {
+    for (id <- 0L to 30L) {
+      val cs = Multimodal.testJpegCell(id)
+      val (w0, h0) = (9 * cs, 8 * cs)
+      val orig = Array.tabulate(w0 * h0)(i =>
+        Multimodal.testJpegPixel(id, i % w0, i / w0, cs))
+      val jpg = Multimodal.encodeGrayJpeg(w0, h0, 0.9f,
+        (x, y) => Multimodal.testJpegPixel(id, x, y, cs))
+      val (w, h, pix) = Multimodal.decodeGray(jpg)
+      assert((w, h) === (w0, h0), "JPEG must preserve dims")
+      assert(Multimodal.dHash64(pix, w, h) === Multimodal.testJpegDHash(id),
+        s"dHash must survive the lossy trip for id $id")
+      if (id == 0L) assert(!pix.sameElements(orig),
+        "quality-0.9 JPEG must NOT be pixel-exact — the tier is lossy " +
+          "by construction (a lossless result means the codec was bypassed)")
+    }
+  }
+
+  test("JPEG dHash is re-encode stable across qualities and a one-cell " +
+    "retouch stays a near-dup (the lossy-tier near-dup assertion)") {
+    val id = 7L
+    val cs = Multimodal.testJpegCell(id)
+    val (w0, h0) = (9 * cs, 8 * cs)
+    def hashAt(q: Float, px: (Int, Int) => Int): Long = {
+      val (w, h, pix) = Multimodal.decodeGray(
+        Multimodal.encodeGrayJpeg(w0, h0, q, px))
+      Multimodal.dHash64(pix, w, h)
+    }
+    val base = (x: Int, y: Int) => Multimodal.testJpegPixel(id, x, y, cs)
+    assert(hashAt(0.8f, base) === hashAt(0.95f, base),
+      "two lossy encodes of one image must land the same dHash")
+    // flip ONE cell's lane (48 <-> 208): exactly the comparisons that
+    // touch that cell move — 1..2 bits, a perceptual near-dup
+    val retouch = (x: Int, y: Int) =>
+      if (x / cs == 3 && y / cs == 2) 256 - base(x, y) else base(x, y)
+    val d = java.lang.Long.bitCount(hashAt(0.9f, base) ^
+      hashAt(0.9f, retouch))
+    assert(d >= 1 && d <= 2, s"one-cell retouch moved $d bits")
+  }
+
+  test("jpegDHashes dataset matches the formula replay") {
+    val rows = Multimodal.jpegDHashes((0L to 19L).toDF("doc_id"),
+      "doc_id", quality = 0.9f).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val cs = Multimodal.testJpegCell(r.doc_id)
+      assert((r.width, r.height) === (9 * cs, 8 * cs))
+      assert(r.dhash === Multimodal.testJpegDHash(r.doc_id))
+    }
+  }
+
   test("video near-dup: families pair on every frame, frame hashes come " +
     "from the real sequence decode") {
     val fh = Multimodal.videoFrameHashes((0L to 9L).toDF("doc_id"),

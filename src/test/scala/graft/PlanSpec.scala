@@ -410,4 +410,46 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"span counts must partial-aggregate map-side:\n$p")
   }
+
+  test("exact-substr dedup: gram counting is aggregation + equi-joins, " +
+    "interval merge is per-doc expressions — no window, no cartesian") {
+    val p = plan("dedup_exact_substr")
+    assert(!p.contains("Window"),
+      s"the keep-first canonical is a struct-min AGGREGATE, and the " +
+        s"interval merge a per-row higher-order expression — a window " +
+        s"here would funnel the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"gram count-back and mark joins must be equi-joins:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"gram counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("jpeg tier: the decode stage runs after the id-spread exchange " +
+    "(partition-parallel codec work, the mm_audio_real lesson)") {
+    val p = plan("mm_jpeg_real")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"ids must spread before the CPU-bound encode/decode:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("streaming ccnet twin: sketch sample via bounded top-k; the " +
+    "only windows run on <= K sketch rows per language") {
+    val p = plan("stream_ccnet_buckets")
+    assert(p.contains("TopKPerGroup"),
+      s"the per-language sample must use the bounded-buffer operator:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded pair product anywhere:\n$p")
+    // the one nested-loop is the 2-row probs table probing the <= K
+    // ranked sketch rows (rn = floor(p*(n-1))+1 is non-equi by nature);
+    // it must build the PROBS side, never a data-sized one
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("LocalTableScan"),
+      s"only the literal probs frame may nested-loop:\n$p")
+    // every Window node partitions by the language key over the <= K
+    // sketch rows — an UNPARTITIONED spec would funnel to one task
+    val wins = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.forall(_.contains("windowspecdefinition(key")),
+      s"sketch read-off windows must partition by language:\n$p")
+  }
 }
