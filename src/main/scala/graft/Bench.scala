@@ -39,6 +39,8 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_BENCH_WARMUP "auto" (default: use the sf0.001 sibling
   *                            of SF_DIR if it exists), "off", or an
   *                            explicit warmup data dir
+  *   SPARK_GRAFT_BENCH_WARMUP_BUDGET_S  warmup sweep time bound,
+  *                            default 150 (0 = warm every gate)
   *   SPARK_GRAFT_BENCH_PASSES timing passes, default 2 (stream_* gates
   *                            get one extra — micro-batch scheduling
   *                            adds jitter batch queries don't have;
@@ -132,8 +134,14 @@ object Bench {
 
     // warmup: one untimed run per gate at 1% scale primes JIT, codegen
     // caches, and shuffle/broadcast machinery so the FIRST timed run is
-    // gradable. sf0.001 is ~1/100 of sf0.1 — the warmup prices in
-    // seconds what contention otherwise inflates by 2–27x on run 1.
+    // gradable (a full-sweep warmup measured run-1 best-of-2 within
+    // 1.04x of pass-1 alone). sf0.001 is ~1/100 of sf0.1. The sweep is
+    // TIME-BOUNDED (SPARK_GRAFT_BENCH_WARMUP_BUDGET_S, default 150 s;
+    // 0 = unbounded): a full 320-gate dry pass costs ~7 min, which
+    // would push the first full-coverage artifact emission past a
+    // tight harness cap — so the known contention-sensitive families
+    // (graph/stream/components/pipelines, the 2–27x run-1 offenders)
+    // warm first and the sweep stops when the budget runs out.
     val warmupDir: Option[String] =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "auto") match {
         case "off" => None
@@ -144,9 +152,21 @@ object Bench {
           else None
         case dir => Some(dir)
       }
+    val warmupBudgetS = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_WARMUP_BUDGET_S", "150").toDouble
     warmupDir.foreach { wd =>
       spark.read.parquet(s"$wd/nation.parquet").count()
-      gates.foreach(once(_, wd))
+      val hot = (n: String) => n.startsWith("graph_") ||
+        n.startsWith("stream_") || n.startsWith("pipeline_") ||
+        n.contains("components")
+      val ordered = gates.filter(hot) ++ gates.filterNot(hot)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < ordered.size && (warmupBudgetS <= 0 ||
+        (System.nanoTime() - t0) / 1e9 < warmupBudgetS)) {
+        once(ordered(i), wd)
+        i += 1
+      }
     }
     // even with no warmup dir: touch the data path once
     spark.read.parquet(s"$sfDir/nation.parquet").count()

@@ -225,9 +225,17 @@ object TextAnalysis {
                        textCol: String, minLen: Int = 50)
       : org.apache.spark.sql.DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2 chars, got $minLen")
+    // spread the corpus BEFORE the gram chain: a compact parquet scan
+    // arrives in one or two splits, which would run the CPU-bound
+    // explode+md5 gram hashing serially on one core of a 32-core
+    // executor (and on ONE executor of a 1000-node cluster) — the
+    // multimodal spreadIds lesson; the shuffle moves only the raw
+    // docs, orders of magnitude less than the gram stream it unlocks
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol), col(textCol).as("__txt"),
         length(col(textCol)).as("__len"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
     val grams = base
       .select(col(idCol), col("__txt"),
         explode(when(col("__len") >= minLen,
