@@ -51,13 +51,32 @@ object Round17 {
     "stream_ccnet_buckets" -> ((s, dir) =>
       PerplexityBuckets.streamingSummary(tbl(s, dir, "documents"),
           "doc_id", "text", "lang")
-        .orderBy("lang", "bucket")))
+        .orderBy("lang", "bucket")),
 
-  val oracles: Map[String, String] = Map(
+    // the boilerplate audit a curation run books after ExactSubstr:
+    // per-language doc counts, how many docs were cut, and the exact
+    // chars-removed share (ppm integer division — replays exactly)
+    "pipeline_curation6" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.exactSubstrDedup(docs, "doc_id", "text",
+          minLen = SubstrMinLen)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_removed") > 0, 1L).otherwise(0L))
+            .as("docs_touched"),
+          sum("n_chars").as("chars_total"),
+          sum("n_removed").as("chars_removed"))
+        .withColumn("removed_ppm",
+          expr("(chars_removed * 1000000) div chars_total"))
+        .orderBy("lang")
+    }))
 
-    "dedup_exact_substr" -> {
-      val L = SubstrMinLen
-      s"""WITH d AS (SELECT doc_id AS id, text, length(text) AS len
+  /** Shared ExactSubstr oracle CTE chain — per-doc (d: id, text, len)
+    * and (cut: id, nrem, pre, laste), the removal evidence both the
+    * per-doc gate and the curation-audit gate read. */
+  private[queries] def exactSubstrCtes(L: Int): String =
+    s"""d AS (SELECT doc_id AS id, text, length(text) AS len
            FROM documents WHERE text IS NOT NULL),
          g AS (SELECT id, i,
              CAST(('0x' || substr(md5(substr(text, i, $L)), 1, 15))
@@ -86,14 +105,18 @@ object Round17 {
              string_agg(substr(d.text, seg.pe + 1, seg.s - seg.pe - 1),
                '' ORDER BY seg.s) AS pre,
              max(seg.e) AS laste
-           FROM seg JOIN d USING (id) GROUP BY seg.id)
+           FROM seg JOIN d USING (id) GROUP BY seg.id)"""
+
+  val oracles: Map[String, String] = Map(
+
+    "dedup_exact_substr" ->
+      s"""WITH ${exactSubstrCtes(SubstrMinLen)}
        SELECT d.id AS doc_id, d.len::BIGINT AS n_chars,
          coalesce(cut.nrem, 0)::BIGINT AS n_removed,
          CASE WHEN cut.id IS NULL THEN d.text
            ELSE cut.pre || substr(d.text, cut.laste + 1) END AS clean_text
        FROM d LEFT JOIN cut ON cut.id = d.id
-       ORDER BY doc_id"""
-    },
+       ORDER BY doc_id""",
 
     // replays testJpegCell (dims 9cs x 8cs) and testJpegDHash: bit
     // y*8+x set iff ((doc_id >> y) + x) % 2 = 1; bit 63's power
@@ -114,6 +137,23 @@ object Round17 {
              ELSE 1::BIGINT << CAST(i AS INT) END
            ELSE 0 END) AS BIGINT) AS dhash
        FROM v GROUP BY 1, 2, 3 ORDER BY doc_id""",
+
+    // per-language ExactSubstr accounting off the same shared CTE
+    // chain; removed share as a ppm integer floor-division
+    "pipeline_curation6" ->
+      s"""WITH ${exactSubstrCtes(SubstrMinLen)},
+         pd AS (SELECT d.id, dd.lang, d.len,
+             coalesce(cut.nrem, 0)::BIGINT AS nrem
+           FROM d LEFT JOIN cut ON cut.id = d.id
+           JOIN documents dd ON dd.doc_id = d.id)
+       SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN nrem > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS docs_touched,
+         sum(len)::BIGINT AS chars_total,
+         sum(nrem)::BIGINT AS chars_removed,
+         CAST((sum(nrem)::BIGINT * 1000000) // sum(len)::BIGINT
+           AS BIGINT) AS removed_ppm
+       FROM pd GROUP BY lang ORDER BY lang""",
 
     // replays the csc score CTE (shared with curate_ccnet_buckets),
     // then the bounded keyed sketch: 60-bit md5 bottom-64 per lang
