@@ -44,7 +44,23 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_BENCH_PASSES timing passes, default 2 (stream_* gates
   *                            get one extra — micro-batch scheduling
   *                            adds jitter batch queries don't have;
-  *                            observed same-gate run-pair ratios to 1.8x)
+  *                            observed same-gate run-pair ratios to 1.8x).
+  *                            Pass 1 counts: PASSES=2 means each gate is
+  *                            timed twice total (best-of-2; stream_*
+  *                            best-of-3)
+  *   SPARK_GRAFT_BENCH_TIME_BUDGET_S  WALL-CLOCK budget in seconds,
+  *                            default 3000 (0 = unbounded). Warmup +
+  *                            calibration + pass 1 always run to
+  *                            completion (coverage first); refinement
+  *                            passes are skipped or cut short the moment
+  *                            the budget is spent, so the process EXITS
+  *                            ZERO with a complete artifact instead of
+  *                            running into an external kill cap (the
+  *                            r16/r17 driver artifacts died rc=124 with
+  *                            the data already computed). Under heavy
+  *                            host contention pass 1 alone can price ~9x
+  *                            the quiet number — the budget is what
+  *                            turns that into a slow-but-parsed artifact
   *   SPARK_GRAFT_BENCH_SHARD  "i/n" (i in 0..n-1): time only gates whose
   *                            index mod n == i in the sorted gate list,
   *                            so a time-capped harness can split the
@@ -53,6 +69,13 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_CPUS         local[] parallelism (default all cores)
   * Dev filter: `runMain graft.Bench name1,name2` times just those gates
   * (the driver passes no args — full suite).
+  *
+  * The full-precision artifact also carries a per-gate Spark JOB count
+  * (`"jobs"`), measured on each gate's pass-1 run: the r17 drift
+  * forensics showed per-JOB constants (scheduling/IO, ~60-100 ms per
+  * job on a contended host) dominate multi-job iterative gates, so the
+  * job count is the denominator a reader needs to attribute drift to
+  * host overhead vs code.
   */
 object Bench {
 
@@ -78,6 +101,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    val timeBudgetS = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_TIME_BUDGET_S", "3000").toDouble
+    def budgetSpent: Boolean = timeBudgetS > 0 && elapsedS >= timeBudgetS
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -95,7 +123,24 @@ object Bench {
     // the per-gate failure handler below.
     spark.sparkContext.setLogLevel("ERROR")
 
+    // per-gate job counter: one listener, an atomic the timing loop
+    // snapshots around each gate run. Job START (not end) so a failed
+    // gate still books the jobs it launched.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+    val jobs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var trackJobs = false // pass 1 at SF_DIR only (warmup runs at 1%
+    // scale where AQE can pick different plans, refinement would just
+    // re-book the same number)
+
     def once(name: String, dir: String): Double = {
+      val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, dir)
@@ -104,8 +149,10 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (trackJobs) jobs(name) = jobCounter.get() - j0
           return -1.0
       }
+      if (trackJobs) jobs(name) = jobCounter.get() - j0
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -167,18 +214,29 @@ object Bench {
       }
     val warmupBudgetS = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_WARMUP_BUDGET_S", "150").toDouble
+    // the whole sweep is best-effort: a warmup dir missing a table (an
+    // explicit SPARK_GRAFT_BENCH_WARMUP pointing somewhere incomplete)
+    // must cost at most a stderr line, never the artifact the bench
+    // exists to produce — per-gate failures are already absorbed by
+    // once(), this catch covers the dir-level touch itself
     warmupDir.foreach { wd =>
-      spark.read.parquet(s"$wd/nation.parquet").count()
-      val hot = (n: String) => n.startsWith("graph_") ||
-        n.startsWith("stream_") || n.startsWith("pipeline_") ||
-        n.contains("components")
-      val ordered = gates.filter(hot) ++ gates.filterNot(hot)
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < ordered.size && (warmupBudgetS <= 0 ||
-        (System.nanoTime() - t0) / 1e9 < warmupBudgetS)) {
-        once(ordered(i), wd)
-        i += 1
+      try {
+        spark.read.parquet(s"$wd/nation.parquet").count()
+        val hot = (n: String) => n.startsWith("graph_") ||
+          n.startsWith("stream_") || n.startsWith("pipeline_") ||
+          n.contains("components")
+        val ordered = gates.filter(hot) ++ gates.filterNot(hot)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < ordered.size && (warmupBudgetS <= 0 ||
+          (System.nanoTime() - t0) / 1e9 < warmupBudgetS)) {
+          once(ordered(i), wd)
+          i += 1
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup sweep at $wd skipped: " +
+            e.getMessage)
       }
     }
     // even with no warmup dir: touch the data path once
@@ -207,12 +265,15 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       val meta = s""""n_queries":${results.size},"n_gates":${gates.size},""" +
         s""""pass":$pass,"partial":${done < gates.size},""" +
+        s""""elapsed_s":${f3(elapsedS)},"time_budget_s":$timeBudgetS,""" +
         shard.map { case (i, n) => s""""shard":"$i/$n",""" }.getOrElse("")
       val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val jobsFull = jobs.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       val line =
         s"""{"metric":"total","value":$total,"unit":"sec",$meta""" +
-          s""""queries":$qsFull,$calib,"sf":"$sfDir"}"""
+          s""""queries":$qsFull,"jobs":$jobsFull,$calib,"sf":"$sfDir"}"""
       try {
         val p = java.nio.file.Paths.get(outPath)
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -229,17 +290,19 @@ object Bench {
         .mkString("{", ",", "}")
       println(
         s"""{"metric":"total","value":${f3(total)},"unit":"sec",$meta""" +
-          s""""queries":$slow,$calib,""" +
-          s""""queries_full":"$outPath","sf":"$sfDir"}""")
+          s""""queries":$slow,"jobs_total":${jobs.valuesIterator.sum},""" +
+          s"""$calib,"queries_full":"$outPath","sf":"$sfDir"}""")
     }
 
     // pass 1: full coverage as fast as possible, artifact after each gate
     var done = 0
+    trackJobs = true
     gates.foreach { n =>
       best(n) = once(n, sfDir)
       done += 1
       emit(1, done)
     }
+    trackJobs = false
     // refinement passes: keep the best observed time per gate, with the
     // attempts BACK-TO-BACK per gate. This matters for comparability:
     // running the whole suite between a gate's two attempts evicts the
@@ -249,24 +312,54 @@ object Bench {
     // (tiny gates drifted 1.55x, big ones 1.13x — the signature of a
     // constant additive term, not host throttling). A consecutive
     // second attempt runs hot, which is exactly what the pre-r17 bench
-    // measured; stream_* gates get a third (micro-batch scheduling
-    // adds jitter batch queries don't have — observed same-gate
-    // run-pair ratios up to 1.8x).
+    // measured. Pass 1 already timed each gate once, so every
+    // refinement pass adds ONE more attempt (TWO for stream_* —
+    // micro-batch scheduling adds jitter batch queries don't have,
+    // observed same-gate run-pair ratios up to 1.8x): the default
+    // PASSES=2 quotes exactly best-of-2 / stream best-of-3. A gate
+    // that failed transiently (-1 sentinel) gets one recovery attempt
+    // per refinement pass instead — a one-off hiccup in pass 1 must
+    // not book -1 into the committed artifact when a later run
+    // succeeds. Refinement is OPTIONAL precision: the moment the
+    // wall-clock budget is spent the loop stops (mid-pass is fine —
+    // emit ran after every gate, so best-so-far is already on disk)
+    // and the process exits 0 with the complete pass-1 coverage.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    for (p <- 2 to passes) {
-      gates.foreach { n =>
-        if (best(n) >= 0) {
-          val tries = if (n.startsWith("stream_")) 3 else 2
-          var i = 0
-          while (i < tries) {
+    var p = 2
+    var lastPass = 1
+    var stopped = false
+    while (p <= passes && !stopped) {
+      val it = gates.iterator
+      while (it.hasNext && !stopped) {
+        if (budgetSpent) {
+          System.err.println(f"[bench] time budget ($timeBudgetS%.0f s) " +
+            f"spent at ${elapsedS}%.1f s - skipping remaining refinement")
+          stopped = true
+        } else {
+          val n = it.next()
+          if (best(n) >= 0) {
+            val tries = if (n.startsWith("stream_")) 2 else 1
+            var i = 0
+            while (i < tries) {
+              val t = once(n, sfDir)
+              if (t >= 0 && t < best(n)) best(n) = t
+              i += 1
+            }
+          } else {
             val t = once(n, sfDir)
-            if (t >= 0 && t < best(n)) best(n) = t
-            i += 1
+            if (t >= 0) best(n) = t
           }
+          emit(p, done)
+          lastPass = p
         }
-        emit(p, done)
       }
+      p += 1
     }
     spark.stop()
+    // the very LAST stdout write is one more compact artifact line: a
+    // harness that keeps only the tail of the console always finds a
+    // complete, parseable line ending the stream (Spark's shutdown can
+    // interleave output with the last in-loop emission)
+    emit(lastPass, done)
   }
 }

@@ -19,7 +19,7 @@ object SparkEntry {
       Round14.defs, Round14b.defs, Round14c.defs, Round15.defs,
       Round15b.defs, Round15c.defs, Round15d.defs, Round16.defs,
       Round16b.defs, Round16c.defs, Round16d.defs, Round16e.defs, Round16f.defs, Round16g.defs,
-      Round16h.defs, Round17.defs)
+      Round16h.defs, Round17.defs, Round18.defs)
 
   private def oracleMaps: Seq[Map[String, String]] =
     Seq(Relational.oracles, Relational2.oracles, Extensions.oracles,
@@ -32,7 +32,8 @@ object SparkEntry {
       Round14c.oracles, Round15.oracles, Round15b.oracles, Round15c.oracles,
       Round15d.oracles, Round16.oracles, Round16b.oracles, Round16c.oracles,
       Round16d.oracles, Round16e.oracles, Round16f.oracles,
-      Round16g.oracles, Round16h.oracles, Round17.oracles)
+      Round16g.oracles, Round16h.oracles, Round17.oracles,
+      Round18.oracles)
 
   /** A duplicate key across batch files would SILENTLY shadow the
     * earlier gate under `++` (found the hard way in round 16: a second

@@ -352,9 +352,8 @@ object Dedup {
                           maxIters: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      graft.operators.Checkpoints.pin(df, checkpointDir)
     // materialize the DIRECTED pair list first: the undirected edge
     // union references it twice, and truncating only after the union
     // would run the (expensive) pair generation once per direction

@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints
+
 /** k-core peeling — the standard graph-density filter (Seidman 1983):
   * repeatedly drop nodes with degree < k; what survives is the k-core,
   * the maximal subgraph where every node keeps ≥ k neighbors. On a
@@ -14,39 +16,59 @@ import org.apache.spark.sql.functions._
   * no driver-side graph. Rounds are deterministic, so a fixed-round
   * run replays exactly on any engine (the gate's contract, like
   * `graph_label_prop`); at fixpoint the result IS the k-core, and
-  * `peel` stops early when a round removes nothing. Lineage truncates
-  * per round (`localCheckpoint`) exactly like the components loop —
-  * at cluster scale a reliable checkpoint. Output: the surviving
-  * nodes with their in-core degree. */
+  * `peel` stops early when a materialization removes nothing (peeling
+  * is idempotent at fixpoint, so checking per BLOCK of fused rounds
+  * never changes the result). Output: the surviving nodes with their
+  * in-core degree.
+  *
+  * Scale shape: `fuse` peel rounds chain LAZILY between
+  * materializations, so a block of rounds runs as one job (the r17
+  * bench forensics measured a ~60-100 ms per-JOB constant on a
+  * contended host — on an f-round peel, fusing halves that bill), and
+  * lineage truncates at each block boundary via
+  * [[graft.operators.Checkpoints.pin]]: reliable `checkpoint(dir)` on
+  * a cluster when `checkpointDir` is set (the
+  * `Dedup.connectedComponents`/`PageRank` durability contract — a
+  * corpus-sized `localCheckpoint` block has no lineage to survive
+  * executor loss), `localCheckpoint` in dev. */
 object KCore {
   def peel(edges: DataFrame, aCol: String, bCol: String, k: Int,
-           rounds: Int): DataFrame = {
+           rounds: Int, fuse: Int = 2,
+           checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k and rounds positive ($k, $rounds)")
+    require(fuse >= 1, s"fuse must be >= 1, got $fuse")
     val e = edges.where(col(aCol).isNotNull && col(bCol).isNotNull &&
       col(aCol) =!= col(bCol))
-    var und = e.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(e.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .localCheckpoint()
+    var und = Checkpoints.pin(
+      e.select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(e.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct(),
+      checkpointDir)
     var r = 0
     var done = false
-    // ONE action per peel round: the previous round's edge count is
-    // carried in a local (the initial count rides the checkpoint that
-    // just materialized `und`), so each round pays exactly one job
+    // ONE count action per materialized block: the previous block's
+    // edge count is carried in a local (the initial count rides the
+    // checkpoint that just materialized `und`)
     var prevCount = und.count()
     while (r < rounds && !done) {
-      val keep = und.groupBy("u").agg(count(lit(1)).as("__d"))
-        .where(col("__d") >= k)
-        .select("u")
-      und = und
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.toDF("v"), Seq("v"), "left_semi")
-        .select("u", "v")
-        .localCheckpoint()
+      val steps = math.min(fuse, rounds - r)
+      var block = und
+      var i = 0
+      while (i < steps) {
+        val keep = block.groupBy("u").agg(count(lit(1)).as("__d"))
+          .where(col("__d") >= k)
+          .select("u")
+        block = block
+          .join(keep, Seq("u"), "left_semi")
+          .join(keep.toDF("v"), Seq("v"), "left_semi")
+          .select("u", "v")
+        i += 1
+      }
+      und = Checkpoints.pin(block, checkpointDir)
       val after = und.count()
       done = after == prevCount
       prevCount = after
-      r += 1
+      r += steps
     }
     und.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("degree"))

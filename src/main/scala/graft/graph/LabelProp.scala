@@ -41,9 +41,8 @@ object LabelProp {
             rounds: Int, checkpointEvery: Int = 0,
             checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      graft.operators.Checkpoints.pin(df, checkpointDir)
     val dir = edges
       .select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))

@@ -41,9 +41,8 @@ object PageRank {
             checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      graft.operators.Checkpoints.pin(df, checkpointDir)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val nodes = e.select(col("src").as("node"))
@@ -86,9 +85,8 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      graft.operators.Checkpoints.pin(df, checkpointDir)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val nodes = e.select(col("src").as("node"))

@@ -32,6 +32,12 @@ case class ImageHash(doc_id: Long, dhash: Long)
 case class JpegImageHash(doc_id: Long, width: Int, height: Int,
                          dhash: Long)
 
+/** Tolerant JPEG decode result: `ok = false` rows carry null features
+  * (the payload was corrupt), never a thrown task. */
+case class JpegTolerantHash(doc_id: Long, ok: Boolean,
+                            width: Option[Int], height: Option[Int],
+                            dhash: Option[Long])
+
 /** Multimodal column plumbing. The Spark-side shape is real and tested:
   * binary payload column, typed feature schema, partition-parallel batch
   * decode via `mapPartitions` (the Scala analogue of arrow-batched
@@ -692,6 +698,63 @@ object Multimodal {
           (x, y) => testJpegPixel(id, x, y, cs))
         val (w, h, pix) = decodeGray(jpg)
         JpegImageHash(id, w, h, dHash64(pix, w, h))
+      }
+    }
+  }
+
+  /** [[decodeGray]] with the xls-tier tolerance contract
+    * (`ingest_xls_tolerance`): a payload the codec rejects — whether by
+    * returning null (no recognized container magic) or by THROWING
+    * (recognized magic, broken structure: a JFIF header cut before any
+    * scan data throws `IIOException`) — yields None, never a thrown
+    * task. A payload the codec can PARTIALLY decode (e.g. a JPEG
+    * truncated mid-scan: the JDK reader keeps the header dims and
+    * fills the missing MCU rows) decodes to Some, deterministically
+    * for fixed bytes — tolerance means the pipeline books what the
+    * codec salvages and nulls what it can't. */
+  def decodeGrayOpt(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (bytes == null || bytes.isEmpty) None
+      else Some(decodeGray(bytes))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic per-id corruption for the tolerance gate, cycling
+    * three guaranteed-to-fail classes (probed against the JDK codec):
+    * id%4=0 intact; 1 = first byte dropped (no SOI magic — ImageIO
+    * returns null); 2 = 64 bytes of id-derived garbage (null); 3 = cut
+    * to the first 4 bytes (SOI+marker — the JPEG reader throws "No
+    * image data present"). Mid-stream truncation is deliberately NOT a
+    * gate class: the JDK reader partially decodes it (header dims
+    * survive, missing rows fill gray), which is deterministic but not
+    * formula-replayable — the spec covers that path instead. */
+  def corruptJpeg(jpg: Array[Byte], id: Long): Array[Byte] =
+    (id % 4) match {
+      case 0 => jpg
+      case 1 => jpg.drop(1)
+      case 2 => Array.tabulate[Byte](64)(i => ((id * 31 + i * 37 + 11) % 256).toByte)
+      case _ => jpg.take(4)
+    }
+
+  /** The corruption-tolerance sibling of [[jpegDHashes]]: synthesize
+    * the same real JPEG bytes, corrupt them per [[corruptJpeg]], and
+    * decode through [[decodeGrayOpt]] — corrupt payloads book
+    * `ok = false` with null features; no input ever throws a task.
+    * Same spreadIds partition-parallel shape. */
+  def jpegDHashesTolerant(docs: DataFrame, idCol: String,
+                          quality: Float): Dataset[JpegTolerantHash] = {
+    import docs.sparkSession.implicits._
+    spreadIds(docs, idCol).mapPartitions { it =>
+      it.map { id =>
+        val cs = testJpegCell(id)
+        val (w0, h0) = (9 * cs, 8 * cs)
+        val jpg = encodeGrayJpeg(w0, h0, quality,
+          (x, y) => testJpegPixel(id, x, y, cs))
+        decodeGrayOpt(corruptJpeg(jpg, id)) match {
+          case Some((w, h, pix)) =>
+            JpegTolerantHash(id, ok = true, Some(w), Some(h),
+              Some(dHash64(pix, w, h)))
+          case None => JpegTolerantHash(id, ok = false, None, None, None)
+        }
       }
     }
   }

@@ -31,7 +31,9 @@ object Curriculum {
     *   target a single lost executor kills the whole schedule job.
     *   Unset (dev/local) falls back to localCheckpoint, which avoids
     *   the disk round-trip. The same dual [[graft.dedup.Dedup
-    *   .connectedComponents]] exposes. */
+    *   .connectedComponents]] exposes; a checkpoint dir the session
+    *   already configured wins over this one
+    *   ([[Checkpoints.pin]] never clobbers session-global state). */
   def interleave(df: DataFrame, difficultyCol: String, nBands: Int,
                  checkpointDir: Option[String] = None): DataFrame = {
     require(nBands > 0, s"nBands must be positive, got $nBands")
@@ -39,15 +41,12 @@ object Curriculum {
     // (per-band cut sketch, lane counts, the rank join) and each would
     // otherwise re-execute the whole global-rank pipeline (the
     // PerplexityBuckets/Labeling multi-scan lesson)
-    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
     val banded = RankNormalize(df, difficultyCol)
       .withColumn("band",
         least(floor(col("rank_pct") * nBands), lit(nBands - 1).cast("long"))
           .cast("int"))
       .drop("rank_pct")
-    val ranked =
-      if (checkpointDir.isDefined) banded.checkpoint()
-      else banded.localCheckpoint()
+    val ranked = Checkpoints.pin(banded, checkpointDir)
     val within = RankNormalize.grouped(ranked, col("band"), difficultyCol)
     within.withColumn("within_pct",
         floor(col("rank_pct") * 1e6 + 0.5) / 1e6)

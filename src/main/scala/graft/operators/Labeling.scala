@@ -33,18 +33,24 @@ object Labeling {
   /** Normalized (item, rater, label) ratings — null-rater rows dropped
     * alongside null items/labels, so every downstream frame (consensus,
     * accuracy, weights) sees the SAME population as the oracle. One
-    * [[org.apache.spark.sql.DataFrame.localCheckpoint localCheckpoint]]
-    * here is what makes [[raterAccuracy]]/[[weightedConsensus]]
-    * single-scan: the source is read once and the cells/consensus/join
-    * passes replay the materialized frame. */
+    * eager pin here is what makes [[raterAccuracy]]/
+    * [[weightedConsensus]] single-scan: the source is read once and
+    * the cells/consensus/join passes replay the materialized frame.
+    * The frame is RATINGS-sized (every rating row), so at cluster
+    * scale the pin takes the reliable-`checkpoint()` dual via
+    * [[Checkpoints.pin]] when a `checkpointDir` is supplied —
+    * `localCheckpoint` blocks have no lineage to survive executor
+    * loss. */
   private def ratingsFrame(df: DataFrame, itemCol: Column,
-                           raterCol: Column, labelCol: Column): DataFrame =
-    df.select(itemCol.cast("string").as("item"),
-        raterCol.cast("string").as("rater"),
-        labelCol.cast("string").as("label"))
-      .where(col("item").isNotNull && col("rater").isNotNull &&
-        col("label").isNotNull)
-      .localCheckpoint()
+                           raterCol: Column, labelCol: Column,
+                           checkpointDir: Option[String]): DataFrame =
+    Checkpoints.pin(
+      df.select(itemCol.cast("string").as("item"),
+          raterCol.cast("string").as("rater"),
+          labelCol.cast("string").as("label"))
+        .where(col("item").isNotNull && col("rater").isNotNull &&
+          col("label").isNotNull),
+      checkpointDir)
 
   /** Majority-vote consensus per item, deterministic tie-break: the
     * winning label is the most-voted one, smallest label lexically on
@@ -79,8 +85,10 @@ object Labeling {
     * it when small; at 10^9 items it is a co-partitioned shuffle join —
     * both correct), then one grouped count per rater. */
   def raterAccuracy(df: DataFrame, itemCol: Column, raterCol: Column,
-                    labelCol: Column): DataFrame =
-    raterAccuracyFrom(ratingsFrame(df, itemCol, raterCol, labelCol))
+                    labelCol: Column,
+                    checkpointDir: Option[String] = None): DataFrame =
+    raterAccuracyFrom(
+      ratingsFrame(df, itemCol, raterCol, labelCol, checkpointDir))
 
   /** [[raterAccuracy]] over a pre-materialized [[ratingsFrame]]. The
     * consensus is computed from the SAME rater-filtered frame the
@@ -112,8 +120,10 @@ object Labeling {
     * same grouped-count + min-of-struct reduce as [[consensus]].
     * Output: (item, label, w_votes, votes, total). */
   def weightedConsensus(df: DataFrame, itemCol: Column, raterCol: Column,
-                        labelCol: Column): DataFrame = {
-    val ratings = ratingsFrame(df, itemCol, raterCol, labelCol)
+                        labelCol: Column,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val ratings =
+      ratingsFrame(df, itemCol, raterCol, labelCol, checkpointDir)
     val weights = raterAccuracyFrom(ratings)
       .select(col("rater"),
         floor(col("accuracy") * 1e6 + 0.5).cast("long").as("__w"))
@@ -151,13 +161,16 @@ object Labeling {
     * D_e = 0 (every pairable rating one label) yields α = 1 when
     * D_o = 0 by the same convention as [[Kappa]]. */
   def krippendorffAlpha(df: DataFrame, itemCol: Column,
-                        labelCol: Column): DataFrame = {
-    val cs = cells(df, itemCol, labelCol)
-      .localCheckpoint() // ≤ |items|·|labels| rows; feeds units + margins
-    val units = cs.groupBy("item")
-      .agg(sum("c").as("nu"), sum(col("c") * col("c")).as("s2"))
-      .where(col("nu") >= 2L)
-      .localCheckpoint() // one row per pairable unit
+                        labelCol: Column,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    // ≤ |items|·|labels| rows (items-sized at scale); feeds units +
+    // margins — reliable-checkpoint dual like the ratings frame
+    val cs = Checkpoints.pin(cells(df, itemCol, labelCol), checkpointDir)
+    val units = Checkpoints.pin(
+      cs.groupBy("item")
+        .agg(sum("c").as("nu"), sum(col("c") * col("c")).as("s2"))
+        .where(col("nu") >= 2L),
+      checkpointDir) // one row per pairable unit
     // per unit: Σ_c n_uc(n_u − n_uc) = n_u² − Σ_c n_uc²; class-sum by m
     val classes = units.groupBy(col("nu").as("m"))
       .agg(count(lit(1)).as("units"),

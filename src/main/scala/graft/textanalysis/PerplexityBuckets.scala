@@ -3,7 +3,7 @@ package graft.textanalysis
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, Checkpoints}
 
 /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
   * document under ITS OWN language's LM, then split each language into
@@ -61,14 +61,20 @@ object PerplexityBuckets {
 
   /** Head/middle/tail assignment per language over [[perLangLogprob]]
     * scores (head = top tercile by log-prob = lowest perplexity).
-    * Returns the per-doc frame with a `bucket` column. */
-  def assign(rawScores: DataFrame): DataFrame = {
+    * Returns the per-doc frame with a `bucket` column.
+    *
+    * @param checkpointDir the scores frame is CORPUS-sized and feeds
+    *   several jobs — when set, it pins via reliable `checkpoint()`
+    *   (cluster durability, the [[graft.operators.Curriculum]]
+    *   contract) instead of `localCheckpoint()`. */
+  def assign(rawScores: DataFrame,
+             checkpointDir: Option[String] = None): DataFrame = {
     // the tercile selection runs several jobs (lane counts, boundary
     // fetch) and the bucket join reads the frame once more — without
     // pinning, the whole two-scan LM pipeline re-executes per job (the
     // Labeling multi-scan lesson): measured 114 s -> 23 s at 2M
     // synthetic docs with the checkpoint
-    val scores = rawScores.localCheckpoint()
+    val scores = Checkpoints.pin(rawScores, checkpointDir)
     val cuts = Analytics.exactQuantilesSelectGrouped(scores, "lang",
         col("id"), "avg_logprob",
         Seq("q33" -> (1.0 / 3.0), "q67" -> (2.0 / 3.0)),
@@ -115,14 +121,17 @@ object PerplexityBuckets {
   /** The per-(lang, bucket) triage summary off the STREAMING sketch
     * cuts — the unbounded-feed sibling of [[summary]]: identical
     * scores, identical assignment rule, cuts from the bounded keyed
-    * sketch instead of the exact selection. The scores frame pins with
-    * localCheckpoint: the sketch replay (distinct + count + top-K) and
-    * the assignment join would otherwise re-run the two-scan LM per
-    * job (the [[assign]] lesson). */
+    * sketch instead of the exact selection. The scores frame pins
+    * eagerly: the sketch replay (distinct + count + top-K) and the
+    * assignment join would otherwise re-run the two-scan LM per job
+    * (the [[assign]] lesson) — reliable `checkpoint()` when
+    * `checkpointDir` is set, `localCheckpoint` in dev, the same
+    * durability dual as [[assign]]. */
   def streamingSummary(df: DataFrame, idCol: String, textCol: String,
-                       langCol: String): DataFrame = {
-    val scores = perLangLogprob(df, idCol, textCol, langCol)
-      .localCheckpoint()
+                       langCol: String,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val scores = Checkpoints.pin(
+      perLangLogprob(df, idCol, textCol, langCol), checkpointDir)
     assignByCuts(scores, streamingCuts(scores))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -134,8 +143,9 @@ object PerplexityBuckets {
   /** The per-(lang, bucket) triage summary a curation run reports:
     * doc/token counts and the score range each bucket spans. */
   def summary(df: DataFrame, idCol: String, textCol: String,
-              langCol: String): DataFrame =
-    assign(perLangLogprob(df, idCol, textCol, langCol))
+              langCol: String,
+              checkpointDir: Option[String] = None): DataFrame =
+    assign(perLangLogprob(df, idCol, textCol, langCol), checkpointDir)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),

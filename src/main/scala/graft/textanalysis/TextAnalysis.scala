@@ -225,25 +225,48 @@ object TextAnalysis {
                        textCol: String, minLen: Int = 50)
       : org.apache.spark.sql.DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2 chars, got $minLen")
-    // spread the corpus BEFORE the gram chain: a compact parquet scan
-    // arrives in one or two splits, which would run the CPU-bound
-    // explode+md5 gram hashing serially on one core of a 32-core
-    // executor (and on ONE executor of a 1000-node cluster) — the
-    // multimodal spreadIds lesson; the shuffle moves only the raw
-    // docs, orders of magnitude less than the gram stream it unlocks
-    val base = df.where(col(textCol).isNotNull)
-      .select(col(idCol), col(textCol).as("__txt"),
-        length(col(textCol)).as("__len"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    val base = substrBase(df, idCol, textCol)
     val grams = base
       .select(col(idCol), col("__txt"),
         explode(when(col("__len") >= minLen,
           sequence(lit(1), col("__len") - (minLen - 1)))
           .otherwise(array().cast("array<int>"))).as("__i"))
-      .select(col(idCol), col("__i"),
-        conv(substring(md5(col("__txt").substr(col("__i"), lit(minLen))),
-          1, 15), 16, 10).cast("long").as("__k"))
+      .select(col(idCol), col("__i"), gramKey(minLen))
+    cutMarkedGrams(base, grams, idCol, minLen)
+  }
+
+  /** Spread the corpus BEFORE a gram chain: a compact parquet scan
+    * arrives in one or two splits, which would run the CPU-bound
+    * explode+hash gram work serially on one core of a 32-core executor
+    * (and on ONE executor of a 1000-node cluster) — the multimodal
+    * spreadIds lesson; the shuffle moves only the raw docs, orders of
+    * magnitude less than the gram stream it unlocks. */
+  private def substrBase(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__txt"),
+        length(col(textCol)).as("__len"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+
+  /** 60-bit md5 fingerprint of the L-gram starting at char `__i` of
+    * `__txt` — the one gram key both the full and the minimized chain
+    * (and the DuckDB oracle) derive. */
+  private def gramKey(minLen: Int): Column =
+    conv(substring(md5(col("__txt").substr(col("__i"), lit(minLen))),
+      1, 15), 16, 10).cast("long").as("__k")
+
+  /** Shared tail of the ExactSubstr chain: count gram keys, mark every
+    * non-canonical occurrence of a duplicated key, merge each doc's
+    * mark cover, cut and re-stitch. `grams` must contain EVERY
+    * occurrence of every corpus-duplicated L-gram (the full explode
+    * trivially does; the minimized path proves it via the winnowing
+    * guarantee) — keys occurring once may be present or absent, they
+    * mark nothing either way. */
+  private def cutMarkedGrams(base: org.apache.spark.sql.DataFrame,
+                             grams: org.apache.spark.sql.DataFrame,
+                             idCol: String, minLen: Int)
+      : org.apache.spark.sql.DataFrame = {
     val counts = grams.groupBy("__k")
       .agg(count(lit(1)).as("__n"),
         min(struct(col(idCol).as("__fid"), col("__i").as("__fi")))
@@ -280,6 +303,77 @@ object TextAnalysis {
         st => concat(st.getField("acc"), col("__txt").substr(
           st.getField("cur"), col("__len") - st.getField("cur") + 1)))
         .as("clean_text"))
+  }
+
+  /** [[exactSubstrDedup]] with WINNOWED gram selection — byte-identical
+    * output, a ~w/2× smaller gram stream (round-17 verdict item 2).
+    *
+    * The full chain shuffles one row per character position TWICE (the
+    * key count and the join-back) — linear and partitionable, but
+    * ~20-30× the text bytes each way, which at the 100 TB target is
+    * the difference between a 2 PB and a 100 TB shuffle. This variant
+    * first selects winnowing minimizers over k-grams with window
+    * w = minLen - k + 1 ([[graft.functions.WinnowMinimizers]], one
+    * O(n) codegen'd pass per doc, selection density ~2/(w+1)), counts
+    * THOSE fingerprints, and only then emits full L-gram keys at the
+    * candidate positions [p - (L-k), p] around each REPEATED minimizer
+    * p. Exactness: two equal L-grams are two equal length-(w+k-1)
+    * substrings, so by the winnowing guarantee both copies select the
+    * same fingerprint value inside the match — every occurrence of
+    * every duplicated L-gram therefore lands in the candidate cover,
+    * the reduced chain sees the same duplicated keys with the same
+    * counts and the same canonical minima, and marks the same cuts
+    * (fingerprint collisions only ever ADD candidates). The two
+    * gram-sized shuffles shrink to minimizer density + actual
+    * duplication mass; worst case (a fully duplicated corpus) degrades
+    * to the full chain's size, never past it. */
+  def exactSubstrDedupMinimized(df: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String,
+                                minLen: Int = 50, k: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 chars, got $minLen")
+    require(k >= 1 && k < minLen, s"need 1 <= k < minLen, got k=$k")
+    val w = minLen - k + 1
+    val base = substrBase(df, idCol, textCol)
+    val mins = base
+      .select(col(idCol), col("__len"),
+        explode(graft.functions.WinnowMinimizers(col("__txt"), k, w))
+          .as("__mm"))
+      .select(col(idCol), col("__len"),
+        col("__mm.pos").as("__p"), col("__mm.fp").as("__fp"))
+    // fingerprints selected >= 2 times corpus-wide (map-side combined;
+    // two selections of one value — across docs or within one — are
+    // exactly the two-occurrence evidence the theorem provides)
+    val rep = mins.groupBy("__fp").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2).select("__fp")
+    // per doc: candidate L-gram START intervals around each repeated
+    // minimizer, clipped to valid starts, merged — the same bounded
+    // per-doc interval algebra as the cut cover itself
+    val cand = mins.join(rep, Seq("__fp"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        greatest(lit(1), col("__p") - (minLen - k)).as("s"),
+        least(col("__p"), col("__len") - (minLen - 1)).as("e"))))
+        .as("__cs"))
+      .select(col(idCol),
+        aggregate(col("__cs"),
+          array().cast("array<struct<s:int,e:int>>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+              x.getField("s") <= element_at(acc, -1).getField("e") + 1,
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(struct(element_at(acc, -1).getField("s").as("s"),
+                  greatest(element_at(acc, -1).getField("e"),
+                    x.getField("e")).as("e")))))
+              .otherwise(concat(acc, array(struct(
+                x.getField("s").as("s"), x.getField("e").as("e"))))))
+          .as("__civ"))
+    val grams = base.join(cand, Seq(idCol))
+      .select(col(idCol), col("__txt"),
+        explode(flatten(transform(col("__civ"),
+          v => sequence(v.getField("s"), v.getField("e"))))).as("__i"))
+      .select(col(idCol), col("__i"), gramKey(minLen))
+    cutMarkedGrams(base, grams, idCol, minLen)
   }
 
   /** Corpus-level n-gram frequency: the k most frequent word n-grams

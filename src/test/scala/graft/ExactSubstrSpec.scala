@@ -75,4 +75,67 @@ class ExactSubstrSpec extends SparkTestBase {
     assert(out(1L) === (4L, 0L, "tiny"))
     assert(out(2L) === (0L, 0L, ""))
   }
+
+  // ---- winnowed-minimizer variant: OUTPUT-IDENTICAL by the winnowing
+  //      guarantee (round-18; see exactSubstrDedupMinimized's scaladoc
+  //      for the proof sketch) ----
+
+  private def runMin(rows: Seq[(Long, String)], minLen: Int, k: Int) =
+    TextAnalysis.exactSubstrDedupMinimized(rows.toDF("id", "text"), "id",
+        "text", minLen, k)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+
+  private def assertMinEqualsFull(rows: Seq[(Long, String)], minLen: Int,
+                                  k: Int): Unit =
+    assert(runMin(rows, minLen, k) === run(rows, minLen),
+      s"minimized (k=$k) diverged from full chain at minLen=$minLen")
+
+  test("minimized == full on every handcrafted fixture above, at " +
+    "several k") {
+    val fixtures = Seq(
+      Seq((1L, "xxxABCDEFGHIJKLMNOPyyy"), (2L, "qqABCDEFGHIJKLMNOPzzzz"),
+        (3L, "totally unrelated text here")),
+      Seq((7L, "0123456789XX0123456789")),
+      Seq((1L, "aaQRSTUVWXYbb"), (2L, "ccQRSTUVWXYdd")),
+      Seq((1L, "aaQRSTUVWXYZbb"), (2L, "ccQRSTUVWXYZdd")),
+      Seq((1L, "<<ABCDEFGHIJKL>>"), (2L, "((MNOPQRSTUVWX))"),
+        (3L, "__ABCDEFGHIJKL#MNOPQRSTUVWX--")),
+      Seq((1L, "a" * 15), (2L, "b" + "a" * 15)), // all-tie fingerprints
+      Seq((1L, "tiny"), (2L, "")))
+    for (f <- fixtures; k <- Seq(2, 4, 9))
+      assertMinEqualsFull(f, minLen = 10, k = k)
+  }
+
+  test("minimized == full at boundaries: dup span at doc start, doc " +
+    "end, exactly minLen, and doc length exactly minLen") {
+    val span = "ABCDEFGHIJ" // exactly minLen = 10
+    assertMinEqualsFull(Seq(
+      (1L, span), // whole doc IS the span
+      (2L, span + "tail..."), // span at start
+      (3L, "...head" + span), // span at end
+      (4L, "no relation at all here")), minLen = 10, k = 4)
+  }
+
+  test("minimized == full on a seeded random low-alphabet corpus " +
+    "(heavy natural repetition + ties)") {
+    val rnd = new scala.util.Random(20260816L)
+    val docs = (1L to 200L).map { id =>
+      val len = 40 + rnd.nextInt(160)
+      (id, (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    assertMinEqualsFull(docs, minLen = 12, k = 4)
+    assertMinEqualsFull(docs, minLen = 12, k = 8)
+  }
+
+  test("minimized == full with multi-byte code points in and around " +
+    "the duplicated span (position accounting is code-point-exact)") {
+    val span = "ñandú🦤crève≠Ωabc" // 16 code points
+    assertMinEqualsFull(Seq(
+      (1L, s"ß×$span÷µ"),
+      (2L, s"œ$span"),
+      (3L, "çéüöäñ unrelated ≠≠≠")), minLen = 10, k = 3)
+  }
 }
