@@ -21,19 +21,29 @@ import graft.operators.Checkpoints
   * never changes the result). Output: the surviving nodes with their
   * in-core degree.
   *
-  * Scale shape: `fuse` peel rounds chain LAZILY between
-  * materializations, so a block of rounds runs as one job (the r17
-  * bench forensics measured a ~60-100 ms per-JOB constant on a
-  * contended host — on an f-round peel, fusing halves that bill), and
-  * lineage truncates at each block boundary via
+  * Scale shape: lineage truncates at each materialization via
   * [[graft.operators.Checkpoints.pin]]: reliable `checkpoint(dir)` on
   * a cluster when `checkpointDir` is set (the
   * `Dedup.connectedComponents`/`PageRank` durability contract — a
   * corpus-sized `localCheckpoint` block has no lineage to survive
-  * executor loss), `localCheckpoint` in dev. */
+  * executor loss), `localCheckpoint` in dev.
+  *
+  * `fuse` chains that many peel rounds LAZILY between
+  * materializations, trading one pin+count job pair per extra round
+  * against re-evaluating the unmaterialized round subtree where the
+  * plan references it more than once (the keep side and both
+  * semi-join probes; exchange reuse recovers only the identically-
+  * keyed parts). MEASURED on local[32] at sf0.1 (3-round k=3 peel of
+  * the trade graph): fuse=2 runs 3.1-3.3 s warm vs 2.4-2.7 s at
+  * fuse=1 — the recompute outweighs the ~2-job saving whenever
+  * per-job scheduling latency is the local-mode microseconds-to-
+  * milliseconds, so the DEFAULT is no fusion; the knob exists for
+  * schedulers where a job round-trip costs more than a round's
+  * compute (a saturated 1000-executor driver), and the spec pins
+  * fused == unfused output. */
 object KCore {
   def peel(edges: DataFrame, aCol: String, bCol: String, k: Int,
-           rounds: Int, fuse: Int = 2,
+           rounds: Int, fuse: Int = 1,
            checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k and rounds positive ($k, $rounds)")
     require(fuse >= 1, s"fuse must be >= 1, got $fuse")

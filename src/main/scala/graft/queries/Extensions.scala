@@ -133,8 +133,8 @@ object Extensions {
     * and band buckets from the SAME `md5AffineCoeffs`/`Md5P` constants
     * the Spark plan inlines — the two sides cannot drift. Yields CTEs
     * `sets` (doc word-sets), `bands` (doc_id, b, bucket). */
-  private def md5MinhashCtes(numHashes: Int, bands: Int,
-                             corpus: String = "documents"): String = {
+  private[queries] def md5MinhashCtes(numHashes: Int, bands: Int,
+                                      corpus: String = "documents"): String = {
     val rows = numHashes / bands
     val mins = Dedup.md5AffineCoeffs(numHashes).map { case (a, b) =>
       s"min((m * $a + $b) % ${Dedup.Md5P})"

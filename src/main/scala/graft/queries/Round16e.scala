@@ -23,31 +23,35 @@ object Round16e {
   /** Shared oracle CTEs: per-doc DSIR importance log-weights in ppm
     * integers, target = English docs, raw = the whole pool. `src` is
     * any relation with (doc_id, lang, text) — the corpus the model
-    * fits on AND scores. */
-  private[queries] def dsirWeightCtes(src: String = "documents"): String =
-    s"""d AS (SELECT doc_id AS id, lang = 'en' AS t,
+    * fits on AND scores. `p` prefixes every CTE name (the weights land
+    * in `${p}w`) so the chain composes with oracle chains that already
+    * define `d`/`toks`/... (pipeline_curation7 stacks it on the
+    * ExactSubstr CTEs). */
+  private[queries] def dsirWeightCtes(src: String = "documents",
+                                      p: String = ""): String =
+    s"""${p}d AS (SELECT doc_id AS id, lang = 'en' AS t,
            regexp_split_to_array(trim(text), '\\s+') AS arr
          FROM $src
          WHERE text IS NOT NULL AND length(trim(text)) > 0),
-       toks AS (SELECT id, t,
+       ${p}toks AS (SELECT id, t,
            CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % $DsirBuckets
              AS b
-         FROM (SELECT id, t, unnest(arr) AS w FROM d)),
-       cnt AS (SELECT b,
+         FROM (SELECT id, t, unnest(arr) AS w FROM ${p}d)),
+       ${p}cnt AS (SELECT b,
            sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS tc,
            count(*)::BIGINT AS rc
-         FROM toks GROUP BY b),
-       tot AS (SELECT sum(tc)::BIGINT AS tt, sum(rc)::BIGINT AS rt
-         FROM cnt),
-       lr AS (SELECT b,
+         FROM ${p}toks GROUP BY b),
+       ${p}tot AS (SELECT sum(tc)::BIGINT AS tt, sum(rc)::BIGINT AS rt
+         FROM ${p}cnt),
+       ${p}lr AS (SELECT b,
            CAST(floor(ln(((tc + 1)::DOUBLE * (rt + $DsirBuckets)::DOUBLE) /
                ((rc + 1)::DOUBLE * (tt + $DsirBuckets)::DOUBLE))
              * 1000000 + 0.5) AS BIGINT) AS lrp
-         FROM cnt, tot),
-       w AS (SELECT toks.id, bool_or(toks.t) AS is_target,
+         FROM ${p}cnt, ${p}tot),
+       ${p}w AS (SELECT t0.id, bool_or(t0.t) AS is_target,
            count(*)::BIGINT AS n_tokens,
-           sum(lr.lrp)::BIGINT AS logw_ppm
-         FROM toks JOIN lr USING (b) GROUP BY toks.id)"""
+           sum(l0.lrp)::BIGINT AS logw_ppm
+         FROM ${p}toks t0 JOIN ${p}lr l0 USING (b) GROUP BY t0.id)"""
 
   val defs: Map[String, Q] = Map(
 
@@ -97,15 +101,17 @@ object Round16e {
          min(alp) AS lp_min, max(alp) AS lp_max
        FROM cb GROUP BY 1, 2 ORDER BY 1, 2""")
 
-  /** Gumbel top-k key over the `w` weights CTE — the deterministic
+  /** Gumbel top-k key over the `${p}w` weights CTE — the deterministic
     * md5-uniform draw [[graft.operators.Dsir.gumbelTopK]] replays. */
-  private[queries] def gumbelKeyedCte: String =
-    """keyed AS (SELECT id, is_target, n_tokens, logw_ppm,
+  private[queries] def gumbelKeyedCte: String = gumbelKeyedCtePfx("")
+
+  private[queries] def gumbelKeyedCtePfx(p: String): String =
+    s"""${p}keyed AS (SELECT id, is_target, n_tokens, logw_ppm,
          logw_ppm + CAST(floor(-ln(-ln(
              ((CAST(('0x' || substr(md5('g|' || id::VARCHAR), 1, 8))
                  AS BIGINT) % 1048576)::DOUBLE + 0.5) / 1048576.0))
            * 1000000 + 0.5) AS BIGINT) AS key_ppm
-       FROM w)"""
+       FROM ${p}w)"""
 
   /** Shared oracle CTEs for the CCNet triage: per-doc
     * (id, lang, n_tokens, alp, bucket) in `cb`. CTE names carry a
