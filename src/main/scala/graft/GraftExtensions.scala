@@ -1488,5 +1488,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             numLit(n, "nBands", args(2)).toInt)
           .queryExecution.logical
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_exact_substr_min"),
+      info("graft_exact_substr_min",
+        "graft_exact_substr_min(table, idCol, textCol, minLen, k) - winnowed-minimizer ExactSubstr dedup: output-identical to graft_exact_substr, both gram-sized shuffles cut ~(minLen-k+1)/2x by k-gram minimizer pre-selection: (id, n_chars, n_removed, clean_text)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"graft_exact_substr_min expects 5 arguments")
+        val n = "graft_exact_substr_min"
+        graft.textanalysis.TextAnalysis.exactSubstrDedupMinimized(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            strLit(n, "textCol", args(2)),
+            numLit(n, "minLen", args(3)).toInt,
+            numLit(n, "k", args(4)).toInt)
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_jpeg_dhash_tolerant"),
+      info("graft_jpeg_dhash_tolerant",
+        "graft_jpeg_dhash_tolerant(table, idCol, quality) - corruption-tolerant sibling of graft_jpeg_dhash: corrupt payloads book ok=false with null features, never a thrown task: (doc_id, ok, width, height, dhash)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_jpeg_dhash_tolerant expects 3 arguments")
+        val n = "graft_jpeg_dhash_tolerant"
+        graft.multimodal.Multimodal.jpegDHashesTolerant(
+            SparkSession.active.table(strLit(n, "table", args.head)),
+            strLit(n, "idCol", args(1)),
+            numLit(n, "quality", args(2)).toFloat)
+          .queryExecution.logical
+      }))
   }
 }

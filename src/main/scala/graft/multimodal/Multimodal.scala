@@ -66,13 +66,16 @@ object Multimodal {
     * splits, which would run a CPU-bound decode stage serially on a
     * 32-core executor (and on ONE executor of a 1000-node cluster).
     * The shuffle moves only 8-byte ids — orders of magnitude cheaper
-    * than the codec work it parallelizes. */
+    * than the codec work it parallelizes. ADAPTIVE (round 18, same as
+    * the exact-substr corpus spread): skipped when the scan already
+    * arrives at cluster width, so a 100 TB media scan pays no
+    * spread shuffle at all. */
   private def spreadIds(docs: DataFrame, idCol: String): Dataset[Long] = {
     import docs.sparkSession.implicits._
-    docs.select(col(idCol).cast("long"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
-      .as[Long]
+    val slim = docs.select(col(idCol).cast("long"))
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    (if (slim.rdd.getNumPartitions >= parallelism) slim
+     else slim.repartition(parallelism, col(idCol))).as[Long]
   }
 
   /** Wrap any string payload column as a binary media column. */

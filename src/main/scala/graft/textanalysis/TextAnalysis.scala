@@ -240,14 +240,21 @@ object TextAnalysis {
     * explode+hash gram work serially on one core of a 32-core executor
     * (and on ONE executor of a 1000-node cluster) — the multimodal
     * spreadIds lesson; the shuffle moves only the raw docs, orders of
-    * magnitude less than the gram stream it unlocks. */
+    * magnitude less than the gram stream it unlocks. ADAPTIVE
+    * (round 18): the spread is a full corpus shuffle, so it only runs
+    * when the scan actually arrives narrower than the cluster — at the
+    * 100 TB target the scan is already thousands of splits and this
+    * shuffle would be the chain's single biggest cost (ScaleRehearsal5
+    * measured it at ~60% of the minimized chain's remaining bytes). */
   private def substrBase(df: org.apache.spark.sql.DataFrame, idCol: String,
-                         textCol: String): org.apache.spark.sql.DataFrame =
-    df.where(col(textCol).isNotNull)
+                         textCol: String): org.apache.spark.sql.DataFrame = {
+    val slim = df.where(col(textCol).isNotNull)
       .select(col(idCol), col(textCol).as("__txt"),
         length(col(textCol)).as("__len"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism,
-        col(idCol))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (slim.rdd.getNumPartitions >= parallelism) slim
+    else slim.repartition(parallelism, col(idCol))
+  }
 
   /** 60-bit md5 fingerprint of the L-gram starting at char `__i` of
     * `__txt` — the one gram key both the full and the minimized chain

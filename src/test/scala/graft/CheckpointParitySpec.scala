@@ -19,6 +19,11 @@ class CheckpointParitySpec extends SparkTestBase {
 
   private def withTmpDir[T](f: String => T): T = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    // self-contained under the FULL suite: an earlier suite's
+    // checkpoint test leaves the session dir configured (pin never
+    // unsets it — that's the non-clobbering contract), which would
+    // legitimately route this test's reliable checkpoints elsewhere
+    spark.sparkContext.setCheckpointDir(null)
     try f(dir.toString)
     finally {
       // restore session-global state for the other suites

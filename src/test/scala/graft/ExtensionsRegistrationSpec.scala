@@ -927,6 +927,26 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
         .map(r => (r.getInt(0), r.getLong(1))).toMap
         === Map(0 -> 4L, 1 -> 4L))
 
+      // winnowed exact-substr: output-identical to the full-chain TVF
+      val sqlSubMin = spark.sql("SELECT * FROM graft_exact_substr_min(" +
+        "'tvf_substr','doc_id','text',10,4)")
+      def subRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(subRows(sqlSubMin) === subRows(sqlSub),
+        "graft_exact_substr_min must equal graft_exact_substr")
+
+      // tolerant jpeg: intact ids replay the formula, corrupt ids null
+      val sqlJpegTol = spark.sql("SELECT * FROM graft_jpeg_dhash_tolerant(" +
+        "'tvf_dupw','doc_id',0.9)")
+      assert(sqlJpegTol.collect().forall { r =>
+        val id = r.getLong(0)
+        if (id % 4 == 0)
+          r.getBoolean(1) && r.getLong(4) ===
+            graft.multimodal.Multimodal.testJpegDHash(id)
+        else !r.getBoolean(1) && r.isNullAt(2) && r.isNullAt(3) &&
+          r.isNullAt(4)
+      }, "graft_jpeg_dhash_tolerant must null corrupt rows only")
+
       // misuse: non-literal / wrong-arity calls fail at analysis with
       // the builder's message, not a planner crash
       intercept[Exception] {

@@ -424,6 +424,41 @@ class PlanSpec extends SparkTestBase {
       s"gram counts must partial-aggregate map-side:\n$p")
   }
 
+  test("winnowed exact-substr: same no-window/no-cartesian contract as " +
+    "the full chain, with the minimizer selection inside codegen") {
+    val p = plan("dedup_exact_substr_min")
+    assert(!p.contains("Window"),
+      s"minimizer counting and the reduced gram chain are aggregates " +
+        s"and per-row expressions, never a corpus window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"minimizer count-back and mark joins must be equi-joins:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"minimizer/gram counts must partial-aggregate map-side:\n$p")
+    assert(p.contains("winnow_minimizers"),
+      s"the selection must run through the native expression:\n$p")
+  }
+
+  test("curation-7 capstone: three composed stages, equi/broadcast " +
+    "joins only — no corpus window, no pair product") {
+    val p = plan("pipeline_curation7")
+    assert(!p.contains("CartesianProduct"),
+      s"exact-substr, LSH keep and DSIR stages all join on keys:\n$p")
+    // the one tolerated nested loop is DSIR's bounded totals cross:
+    // the 1-row (tt, rt) aggregate broadcast against <= buckets rows —
+    // every NestedLoopJoin must be that broadcast form, never shuffled
+    assert(countOf(p, "NestedLoopJoin") ===
+      countOf(p, "BroadcastNestedLoopJoin"),
+      s"only the broadcast totals cross may nested-loop:\n$p")
+    assert(!p.contains("Window"),
+      s"no stage may funnel the corpus through a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the Gumbel top-k must plan as TakeOrderedAndProject, not a " +
+        s"global sort:\n$p")
+  }
+
+  private def countOf(haystack: String, needle: String): Int =
+    haystack.sliding(needle.length).count(_ == needle)
+
   test("jpeg tier: the decode stage runs after the id-spread exchange " +
     "(partition-parallel codec work, the mm_audio_real lesson)") {
     val p = plan("mm_jpeg_real")
