@@ -95,12 +95,26 @@ object ZOrder {
     * code: CONSECUTIVE curve positions are always grid neighbors
     * (Manhattan distance 1; Morton jumps across the plane at power-of-
     * two boundaries), so range-partitioned files cover even tighter
-    * per-column min/max boxes. The standard iterative quadrant
-    * transform (reflect+swap per bit level, high to low); every step is
-    * integer compare/arith on the two running coordinates, built here
-    * as chained column expressions — a pure map over the scan, same as
-    * [[interleave]]. */
-  def hilbertD2(x0: Column, y0: Column, bits: Int): Column = {
+    * per-column min/max boxes. A pure map over the scan, same as
+    * [[interleave]], evaluated by the native codegen expression
+    * [[graft.functions.HilbertD2]] — the original chained-column
+    * build ([[hilbertD2Chained]]) duplicated both running coordinates
+    * into every level's rotation, growing the generated Java ~3-4x
+    * per bit and making codegen compile + JIT dominate small inputs
+    * (the round-17 `scalar_hilbert` drift); a spec pins the two
+    * bit-identical. */
+  def hilbertD2(x0: Column, y0: Column, bits: Int): Column =
+    graft.functions.HilbertD2(x0, y0, bits)
+
+  /** The same transform as chained column expressions — the
+    * engine-agnostic reference build the DuckDB oracle's CTE ladder
+    * mirrors, kept as the equality pin for [[hilbertD2]]'s native
+    * kernel (and as documentation of the per-level rotation). The
+    * standard iterative quadrant transform: at each bit level, high to
+    * low, accumulate the quadrant's contribution, then in the lower
+    * half (ry=0) reflect when on the right (rx=1) and swap the axes. */
+  private[graft] def hilbertD2Chained(x0: Column, y0: Column,
+                                      bits: Int): Column = {
     require(bits >= 1 && 2 * bits <= 62, s"bits out of range: $bits")
     var x = x0.cast("long"); var y = y0.cast("long"); var d = lit(0L)
     for (i <- (bits - 1) to 0 by -1) {
@@ -108,8 +122,6 @@ object ZOrder {
       val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
       val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
       d = d + lit(s) * lit(s) * (lit(3L) * rx).bitwiseXOR(ry)
-      // quadrant rotation: in the lower half (ry=0) reflect when on
-      // the right (rx=1), then swap the axes
       val nx = when(ry === 0,
         when(rx === 1, lit(s - 1) - y).otherwise(y)).otherwise(x)
       val ny = when(ry === 0,

@@ -225,6 +225,48 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("native hilbert kernel is bit-identical to the chained build") {
+    // full grid at bits=3 (the locality test already walks the native
+    // path there) plus random 62-bit-safe coordinates at the largest
+    // legal resolution — the native kernel must be indistinguishable
+    // from the engine-agnostic chained-column reference at every level
+    for (bits <- Seq(1, 2, 3, 4)) {
+      val n = 1 << bits
+      val grid = (0 until n).flatMap(x => (0 until n).map(y => (x, y)))
+        .toDF("x", "y")
+      val diff = grid.withColumn("dn",
+          graft.operators.ZOrder.hilbertD2(col("x"), col("y"), bits))
+        .withColumn("dc",
+          graft.operators.ZOrder.hilbertD2Chained(col("x"), col("y"), bits))
+        .where(col("dn") =!= col("dc")).count()
+      assert(diff === 0L, s"native vs chained diverged at bits=$bits")
+    }
+    // random cells at bits=5 — past the exhaustive grids, still inside
+    // the chained build's feasible range (its per-level coordinate
+    // duplication grows analysis + generated code ~3-4x per bit, the
+    // very defect the native kernel exists to remove: bits=8 already
+    // blows the chained build past janino's limits)
+    val bits = 5
+    val rand = spark.range(2000).select(
+      pmod(xxhash64(col("id")), lit(1L << bits)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1L << bits)).as("y"))
+    val diff = rand.withColumn("dn",
+        graft.operators.ZOrder.hilbertD2(col("x"), col("y"), bits))
+      .withColumn("dc",
+        graft.operators.ZOrder.hilbertD2Chained(col("x"), col("y"), bits))
+      .where(col("dn") =!= col("dc")).count()
+    assert(diff === 0L, "native vs chained diverged on random 5-bit cells")
+    // the native kernel has no such limit: spot-check the long-capacity
+    // edge (bits=31) against a driver-side replay of the same loop
+    val edge = rand.withColumn("dn",
+        graft.operators.ZOrder.hilbertD2(col("x"), col("y"), 31))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dn")) ===
+        graft.functions.HilbertD2.compute(r.getLong(0), r.getLong(1), 31))
+    }
+  }
+
   // ---------------- Merkle bucket diff ----------------
 
   test("bucket diff flags exactly the touched lanes; identity is clean") {
