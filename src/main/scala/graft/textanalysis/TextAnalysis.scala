@@ -274,13 +274,41 @@ object TextAnalysis {
                              grams: org.apache.spark.sql.DataFrame,
                              idCol: String, minLen: Int)
       : org.apache.spark.sql.DataFrame = {
-    val counts = grams.groupBy("__k")
-      .agg(count(lit(1)).as("__n"),
-        min(struct(col(idCol).as("__fid"), col("__i").as("__fi")))
-          .as("__f"))
-    val marks = grams.join(counts, Seq("__k"))
-      .where(col("__n") >= 2 &&
-        !(col(idCol) === col("__f.__fid") && col("__i") === col("__f.__fi")))
+    // Canonical-first-occurrence = lexicographic min over (id, __i).
+    // A struct-typed min buffer is not UnsafeRow-mutable, so Catalyst
+    // plans min(struct(id, i)) as SortAggregate — which SORTS the
+    // ENTIRE gram stream twice (partial pass, then again after the
+    // exchange), the chain's dominant CPU at 1M rehearsal docs. For
+    // integral ids the pair packs order-preservingly into one
+    // decimal(38,0) — packed = id * 2^32 + i, exact since |id| <= 2^63
+    // and i in [1, 2^31) never crosses an id boundary — and a decimal
+    // min buffer IS mutable, so the count+min lands in a hash
+    // aggregate with map-side combine and zero sorts. Non-integral ids
+    // keep the struct-min plan.
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+    val idIsIntegral = grams.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val marked =
+      if (idIsIntegral) {
+        val packed = col(idCol).cast(DecimalType(38, 0)) *
+          lit(4294967296L) + col("__i")
+        val counts = grams.groupBy("__k")
+          .agg(count(lit(1)).as("__n"), min(packed).as("__fmin"))
+        grams.join(counts, Seq("__k"))
+          .where(col("__n") >= 2 && packed =!= col("__fmin"))
+      } else {
+        val counts = grams.groupBy("__k")
+          .agg(count(lit(1)).as("__n"),
+            min(struct(col(idCol).as("__fid"), col("__i").as("__fi")))
+              .as("__f"))
+        grams.join(counts, Seq("__k"))
+          .where(col("__n") >= 2 &&
+            !(col(idCol) === col("__f.__fid") &&
+              col("__i") === col("__f.__fi")))
+      }
+    val marks = marked
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("__i"))).as("__ss"))
     val withIv = base.join(marks, Seq(idCol), "left")

@@ -88,8 +88,18 @@ object ScaleRehearsal5 {
     run("warmup-full", full, 1000L, 2)
     run("warmup-mini", mini, 1000L, 2)
 
-    for ((docs, dupEvery) <- Seq((10000L, 2), (100000L, 2),
-      (100000L, 20))) {
+    // default ladder: 10k/100k at 1/2 duplication + 100k at 1/20; args
+    // override as "docs:dupEvery" pairs — e.g. a 10k:2 100k:2 1000000:2
+    // three-decade run settles whether the 10x-docs wall ratio is a
+    // fixed scheduling/codegen floor amortizing out (ratios climb
+    // toward 10x as the linear term dominates) or real superlinearity
+    // (ratios exceed 10x)
+    val ladder: Seq[(Long, Int)] =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        val Array(d, e) = a.split(":"); (d.toLong, e.toInt)
+      }
+      else Seq((10000L, 2), (100000L, 2), (100000L, 20))
+    for ((docs, dupEvery) <- ladder) {
       val (tf, bf, cf) = run("full", full, docs, dupEvery)
       val (tm, bm, cm) = run("mini", mini, docs, dupEvery)
       require(cf == cm,

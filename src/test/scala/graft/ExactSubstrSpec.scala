@@ -138,4 +138,25 @@ class ExactSubstrSpec extends SparkTestBase {
       (2L, s"œ$span"),
       (3L, "çéüöäñ unrelated ≠≠≠")), minLen = 10, k = 3)
   }
+
+  test("non-integral ids take the struct-min canonical path and land " +
+    "the identical keep-first semantics (incl. negative-long parity " +
+    "for the packed path)") {
+    // string ids exercise the struct-min fallback (the packed-decimal
+    // canonical only applies to integral id types); the keep-first
+    // rule must read identically: 'a' keeps, 'b' cuts
+    val shared = "ABCDEFGHIJKLMNOP"
+    val byStr = TextAnalysis.exactSubstrDedup(
+        Seq(("b", s"qq${shared}zz"), ("a", s"xx${shared}yy"))
+          .toDF("id", "text"), "id", "text", minLen = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byStr("a") === 0L, "lexicographically first id keeps")
+    assert(byStr("b") === 16L, "second id loses the shared run")
+    // negative long ids through the packed-decimal path: order must be
+    // SIGNED (id * 2^32 + i packs monotonically for negative ids too)
+    val byNeg = run(Seq((-5L, s"qq${shared}zz"), (3L, s"xx${shared}yy")),
+      minLen = 10)
+    assert(byNeg(-5L)._2 === 0L, "-5 < 3: the negative id is canonical")
+    assert(byNeg(3L)._2 === 16L)
+  }
 }
