@@ -73,9 +73,10 @@ object Multimodal {
   private def spreadIds(docs: DataFrame, idCol: String): Dataset[Long] = {
     import docs.sparkSession.implicits._
     val slim = docs.select(col(idCol).cast("long"))
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    (if (slim.rdd.getNumPartitions >= parallelism) slim
-     else slim.repartition(parallelism, col(idCol))).as[Long]
+    (if (graft.operators.ScanWidth.arrivesWide(slim)) slim
+     else slim.repartition(
+       docs.sparkSession.sparkContext.defaultParallelism,
+       col(idCol))).as[Long]
   }
 
   /** Wrap any string payload column as a binary media column. */

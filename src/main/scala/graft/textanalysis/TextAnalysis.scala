@@ -251,9 +251,9 @@ object TextAnalysis {
     val slim = df.where(col(textCol).isNotNull)
       .select(col(idCol), col(textCol).as("__txt"),
         length(col(textCol)).as("__len"))
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (slim.rdd.getNumPartitions >= parallelism) slim
-    else slim.repartition(parallelism, col(idCol))
+    if (graft.operators.ScanWidth.arrivesWide(slim)) slim
+    else slim.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col(idCol))
   }
 
   /** 60-bit md5 fingerprint of the L-gram starting at char `__i` of

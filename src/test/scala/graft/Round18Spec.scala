@@ -108,4 +108,25 @@ class Round18Spec extends SparkTestBase {
 
     assert(composed === expected)
   }
+
+  test("ScanWidth: a compact scan probes narrow (spread runs), a wide " +
+    "one probes wide (spread skipped) — without building an execution " +
+    "RDD") {
+    import graft.operators.ScanWidth
+    // compact: the sf0.001 documents parquet is a few hundred kB —
+    // one split on any sane maxPartitionBytes
+    val docs = queries.tbl(spark, sf, "documents")
+    assert(ScanWidth.estimatedSplits(docs.select("doc_id")) <
+      spark.sparkContext.defaultParallelism,
+      "a compact scan must probe narrower than the cluster")
+    assert(!ScanWidth.arrivesWide(docs.select("doc_id")))
+    // wide: shrink maxPartitionBytes so the same file exceeds the
+    // cluster width — the probe must flip without any code change
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      assert(ScanWidth.arrivesWide(docs.select("doc_id")),
+        "at 1 kB splits the same scan must probe wide")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
 }
