@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness keeps the tail of stdout and parses the LAST line
+// as JSON. Two sbt behaviors would otherwise trail or wrap the
+// artifact line Bench prints: the "[success] Total time ..." banner
+// (printed after the forked JVM exits) and the "[info] " logger prefix
+// on forked-process output. Suppress both so the compact bench line is
+// the true final, unprefixed stdout write.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by commands, not tasks
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -290,20 +290,29 @@ object TextAnalysis {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // Null-id grams neither count nor mark (round-19): the packed
+    // decimal min silently skips null ids while the struct min ranks
+    // struct(null, i) nulls-first, so without this filter the two
+    // canonical paths could pick DIFFERENT first occurrences on
+    // null-id data. Pinned semantics (Round19Spec): dedup ignores
+    // null-id docs entirely — they contribute no counts, are never
+    // marked, and pass through uncut (the null-keyed join-back below
+    // has no equi-match).
+    val g = grams.where(col(idCol).isNotNull)
     val marked =
       if (idIsIntegral) {
         val packed = col(idCol).cast(DecimalType(38, 0)) *
           lit(4294967296L) + col("__i")
-        val counts = grams.groupBy("__k")
+        val counts = g.groupBy("__k")
           .agg(count(lit(1)).as("__n"), min(packed).as("__fmin"))
-        grams.join(counts, Seq("__k"))
+        g.join(counts, Seq("__k"))
           .where(col("__n") >= 2 && packed =!= col("__fmin"))
       } else {
-        val counts = grams.groupBy("__k")
+        val counts = g.groupBy("__k")
           .agg(count(lit(1)).as("__n"),
             min(struct(col(idCol).as("__fid"), col("__i").as("__fi")))
               .as("__f"))
-        grams.join(counts, Seq("__k"))
+        g.join(counts, Seq("__k"))
           .where(col("__n") >= 2 &&
             !(col(idCol) === col("__f.__fid") &&
               col("__i") === col("__f.__fi")))
