@@ -31,4 +31,18 @@ object Checkpoints {
         df.checkpoint()
       case None => df.localCheckpoint()
     }
+
+  /** SESSION-DEFAULT pin (round 19): reliable `checkpoint()` when the
+    * session already has a checkpoint directory configured, else
+    * `localCheckpoint()`. Query-composition glue (the capstone
+    * pipelines, shared edge lists, cleaned-corpus pins) pins through
+    * this so a production session that calls `sc.setCheckpointDir(...)`
+    * ONCE gets durable pins in every composed pipeline, without
+    * threading a dir parameter through each query definition — the
+    * operator-level overload above remains for callers that manage the
+    * dir explicitly. */
+  def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
 }

@@ -46,10 +46,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object ScanWidth {
 
-  /** Lower-bound scan split count from the optimized plan's leaf file
-    * relations, or None when any leaf is not a file source (no
-    * trustworthy byte statistic exists there — see scaladoc). */
-  private[graft] def fileSplitsLowerBound(df: DataFrame): Option[Long] = {
+  /** Total file-index bytes under `df`'s leaf file relations, or None
+    * when any leaf is not a file source (no trustworthy byte statistic
+    * exists there — see scaladoc). Free: the file index is already in
+    * memory after analysis, no job and no physical plan. */
+  private[graft] def leafFileBytes(df: DataFrame): Option[BigInt] = {
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()
     val leafBytes = leaves.map {
       case lr: LogicalRelation => lr.relation match {
@@ -59,16 +60,20 @@ object ScanWidth {
       case _ => None
     }
     if (leafBytes.isEmpty || leafBytes.contains(None)) None
-    else {
-      val bytes = leafBytes.flatten.sum
+    else Some(leafBytes.flatten.sum)
+  }
+
+  /** Lower-bound scan split count from the optimized plan's leaf file
+    * relations, or None when any leaf is not a file source. */
+  private[graft] def fileSplitsLowerBound(df: DataFrame): Option[Long] =
+    leafFileBytes(df).map { bytes =>
       val maxSplit =
         BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
       // clamp BEFORE the Long conversion: .toLong on an over-wide
       // BigInt wraps (possibly negative) instead of saturating
-      Some(((bytes + maxSplit - 1) / maxSplit)
-        .max(1).min(Long.MaxValue).toLong)
+      ((bytes + maxSplit - 1) / maxSplit)
+        .max(1).min(Long.MaxValue).toLong
     }
-  }
 
   /** Estimated scan split count of `df` (>= 1): the free file-bytes
     * bound when the plan is all file leaves, else the exact partition

@@ -94,7 +94,7 @@ object Extensions {
       Dedup.jaccardPairsWindowed(tbl(s, dir, "documents"), "doc_id",
           "text", window = 25, threshold = 0.8)
         .select(col("id_a"), col("id_b"))
-        .localCheckpoint()
+        .transform(d => graft.operators.Checkpoints.pin(d))
     }
 
   private def componentsFor(s: org.apache.spark.sql.SparkSession,
@@ -103,7 +103,7 @@ object Extensions {
       val docs = tbl(s, dir, "documents")
       Dedup.connectedComponents(neardupPairsFor(s, dir), "id_a", "id_b",
           docs, "doc_id")
-        .localCheckpoint()
+        .transform(d => graft.operators.Checkpoints.pin(d))
     }
 
   /** The customer–supplier trade MULTIGRAPH (one edge per lineitem —
@@ -119,7 +119,7 @@ object Extensions {
         .join(tbl(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .localCheckpoint()
+        .transform(d => graft.operators.Checkpoints.pin(d))
     }
 
   /** One band's bucket id as DuckDB SQL (1-based array index, bit weights
@@ -545,7 +545,7 @@ object Extensions {
       // probe: materialize once (persist/checkpoint at cluster scale)
       // or the span-duplication analysis above runs per reader
       val s1 = docs.join(dupDocs, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .transform(d => graft.operators.Checkpoints.pin(d))
       // 2. near-dup templates: keep each bucket-cluster's min-id doc
       val s2 = s1.join(
         Dedup.minhashRepresentativesMd5(s1, "doc_id", "text")
@@ -582,7 +582,7 @@ object Extensions {
       val e = Dedup.jaccardPairsWindowed(tbl(s, dir, "documents"),
           "doc_id", "text", window = 25, threshold = 0.8)
         .select(col("id_a").as("a"), col("id_b").as("b"))
-        .localCheckpoint()
+        .transform(d => graft.operators.Checkpoints.pin(d))
       val tri = e.join(e.toDF("b", "c"), Seq("b"))
         .join(e.toDF("a", "c"), Seq("a", "c"))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))

@@ -355,7 +355,7 @@ object Round10 {
         // frame: materialize once or the whole exact-percentile rank +
         // curve subtree runs twice (persist()/checkpoint at cluster
         // scale; the frame is keys+ranks+curve values, tiny vs orders)
-        .localCheckpoint()
+        .transform(d => graft.operators.Checkpoints.pin(d))
       val cuts = ranked.agg(
         percentile(col("__cvh"), array(segProbs.map(lit): _*)).as("__ch"),
         percentile(col("__cvm"), array(segProbs.map(lit): _*)).as("__cm"))
@@ -433,7 +433,7 @@ object Round10 {
       graft.pipeline.Rag.pack(tbl(s, dir, "documents"),
         tbl(s, dir, "embeddings"), queryVecId = 0,
         Round7.Bm25Terms, RrfN, RrfC, RrfK, RagBudget,
-        materialize = _.localCheckpoint())),
+        materialize = d => graft.operators.Checkpoints.pin(d))),
 
     // round-11 capstone extension: the fused candidate list reranks
     // through the corpus-trained NB quality classifier — retrieval's
@@ -446,7 +446,7 @@ object Round10 {
         tbl(s, dir, "embeddings"), queryVecId = 0,
         Round7.Bm25Terms, RrfN, RrfC, RrfK,
         NbPosLang, NbHoldoutMod, NbAlpha,
-        materialize = _.localCheckpoint())),
+        materialize = d => graft.operators.Checkpoints.pin(d))),
 
     // per-user EWMA smoothing of the event value series: span fixed
     // lag() terms over ONE window pass (fixed expression tree — float

@@ -38,8 +38,12 @@ object Round13b {
       val (assigned0, cents0) = graft.similarity.Similarity.ivfIndex(
         emb, "vec_id", "embedding", dim = 64, nlist = RcNlist,
         iters = 1, seedCell = Some(Round7.semSeed(RcNlist)))
-      val assigned = assigned0.localCheckpoint()
-      val cents = cents0.localCheckpoint()
+      // assigned is corpus-sized: session-default pin (reliable
+      // checkpoint when the session configures a dir, local in dev);
+      // cents is nlist rows — bounded, local is fine either way but
+      // pinned uniformly
+      val assigned = graft.operators.Checkpoints.pin(assigned0)
+      val cents = graft.operators.Checkpoints.pin(cents0)
       val brute = emb.crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(graft.similarity.Similarity.cosine(
@@ -47,7 +51,7 @@ object Round13b {
             graft.similarity.Similarity.toVec(col("qvec"))), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(RcK).select("vec_id")
-        .localCheckpoint()
+        .transform(d => graft.operators.Checkpoints.pin(d))
       RcProbes.map { np =>
         graft.similarity.Similarity.ivfTopK(assigned, cents, "vec_id",
             "embedding", q, "qvec", nprobe = np, k = RcK)

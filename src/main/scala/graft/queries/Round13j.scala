@@ -36,7 +36,7 @@ object Round13j {
         .where(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           HtmlStrip.strip(Round13e.htmlExpr).as("text"))
-        .localCheckpoint()
+        .transform(d => graft.operators.Checkpoints.pin(d))
       val keep = NgramSpans.coverage(clean, "doc_id", "text", N)
         .where(col("dup_frac") <= MaxDupFrac)
         .select("doc_id")

@@ -58,12 +58,18 @@ object Round18 {
       // pin the cleaned corpus: the minhash stage scans it twice
       // (members + distinct word-sets) and the DSIR stage twice more
       // (model fit + scoring) — without the pin each scan re-runs the
-      // whole gram chain; persist()/checkpoint at cluster scale
-      val clean = TextAnalysis.exactSubstrDedupMinimized(docs, "doc_id",
-          "text", minLen = SubstrMinLen, k = MinimizerK)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("clean_text"))
-        .localCheckpoint()
+      // whole gram chain. Session-default pin: reliable checkpoint
+      // when the session configures a dir, localCheckpoint in dev.
+      // The cut chain is CHOSEN BY CORPUS SIZE (round 19): below the
+      // ~100k-doc crossover the minimizer constant outprices the gram
+      // shuffle it saves, so small corpora run the full chain — the
+      // dedup_exact_substr_min gate above still pins the minimized
+      // path explicitly at every SF
+      val clean = graft.operators.Checkpoints.pin(
+        TextAnalysis.exactSubstrDedupAuto(docs, "doc_id",
+            "text", minLen = SubstrMinLen, k = MinimizerK)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("clean_text")))
       val kept = Dedup.minhashRepresentativesMd5(clean, "doc_id",
           "clean_text")
         .where(col("is_kept")).select("doc_id")

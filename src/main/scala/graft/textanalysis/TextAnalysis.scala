@@ -420,6 +420,40 @@ object TextAnalysis {
     cutMarkedGrams(base, grams, idCol, minLen)
   }
 
+  /** Corpus byte threshold above which [[exactSubstrDedupAuto]] picks
+    * the minimized chain. ScaleRehearsal5 measured the crossover at
+    * ~100k ~1 kB docs (~100 MB of raw text): below it the minimizer
+    * pass plus candidate join cost more than the gram-shuffle bytes
+    * they save; above it the cut compounds (2.9-5.6x at the 1M-doc
+    * leg). 100 MB of synthetic-ish text lands near 32 MB of
+    * parquet-compressed leaf bytes — the statistic the free probe
+    * reads — so that is the default pivot. */
+  val MinimizedChainAboveBytes: Long = 32L << 20
+
+  /** [[exactSubstrDedup]] with the CHAIN CHOSEN BY CORPUS SIZE — the
+    * two variants are output-identical, so the only question is cost:
+    * the minimizer machinery (one O(n) selection pass, a fingerprint
+    * count, a candidate interval join) is a fixed overhead that pays
+    * for itself only once the gram shuffle it shrinks is large enough
+    * (r18 verdict: at bench scale the minimized gate priced 3.17 s vs
+    * the full chain's 1.81 s, while the 1M-doc rehearsal leg ran
+    * 2.9-5.6x FASTER minimized). The corpus-size probe is the free
+    * leaf-file-bytes statistic ([[graft.operators.ScanWidth]]); a
+    * frame without file leaves (in-memory, checkpointed — no
+    * trustworthy byte stat) assumes LARGE, the scale-safe default: a
+    * wrong guess there costs the bounded minimizer constant, never a
+    * corpus-sized shuffle. */
+  def exactSubstrDedupAuto(df: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String,
+                           minLen: Int = 50, k: Int = 8,
+                           minimizedAboveBytes: Long =
+                             MinimizedChainAboveBytes)
+      : org.apache.spark.sql.DataFrame =
+    if (graft.operators.ScanWidth.leafFileBytes(df)
+      .forall(_ >= minimizedAboveBytes))
+      exactSubstrDedupMinimized(df, idCol, textCol, minLen, k)
+    else exactSubstrDedup(df, idCol, textCol, minLen)
+
   /** Corpus-level n-gram frequency: the k most frequent word n-grams
     * with deterministic (count desc, gram) tie-ordering. One explode +
     * one partial-aggregating groupBy (map-side combine shrinks the

@@ -117,4 +117,86 @@ class Round19Spec extends SparkTestBase {
       }
     }
   }
+
+  test("exactSubstrDedupAuto: the chain is chosen by corpus size — " +
+    "full below the crossover, minimized above, minimized when no " +
+    "file statistic exists") {
+    import graft.textanalysis.TextAnalysis
+    val docs = queries.tbl(spark, sf, "documents")
+    def usesMinimizer(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("winnow_minimizers")
+    // a few-hundred-kB corpus sits far below the ~100k-doc crossover
+    assert(!usesMinimizer(
+      TextAnalysis.exactSubstrDedupAuto(docs, "doc_id", "text")))
+    // force the threshold under the file size: minimized chain
+    assert(usesMinimizer(TextAnalysis.exactSubstrDedupAuto(
+      docs, "doc_id", "text", minimizedAboveBytes = 1L)))
+    // no file leaves -> no trustworthy size -> the scale-safe default
+    import spark.implicits._
+    val mem = Seq((1L, "x" * 80), (2L, "y" * 80)).toDF("doc_id", "text")
+      .localCheckpoint()
+    assert(usesMinimizer(
+      TextAnalysis.exactSubstrDedupAuto(mem, "doc_id", "text")))
+    // and the two chains the chooser picks between agree on real data
+    val full = TextAnalysis.exactSubstrDedup(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val auto = TextAnalysis.exactSubstrDedupAuto(docs, "doc_id", "text",
+        minimizedAboveBytes = 1L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto === full)
+  }
+
+  test("DashboardDemo: chart surfaces match the A9/A12 gates, every " +
+    ":sql twin is row-identical to its method form, pagination " +
+    "partitions the sorted view") {
+    val vs = new graft.query.ViewServer(
+      DashboardDemo.unitsFixture(spark, sf), "units_r19demo")
+    try {
+      val surfaces = DashboardDemo.drive(vs, "units_r19demo",
+        proyecto = "Brand#7", estado = "ECONOMY",
+        searchTerm = "anodized", pageSize = 5).toMap
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).toSeq
+      // the demo's A9/A12 charts are the gates' queries, value-for-value
+      assert(rows(surfaces("chart_estados")) ===
+        rows(SparkEntry.queries("view_count_by_estado")(spark, sf)))
+      assert(rows(surfaces("chart_scatter")) ===
+        rows(SparkEntry.queries("view_scatter")(spark, sf)))
+      // the SQL surface IS the method surface
+      for (c <- Seq("chart_estados", "chart_avg_precio", "chart_scatter"))
+        assert(rows(surfaces(c)).sorted === rows(surfaces(c + ":sql")).sorted,
+          s"$c: method and SQL twins diverged")
+      // pagination: page sizes follow the filtered total, pages disjoint
+      val total = rows(surfaces("filter_proyecto")).size
+      val p1 = rows(surfaces("page1")); val p2 = rows(surfaces("page2"))
+      assert(p1.size === math.min(5, total))
+      assert(p2.size === math.min(5, math.max(0, total - 5)))
+      assert(p1.toSet.intersect(p2.toSet).isEmpty)
+      // the stacked chart pair shares its label rows
+      val stacks = DashboardDemo.stackedCharts(vs).toMap
+      assert(rows(stacks("chart_stack").select("Proyecto")) ===
+        rows(stacks("chart_stack_pct").select("Proyecto")))
+    } finally vs.close()
+  }
+
+  test("session-default Checkpoints.pin: the capstone compositions land " +
+    "identical output with and without a session checkpoint dir, and " +
+    "the reliable run writes checkpoint data") {
+    val sc = spark.sparkContext
+    def run(gate: String): Seq[String] =
+      SparkEntry.queries(gate)(spark, sf)
+        .collect().map(_.toString).toSeq
+    for (gate <- Seq("pipeline_curation7", "graph_triangles")) {
+      sc.setCheckpointDir(null)
+      val local = run(gate)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt19")
+      try {
+        sc.setCheckpointDir(dir.toString)
+        val reliable = run(gate)
+        assert(reliable === local, gate)
+        val wrote = java.nio.file.Files.walk(dir).count() > 1
+        assert(wrote, s"$gate: no checkpoint data under $dir")
+      } finally sc.setCheckpointDir(null)
+    }
+  }
 }
