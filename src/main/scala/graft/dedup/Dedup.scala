@@ -356,33 +356,82 @@ object Dedup {
       graft.operators.Checkpoints.pin(df, checkpointDir)
     // materialize the DIRECTED pair list first: the undirected edge
     // union references it twice, and truncating only after the union
-    // would run the (expensive) pair generation once per direction
+    // would run the (expensive) pair generation once per direction.
+    // Endpoints outside `nodes` are dropped HERE (two semi-joins of
+    // the pair list, once) — the pre-r19 shape dropped them
+    // implicitly every round, and the message-union round below must
+    // not resurrect them as phantom components
+    val nodeIds = nodes.select(col(idCol).cast("long").as("u"))
     val p0 = truncate(pairs.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v")))
+        col(bCol).cast("long").as("v"))
+      .join(nodeIds, Seq("u"), "left_semi")
+      .join(nodeIds.select(col("u").as("v")), Seq("v"), "left_semi")
+      .select("u", "v"))
     val edges = p0.unionAll(
       p0.select(col("v").as("u"), col("u").as("v"))) // cached both ways
     var labels = truncate(nodes.select(col(idCol).cast("long").as("u"),
       col(idCol).cast("long").as("lbl")))
-    var changed = 1L
+    // Convergence rides the SUM of labels (exact decimal — no Long
+    // overflow over corpus-sized id sums): every update strictly
+    // DECREASES a label, so sum(lbl) is strictly decreasing until the
+    // fixpoint and equality proves it — one cheap scan of the block
+    // the checkpoint just materialized, in place of the former
+    // per-round filter+count (the KCore carry-the-count pattern).
+    import org.apache.spark.sql.types.DecimalType
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIters) {
-      // min over neighbor labels (edge join), absent for isolated nodes
-      val nbrMin = edges
-        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
-        .groupBy("u").agg(min("vlbl").as("nbr"))
-      // label-of-label (every label IS a node id, so the lookup is total)
-      val withNbr = labels
-        .join(nbrMin, Seq("u"), "left")
-        .join(labels.select(col("u").as("lbl"), col("lbl").as("lbl2")),
-          Seq("lbl"), "left")
-      val next = truncate(withNbr.select(col("u"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl")),
-            coalesce(col("lbl2"), col("lbl"))).as("nlbl")))
-      changed = next.filter(col("nlbl") < col("lbl")).count()
-      labels = next.select(col("u"), col("nlbl").as("lbl"))
-      i += 1
-    }
-    require(changed == 0L,
+    // Static planning for the fixpoint rounds: AQE re-plans at every
+    // exchange, which turns the round's fixed shape (two joins + a
+    // union + one aggregation over PINNED blocks of known size) into
+    // ~16 stage jobs per round — pure scheduler round-trips, the
+    // per-job constant the r17/r18 drift forensics measured at
+    // 60-100 ms each on a contended host (and the driver bottleneck
+    // on a saturated 1000-executor cluster). With AQE off inside the
+    // loop each round is exactly TWO jobs (materialize + convergence
+    // sum); the data-dependent stages around the loop — candidate
+    // pair generation, the p0 semi-joins — keep the session's AQE.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      while (!converged && i < maxIters) {
+        // ONE message union + ONE min-aggregation per round (round 19;
+        // the former shape — grouped neighbor-min, then two left joins
+        // to merge it with the label-of-label hop — paid four shuffled
+        // operators per round, each an AQE stage job; the union needs
+        // two joins and one aggregation for the same fixpoint step).
+        // A node's candidate labels: its own (covers isolated nodes),
+        // its neighbors', and its label's label FOUR hops deep. Labels
+        // are monotone (lbl(x) <= x, by induction from lbl(x) = x at
+        // init and min-updates thereafter), so the 4-hop jump subsumes
+        // the 1-/2-hop values under min — pointer depth quadruples per
+        // round instead of doubling, and the round count drops to
+        // ~log4 of the propagation diameter.
+        val nbr = edges
+          .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+          .select("u", "lbl")
+        val j2 = labels
+          .join(labels.select(col("u").as("lbl"), col("lbl").as("l2")),
+            Seq("lbl"))
+          .select(col("u"), col("l2"))
+        val j4 = j2
+          .join(j2.select(col("u").as("l2"), col("l2").as("l4")), Seq("l2"))
+          .select(col("u"), col("l4").as("lbl"))
+        val next = truncate(
+          labels.unionAll(nbr).unionAll(j4)
+            .groupBy("u").agg(min("lbl").as("lbl")))
+        val newSum = labelSum(next)
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+        labels = next
+        i += 1
+      }
+    } finally spark.conf.set(aqeKey, aqeBefore)
+    require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("u").as(idCol), col("lbl").as("component_id"))
   }
