@@ -384,20 +384,15 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
-    // Static planning for the fixpoint rounds: AQE re-plans at every
-    // exchange, which turns the round's fixed shape (two joins + a
-    // union + one aggregation over PINNED blocks of known size) into
-    // ~16 stage jobs per round — pure scheduler round-trips, the
-    // per-job constant the r17/r18 drift forensics measured at
-    // 60-100 ms each on a contended host (and the driver bottleneck
-    // on a saturated 1000-executor cluster). With AQE off inside the
-    // loop each round is exactly TWO jobs (materialize + convergence
-    // sum); the data-dependent stages around the loop — candidate
-    // pair generation, the p0 semi-joins — keep the session's AQE.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeBefore = spark.conf.get(aqeKey)
-    try {
-      spark.conf.set(aqeKey, "false")
+    // Static planning for the fixpoint rounds
+    // ([[graft.operators.StaticPlanning]]): the round's fixed shape
+    // (two joins + a union + one aggregation over PINNED blocks of
+    // known size) would otherwise book ~16 AQE stage jobs per round;
+    // static, each round is exactly TWO jobs (materialize +
+    // convergence sum). The data-dependent stages around the loop —
+    // candidate pair generation, the p0 semi-joins — keep the
+    // session's AQE.
+    graft.operators.StaticPlanning.statically(spark) {
       while (!converged && i < maxIters) {
         // ONE message union + ONE min-aggregation per round (round 19;
         // the former shape — grouped neighbor-min, then two left joins
@@ -430,7 +425,7 @@ object Dedup {
         labels = next
         i += 1
       }
-    } finally spark.conf.set(aqeKey, aqeBefore)
+    }
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("u").as(idCol), col("lbl").as("component_id"))

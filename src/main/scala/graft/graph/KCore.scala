@@ -60,25 +60,31 @@ object KCore {
     // edge count is carried in a local (the initial count rides the
     // checkpoint that just materialized `und`)
     var prevCount = und.count()
-    while (r < rounds && !done) {
-      val steps = math.min(fuse, rounds - r)
-      var block = und
-      var i = 0
-      while (i < steps) {
-        val keep = block.groupBy("u").agg(count(lit(1)).as("__d"))
-          .where(col("__d") >= k)
-          .select("u")
-        block = block
-          .join(keep, Seq("u"), "left_semi")
-          .join(keep.toDF("v"), Seq("v"), "left_semi")
-          .select("u", "v")
-        i += 1
+    // fixed-shape peel rounds over pinned blocks: static planning
+    // (round 19, [[graft.operators.StaticPlanning]]) makes each block
+    // exactly two jobs (materialize + carry-count) instead of one AQE
+    // stage job per exchange
+    graft.operators.StaticPlanning.statically(edges.sparkSession) {
+      while (r < rounds && !done) {
+        val steps = math.min(fuse, rounds - r)
+        var block = und
+        var i = 0
+        while (i < steps) {
+          val keep = block.groupBy("u").agg(count(lit(1)).as("__d"))
+            .where(col("__d") >= k)
+            .select("u")
+          block = block
+            .join(keep, Seq("u"), "left_semi")
+            .join(keep.toDF("v"), Seq("v"), "left_semi")
+            .select("u", "v")
+          i += 1
+        }
+        und = Checkpoints.pin(block, checkpointDir)
+        val after = und.count()
+        done = after == prevCount
+        prevCount = after
+        r += steps
       }
-      und = Checkpoints.pin(block, checkpointDir)
-      val after = und.count()
-      done = after == prevCount
-      prevCount = after
-      r += steps
     }
     und.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("degree"))

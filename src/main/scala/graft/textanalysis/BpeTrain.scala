@@ -51,6 +51,13 @@ object BpeTrain {
     try {
       var step = 1
       var exhausted = false
+      // the merge loop runs over the PERSISTED unique-word vocabulary,
+      // a bounded table with a fixed per-step plan shape — static
+      // planning ([[graft.operators.StaticPlanning]], round 19) books
+      // two jobs per merge (argmax collect + re-persist count) instead
+      // of one AQE stage job per exchange; the corpus-scale vocabulary
+      // build above keeps the session's adaptivity
+      graft.operators.StaticPlanning.statically(spark) {
       while (step <= nMerges && !exhausted) {
         val l = split(col("seq"), " ")
         val best = vocab
@@ -81,6 +88,7 @@ object BpeTrain {
           step += 1
         }
       }
+      } // statically
     } finally vocab.unpersist()
     spark.createDataFrame(spark.sparkContext.parallelize(merges.toSeq, 1),
       StructType(Seq(StructField("step", IntegerType, nullable = false),
