@@ -60,31 +60,33 @@ object KCore {
     // edge count is carried in a local (the initial count rides the
     // checkpoint that just materialized `und`)
     var prevCount = und.count()
-    // fixed-shape peel rounds over pinned blocks: static planning
-    // (round 19, [[graft.operators.StaticPlanning]]) makes each block
-    // exactly two jobs (materialize + carry-count) instead of one AQE
-    // stage job per exchange
-    graft.operators.StaticPlanning.statically(edges.sparkSession) {
-      while (r < rounds && !done) {
-        val steps = math.min(fuse, rounds - r)
-        var block = und
-        var i = 0
-        while (i < steps) {
-          val keep = block.groupBy("u").agg(count(lit(1)).as("__d"))
-            .where(col("__d") >= k)
-            .select("u")
-          block = block
-            .join(keep, Seq("u"), "left_semi")
-            .join(keep.toDF("v"), Seq("v"), "left_semi")
-            .select("u", "v")
-          i += 1
-        }
-        und = Checkpoints.pin(block, checkpointDir)
-        val after = und.count()
-        done = after == prevCount
-        prevCount = after
-        r += steps
+    // the peel rounds run ADAPTIVE (round 19 re-measure): a static-
+    // planning wrapper here halved the job count but DOUBLED the wall
+    // time (graph_kcore 6.4 s static vs 3.5 s adaptive, solo
+    // best-of-3) — the checkpointed blocks scan as LogicalRDDs with no
+    // size statistics, so without AQE the degree semi-joins cannot be
+    // planned as broadcasts and fall back to sort-merge. AQE's runtime
+    // sizing is also the scale-adaptive behavior the 100 TB shape
+    // needs (broadcast while `keep` fits, shuffle join beyond)
+    while (r < rounds && !done) {
+      val steps = math.min(fuse, rounds - r)
+      var block = und
+      var i = 0
+      while (i < steps) {
+        val keep = block.groupBy("u").agg(count(lit(1)).as("__d"))
+          .where(col("__d") >= k)
+          .select("u")
+        block = block
+          .join(keep, Seq("u"), "left_semi")
+          .join(keep.toDF("v"), Seq("v"), "left_semi")
+          .select("u", "v")
+        i += 1
       }
+      und = Checkpoints.pin(block, checkpointDir)
+      val after = und.count()
+      done = after == prevCount
+      prevCount = after
+      r += steps
     }
     und.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("degree"))
