@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -465,7 +466,7 @@ object Dedup {
 
   /** 32-bit word hash any engine replays: first 8 hex chars of md5. */
   def md5WordHash32(w: Column): Column =
-    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+    Md5Prefix(w, 8)
 
   /** Per-digest md5 MinHash signature, computed by EXPLODING the word
     * set and taking `numHashes` min-aggregates — one md5 per (digest,
@@ -495,9 +496,9 @@ object Dedup {
     // non-null concat) but typed nullable through conv/cast — compact
     // re-types the array containsNull=false for FirstEqualIndex
     array_compact(array((0 until bands).map { bnd =>
-      conv(substring(md5(concat(lit(s"${bnd}_"),
+      Md5Prefix(concat(lit(s"${bnd}_"),
         array_join(transform(slice(sig, bnd * rows + 1, rows),
-          x => x.cast("string")), "_"))), 1, 15), 16, 10).cast("long")
+          x => x.cast("string")), "_")), 15)
     }: _*))
 
   /** [[minhashNearDups]] with the md5 affine family — identical fused
@@ -564,8 +565,7 @@ object Dedup {
       when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.select(col(idCol), explode(wordSet(col(textCol))).as("__w"))
-      .withColumn("__h", conv(substring(md5(col("__w")), 1, 15), 16, 10)
-        .cast("long"))
+      .withColumn("__h", Md5Prefix(col("__w"), 15))
       .groupBy(idCol)
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), hash.as("simhash"))

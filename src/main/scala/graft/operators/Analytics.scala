@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 
 /** Behavioral / statistical analytics operators, each in the shape that
   * survives a 1000-executor cluster:
@@ -461,8 +462,8 @@ object Analytics {
                 width: Int): DataFrame = {
     require(depth > 0 && width > 0, s"need depth,width > 0: $depth, $width")
     val buckets = array((0 until depth).map { r =>
-      conv(substring(md5(concat(lit(s"cms$r:"),
-        col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long") % width
+      Md5Prefix(concat(lit(s"cms$r:"),
+        col(keyCol).cast("string")), 8) % width
     }: _*)
     df.select(posexplode(buckets).as(Seq("row", "bucket")))
       .groupBy("row", "bucket")
@@ -477,8 +478,8 @@ object Analytics {
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
                   depth: Int, width: Int): DataFrame = {
     val buckets = array((0 until depth).map { r =>
-      conv(substring(md5(concat(lit(s"cms$r:"),
-        col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long") % width
+      Md5Prefix(concat(lit(s"cms$r:"),
+        col(keyCol).cast("string")), 8) % width
     }: _*)
     probes.select(col(keyCol), posexplode(buckets).as(Seq("row", "bucket")))
       .join(broadcast(sketch), Seq("row", "bucket"))
@@ -592,8 +593,7 @@ object Analytics {
                           keyCol: String, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16]: $p")
     val wBits = 60 - p
-    val hash = conv(substring(md5(col(keyCol).cast("string")), 1, 15),
-      16, 10).cast("long")
+    val hash = Md5Prefix(col(keyCol).cast("string"), 15)
     val w = hash.bitwiseAND(lit((1L << wBits) - 1))
     val rho = when(w === 0, lit(wBits + 1))
       .otherwise(lit(wBits + 1) - length(bin(w)))
@@ -816,8 +816,7 @@ object Analytics {
     * (complete-mode twin spec'd); [[kmvSketch]]'s bottom-k is the read
     * path over it. */
   def kmvHashes(df: DataFrame, keyCol: String): DataFrame =
-    df.select(conv(substring(md5(col(keyCol).cast("string")), 1, 15),
-        16, 10).cast("long").as("h"))
+    df.select(Md5Prefix(col(keyCol).cast("string"), 15).as("h"))
       .where(col("h").isNotNull)
       // groupBy rather than distinct(): same batch plan family, but
       // streaming-wise this is an Aggregate (complete-mode capable)
@@ -887,8 +886,7 @@ object Analytics {
                        k: Int): DataFrame = {
     require(k > 1, s"k must exceed 1, got $k")
     val hashed = df.select(col(groupCol).as("__g"),
-        conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        Md5Prefix(col(keyCol).cast("string"), 15).as("h"))
       .where(col("h").isNotNull)
       .groupBy("__g", "h").agg(count(lit(1)).as("__n"))
       .select(col("__g"), col("h"))
@@ -927,8 +925,7 @@ object Analytics {
   def qsketchSample(df: DataFrame, rowKey: Column, valueCol: String,
                     k: Int): DataFrame = {
     require(k > 1, s"k must exceed 1, got $k")
-    df.select(conv(substring(md5(rowKey.cast("string")), 1, 15),
-        16, 10).cast("long").as("h"),
+    df.select(Md5Prefix(rowKey.cast("string"), 15).as("h"),
         col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull && col("h").isNotNull)
       // v as tie-break: a 15-hex collision is ~n²/2⁶¹ improbable, but
@@ -974,8 +971,7 @@ object Analytics {
                            k: Int): DataFrame = {
     require(k > 1, s"k must exceed 1, got $k")
     val hashed = df.select(groupCols.map(col) ++ Seq(
-        conv(substring(md5(rowKey.cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"),
+        Md5Prefix(rowKey.cast("string"), 15).as("h"),
         col(valueCol).cast("double").as("v")): _*)
       .where(col("v").isNotNull && col("h").isNotNull)
       .withColumn("negh", -col("h"))
@@ -1031,9 +1027,14 @@ object Analytics {
                            nBuckets: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bucketed = qsketchRangeBuckets(
+    // pin the slim (v, bucket) projection ONCE (round 19, guide §2.4):
+    // the lane-count pass and the candidate fetch are two separate
+    // executions (both end in driver collects), and without the pin
+    // each re-runs the corpus scan plus the 2·(nBuckets−1)-comparison
+    // bucket-assignment fold
+    val bucketed = Checkpoints.pin(qsketchRangeBuckets(
       df.where(col(valueCol).isNotNull), rowKey, valueCol, k, nBuckets)
-      .select(col(valueCol).cast("double").as("v"), col("bucket"))
+      .select(col(valueCol).cast("double").as("v"), col("bucket")))
     val laneCounts = bucketed.groupBy("bucket").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val n = laneCounts.values.sum
@@ -1163,13 +1164,16 @@ object Analytics {
     val spark = df.sparkSession
     val nn = df.where(col(valueCol).isNotNull)
     val cuts = groupedCutTable(nn, groupCol, rowKey, valueCol, k, nBuckets)
-    val bucketed = nn
+    // same two-reader pin as the ungrouped form: lane counts and the
+    // candidate fetch both collect, so the (group, v, bucket) slim
+    // frame would otherwise compute twice
+    val bucketed = Checkpoints.pin(nn
       .select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("v"))
       .join(broadcast(cuts), Seq("__g"))
       .withColumn("bucket", aggregate(col("__cuts"), lit(0),
         (acc, c) => acc + when(col("v") > c, 1).otherwise(0)))
-      .select("__g", "v", "bucket")
+      .select("__g", "v", "bucket"))
     val laneCounts: Map[(Any, Int), Long] = bucketed
       .groupBy("__g", "bucket").count().collect()
       .map(r => ((r.get(0), r.getInt(1)), r.getLong(2))).toMap

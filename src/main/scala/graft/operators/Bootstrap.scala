@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 
 /** Poisson bootstrap — THE scalable bootstrap (Chamandy et al.,
   * "Estimating Uncertainty for Massive Data Streams", Google 2012):
@@ -50,8 +51,7 @@ object Bootstrap {
       .select(col("__seed"), col("__q"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
       .withColumn("__u",
-        conv(substring(md5(concat_ws("|", col("__seed"), col("rep"))),
-          1, 15), 16, 10).cast("long"))
+        Md5Prefix(concat_ws("|", col("__seed"), col("rep")), 15))
       .withColumn("__m", mult)
       .groupBy("rep")
       .agg(sum("__m").as("n_eff"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 
 /** Class-balanced downsampling — equalize a label distribution by
   * keeping exactly `min-class-count` rows of EVERY class, selected as
@@ -25,8 +26,7 @@ object ClassBalance {
     require(!counts.isNullAt(0), "no non-null classes to balance")
     val k = counts.getLong(0)
     require(k <= Int.MaxValue, s"min class count $k exceeds Int range")
-    val negh = -conv(substring(md5(col(idCol).cast("string")), 1, 15),
-      16, 10).cast("long")
+    val negh = -Md5Prefix(col(idCol).cast("string"), 15)
     Analytics.topKPerGroupExec(base.withColumn("__negh", negh),
         Seq(classCol), "__negh", k.toInt, Seq(idCol))
       .drop("__negh")

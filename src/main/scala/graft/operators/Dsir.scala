@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 
 import graft.dedup.Dedup
 
@@ -169,8 +170,8 @@ object Dsir {
   def withGumbelKey(weights: DataFrame, tauPpm: Long = 1000000L)
       : DataFrame = {
     require(tauPpm > 0, s"tauPpm must be positive, got $tauPpm")
-    val h20 = conv(substring(md5(concat(lit("g|"),
-      col("id").cast("string"))), 1, 8), 16, 10).cast("long") % 1048576L
+    val h20 = Md5Prefix(concat(lit("g|"),
+      col("id").cast("string")), 8) % 1048576L
     val u = (h20.cast("double") + 0.5) / 1048576.0
     val gumbelPpm = floor(-log(-log(u)) * 1e6 + 0.5).cast("long")
     // logw/τ in ppm: floor-div keeps it exact long arithmetic

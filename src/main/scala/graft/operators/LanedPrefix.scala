@@ -25,7 +25,16 @@ object LanedPrefix {
                  sumCols: Seq[String], k: Int, nLanes: Int,
                  inclusive: Boolean): (DataFrame, DataFrame) = {
     require(sumCols.nonEmpty, "at least one sum column")
-    val laned = Analytics.qsketchRangeBuckets(vals,
+    // pin the distinct-value table ONCE (round 19, guide §2.4): the
+    // sketch sample ends in a driver collect and the lane sums in an
+    // eager checkpoint, so they are SEPARATE executions from the final
+    // laned output — exchange reuse cannot span them, and without the
+    // pin each of the three recomputes the upstream corpus scan plus
+    // the distinct-collapse shuffle. The pinned frame is value-domain-
+    // sized (one row per distinct value), the bounded side of the
+    // operator at any corpus scale.
+    val pinned = Checkpoints.pin(vals)
+    val laned = Analytics.qsketchRangeBuckets(pinned,
       col(orderCol), orderCol, k, nLanes)
     val hi = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy("bucket").orderBy(orderCol)
@@ -79,7 +88,12 @@ object LanedPrefix {
     // silently dropped with them
     require(groupCol != "__g" && groupCol != "__cuts",
       s"'$groupCol' collides with qsketchRangeBucketsGrouped internals")
-    val laned = Analytics.qsketchRangeBucketsGrouped(vals, groupCol,
+    // same single-pin rationale as withPrefix: the grouped cut table
+    // (driver-collected sketch), the (group, lane) sums checkpoint and
+    // the final laned output are separate executions that would each
+    // recompute the distinct-(group, value) collapse
+    val pinned = Checkpoints.pin(vals)
+    val laned = Analytics.qsketchRangeBucketsGrouped(pinned, groupCol,
       col(orderCol), orderCol, k, nLanes)
     val hi = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy(groupCol, "bucket").orderBy(orderCol)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 
 /** Deterministic negative sampling — the contrastive-training
   * counterpart of the positive (user, item) pairs: for every user, up
@@ -43,8 +44,7 @@ object NegativeSample {
       .select(col("user"),
         explode(sequence(lit(0), lit(k + margin - 1))).as("j"))
       .withColumn("item",
-        pmod(conv(substring(md5(concat_ws("|", col("user"), col("j"))),
-          1, 15), 16, 10).cast("long"), lit(nItems)))
+        pmod(Md5Prefix(concat_ws("|", col("user"), col("j")), 15), lit(nItems)))
       .groupBy("user", "item").agg(min("j").as("draw"))
     val w = Window.partitionBy("user").orderBy("draw")
     cands.join(pos, Seq("user", "item"), "left_anti")

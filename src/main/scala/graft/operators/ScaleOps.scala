@@ -196,7 +196,8 @@ object WeightedTopKSample {
   def apply(df: DataFrame, weight: Column, k: Int,
             seedCols: Seq[String]): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (conv(substring(SampleHash.keyFor(seedCols, Md5), 1, 15), 16, 10)
+    val u = (graft.functions.Md5Prefix(
+      concat_ws("|", seedCols.map(col(_).cast("string")): _*), 15)
       .cast("double") + lit(1.0)) / lit(Scale)
     df.filter(weight > 0.0)
       .withColumn("__k", log(u) / weight)
@@ -223,7 +224,8 @@ object StratifiedWeightedTopKSample {
   def apply(df: DataFrame, weight: Column, k: Int, strataCols: Seq[String],
             seedCols: Seq[String]): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (conv(substring(SampleHash.keyFor(seedCols, Md5), 1, 15), 16, 10)
+    val u = (graft.functions.Md5Prefix(
+      concat_ws("|", seedCols.map(col(_).cast("string")): _*), 15)
       .cast("double") + lit(1.0)) / lit(Scale)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
@@ -252,7 +254,8 @@ object DeterministicSplit {
     require(splits.forall(_._2 > 0), "split weights must be positive")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val u = (conv(substring(SampleHash.keyFor(seedCols, Md5), 1, 15), 16, 10)
+    val u = (graft.functions.Md5Prefix(
+      concat_ws("|", seedCols.map(col(_).cast("string")): _*), 15)
       .cast("double") + lit(1.0)) / lit(Scale)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val first = when(u <= cum.head, lit(splits.head._1))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 
 /** Z-order (Morton) clustering — the multi-column data-layout primitive
   * behind lakehouse `OPTIMIZE ZORDER BY`: rows close in the interleaved
@@ -166,8 +167,7 @@ object ZOrder {
       .select(col(valueCol).cast("double").as("v"),
         col("bucket").as("file"))
     val scattered = nn.select(col(valueCol).cast("double").as("v"),
-      pmod(conv(substring(md5(rowKey.cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(nFiles.toLong)).cast("int").as("file"))
+      pmod(Md5Prefix(rowKey.cast("string"), 15), lit(nFiles.toLong)).cast("int").as("file"))
     def layoutRow(files: DataFrame, layout: String) = {
       val touched = col("v_min") <= hi && col("v_max") >= lo
       files.groupBy("file")

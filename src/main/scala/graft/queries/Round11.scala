@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 import graft.operators.Analytics
 import graft.similarity.{ProductQuantizer, Similarity}
 
@@ -223,9 +224,8 @@ object Round11 {
         weight = col("w"), k = QsK,
         seedCols = Seq("l_orderkey", "l_linenumber"))
       val est = Analytics.qsketchQuantiles(
-        sample.select(conv(substring(md5(concat_ws("|",
-            col("l_orderkey"), col("l_linenumber"))), 1, 15), 16, 10)
-          .cast("long").as("h"), col("v")),
+        sample.select(Md5Prefix(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber")), 15).as("h"), col("v")),
         QsProbs)
       import org.apache.spark.sql.expressions.Window
       val byV = li.groupBy(col("l_extendedprice").cast("double").as("v"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 import graft.operators.{BucketedJoin, Profile}
 import graft.similarity.Similarity
 import graft.textanalysis.TextAnalysis
@@ -20,8 +21,7 @@ object Round7 {
     * seeding (the production default is xxhash64 — not in DuckDB). */
   private[graft] val SemNlist = 8
   private[graft] def semSeed(nlist: Int): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(nlist)).cast("int")
+    pmod(Md5Prefix(col("vec_id").cast("string"), 8), lit(nlist)).cast("int")
 
   /** Bucketed tables live outside the repo in the system temp dir; the
     * path is deterministic so bench reruns overwrite instead of leak. */

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
@@ -34,7 +35,7 @@ object StreamingHll {
     * [[graft.operators.Analytics.hllRegisters]], so any engine (and
     * the DuckDB oracle) replays it. */
   def hashCol(item: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(item.cast("string")), 1, 15), 16, 10).cast("long")
+    Md5Prefix(item.cast("string"), 15)
 
   def bucketOf(hash: Long): Int = (hash >>> WBits).toInt
 

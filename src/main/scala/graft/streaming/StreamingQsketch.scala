@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.operators.Analytics
@@ -81,8 +82,7 @@ object StreamingQsketch {
                           valueCol: String, k: Int): DataFrame = {
     require(k > 1, s"k must exceed 1, got $k")
     val hashed = df.select(shardCol.cast("int").as("shard"),
-        conv(substring(md5(rowKey.cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"),
+        Md5Prefix(rowKey.cast("string"), 15).as("h"),
         col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull && col("h").isNotNull)
       .withColumn("negh", -col("h"))
@@ -135,8 +135,7 @@ object StreamingQsketch {
   /** The 60-bit md5 row-key hash as a Column — same family as
     * [[Analytics.qsketchSample]]. */
   def hashCol(rowKey: Column): Column =
-    conv(substring(md5(rowKey.cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    Md5Prefix(rowKey.cast("string"), 15)
 
   private[graft] def foldKeyed(s: KQState, h: Long, v: Double): KQState = {
     val kept = (s.hs.zip(s.vs) :+ ((h, v))).distinct.sorted.take(KeyedK)

@@ -2,6 +2,7 @@ package graft.textanalysis
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.Md5Prefix
 
 /** Text-analysis operators for training-data curation: token counting,
   * quality scoring, n-gram-heuristic language ID. All single-pass column
@@ -123,7 +124,7 @@ object TextAnalysis {
     val spans = df
       .select(col(idCol), explode(ngrams(col(textCol), n)).as("__span"))
       .select(col(idCol),
-        conv(substring(md5(col("__span")), 1, 15), 16, 10).cast("long")
+        Md5Prefix(col("__span"), 15)
           .as("__k"))
     val counts = spans.groupBy("__k").agg(count(lit(1)).as("__n"))
     spans.join(counts, Seq("__k"))
@@ -162,9 +163,8 @@ object TextAnalysis {
           sequence(lit(1), size(col("__t")) - (n - 1)))
           .otherwise(array().cast("array<int>"))).as("__i"))
       .select(col(idCol), col("__i"),
-        conv(substring(md5(concat_ws(" ",
-          slice(col("__t"), col("__i"), lit(n)))), 1, 15), 16, 10)
-          .cast("long").as("__k"))
+        Md5Prefix(concat_ws(" ",
+          slice(col("__t"), col("__i"), lit(n))), 15).as("__k"))
     val counts = spans.groupBy("__k")
       .agg(count(lit(1)).as("__n"),
         min(struct(col(idCol).as("__fid"), col("__i").as("__fi")))
@@ -260,8 +260,7 @@ object TextAnalysis {
     * `__txt` — the one gram key both the full and the minimized chain
     * (and the DuckDB oracle) derive. */
   private def gramKey(minLen: Int): Column =
-    conv(substring(md5(col("__txt").substr(col("__i"), lit(minLen))),
-      1, 15), 16, 10).cast("long").as("__k")
+    Md5Prefix(col("__txt").substr(col("__i"), lit(minLen)), 15).as("__k")
 
   /** Shared tail of the ExactSubstr chain: count gram keys, mark every
     * non-canonical occurrence of a duplicated key, merge each doc's
@@ -924,8 +923,8 @@ object TextAnalysis {
       s"prefix fractions must sit in (0, 1], got $pcts")
     val cutoffs = pcts.sorted.map(p =>
       p -> math.floor(p * 4294967296.0).toLong)
-    val h32 = conv(substring(md5(concat(lit(seed), lit("|"),
-      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val h32 = Md5Prefix(concat(lit(seed), lit("|"),
+      col(idCol).cast("string")), 8)
     val docs = df.where(col(idCol).isNotNull)
       .select(h32.as("h"), trim(col(textCol)).as("t"))
       .select(col("h"), when(col("t").isNotNull && length(col("t")) > 0,
