@@ -78,7 +78,21 @@ object NgramSpans {
   }
 
   /** (doc, gram start, gram end) for every gram that occurs in >= 2
-    * distinct documents. */
+    * distinct documents.
+    *
+    * Round-19 shape (guide §2.3/§2.4), output identical at every SF:
+    *   - grams shuffle as 60-bit md5 FINGERPRINTS, not strings — the
+    *     digest narrows both the duplicated-gram aggregation and the
+    *     hit join to 8-byte keys (the md5-replayable trade the dedup
+    *     family already runs; the scaladoc above always promised it);
+    *   - "occurs in >= 2 distinct docs" is min(doc) != max(doc) — one
+    *     map-side-combined aggregate instead of count(distinct)'s
+    *     expand;
+    *   - the slim (doc, pos, fp) stream pins ONCE: the aggregate and
+    *     the join-back hash the same key but their exchange children
+    *     differ (partial agg vs project), so exchange reuse cannot
+    *     span them and each would re-run the tokenize+explode+digest
+    *     pass over the corpus. */
   private def dupGramHits(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
     val arr = split(trim(col(textCol)), "\\s+")
@@ -87,15 +101,18 @@ object NgramSpans {
         col(idCol).isNotNull)
       .select(col(idCol).as("__doc"), arr.as("__arr"))
       .where(size(col("__arr")) >= n)
-    val grams = base.select(col("__doc"),
-      posexplode(transform(sequence(lit(0), size(col("__arr")) - n),
-        k => concat_ws(" ", slice(col("__arr"), k + 1, lit(n))))))
-      .toDF("__doc", "__s", "__gram")
-    val dup = grams.groupBy("__gram")
-      .agg(countDistinct("__doc").as("__nd"))
-      .where(col("__nd") >= 2)
-      .select("__gram")
-    grams.join(dup, "__gram")
+    val grams = graft.operators.Checkpoints.pin(
+      base.select(col("__doc"),
+        posexplode(transform(sequence(lit(0), size(col("__arr")) - n),
+          k => concat_ws(" ", slice(col("__arr"), k + 1, lit(n))))))
+        .toDF("__doc", "__s", "__gram")
+        .select(col("__doc"), col("__s"),
+          graft.functions.Md5Prefix(col("__gram"), 15).as("__fp")))
+    val dup = grams.groupBy("__fp")
+      .agg(min("__doc").as("__d0"), max("__doc").as("__d1"))
+      .where(col("__d0") =!= col("__d1"))
+      .select("__fp")
+    grams.join(dup, "__fp")
       .select(col("__doc"), col("__s"), (col("__s") + n - 1).as("__e"))
   }
 }

@@ -121,11 +121,16 @@ object TextAnalysis {
                       minOccurrences: Int = 2): org.apache.spark.sql.DataFrame = {
     require(n >= 2, "span length must be >= 2 words")
     require(minOccurrences >= 2, "a span needs >= 2 occurrences to be a dup")
-    val spans = df
+    // pin the slim (id, fingerprint) span stream once (round 19, guide
+    // §2.4): the corpus count aggregate and the join-back hash the same
+    // key but their exchange children differ (partial agg vs project),
+    // so exchange reuse cannot span them — unpinned, each re-runs the
+    // tokenize+explode+digest pass
+    val spans = graft.operators.Checkpoints.pin(df
       .select(col(idCol), explode(ngrams(col(textCol), n)).as("__span"))
       .select(col(idCol),
         Md5Prefix(col("__span"), 15)
-          .as("__k"))
+          .as("__k")))
     val counts = spans.groupBy("__k").agg(count(lit(1)).as("__n"))
     spans.join(counts, Seq("__k"))
       .groupBy(idCol)
@@ -155,16 +160,21 @@ object TextAnalysis {
                            idCol: String, textCol: String,
                            n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 2, "span length must be >= 2 words")
-    val toks = nonBlank(df, textCol)
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
-    val spans = toks
+    // pin the tokenized corpus (three readers: the span stream, the
+    // token stream, and the final length frame) and the slim span
+    // stream (two readers: counts + the dup-occurrence join; their
+    // exchange children differ, so reuse cannot span them) — round 19,
+    // guide §2.4
+    val toks = graft.operators.Checkpoints.pin(nonBlank(df, textCol)
+      .select(col(idCol), tokens(col(textCol)).as("__t")))
+    val spans = graft.operators.Checkpoints.pin(toks
       .select(col(idCol), col("__t"),
         explode(when(size(col("__t")) >= n,
           sequence(lit(1), size(col("__t")) - (n - 1)))
           .otherwise(array().cast("array<int>"))).as("__i"))
       .select(col(idCol), col("__i"),
         Md5Prefix(concat_ws(" ",
-          slice(col("__t"), col("__i"), lit(n))), 15).as("__k"))
+          slice(col("__t"), col("__i"), lit(n))), 15).as("__k")))
     val counts = spans.groupBy("__k")
       .agg(count(lit(1)).as("__n"),
         min(struct(col(idCol).as("__fid"), col("__i").as("__fi")))
@@ -297,7 +307,15 @@ object TextAnalysis {
     // null-id docs entirely — they contribute no counts, are never
     // marked, and pass through uncut (the null-keyed join-back below
     // has no equi-match).
-    val g = grams.where(col(idCol).isNotNull)
+    // pin the gram stream once (round 19, guide §2.4): the count
+    // aggregate and the mark join-back cannot share an exchange
+    // (different exchange children), so unpinned each re-runs the
+    // gram explode + md5 digest pass — the chain's dominant CPU. The
+    // pinned frame is the slim (id, pos, fp) stream; above the
+    // ~100k-doc crossover the auto chooser routes to the minimized
+    // chain, whose winnowed stream keeps this pin 1/(w+1)-sized.
+    val g = graft.operators.Checkpoints.pin(
+      grams.where(col(idCol).isNotNull))
     val marked =
       if (idIsIntegral) {
         val packed = col(idCol).cast(DecimalType(38, 0)) *
@@ -378,12 +396,16 @@ object TextAnalysis {
     require(k >= 1 && k < minLen, s"need 1 <= k < minLen, got k=$k")
     val w = minLen - k + 1
     val base = substrBase(df, idCol, textCol)
-    val mins = base
+    // pinned once (round 19, guide §2.4): the repeated-fingerprint
+    // aggregate and the candidate join both consume the minimizer
+    // stream and cannot share an exchange — unpinned, each re-runs
+    // the O(n) winnowing selection over the corpus text
+    val mins = graft.operators.Checkpoints.pin(base
       .select(col(idCol), col("__len"),
         explode(graft.functions.WinnowMinimizers(col("__txt"), k, w))
           .as("__mm"))
       .select(col(idCol), col("__len"),
-        col("__mm.pos").as("__p"), col("__mm.fp").as("__fp"))
+        col("__mm.pos").as("__p"), col("__mm.fp").as("__fp")))
     // fingerprints selected >= 2 times corpus-wide (map-side combined;
     // two selections of one value — across docs or within one — are
     // exactly the two-occurrence evidence the theorem provides)
