@@ -50,10 +50,14 @@ object LabelProp {
         col("a") =!= col("b"))
       .where(assert_true(col("a") >= 0 && col("b") >= 0,
         lit("LabelProp needs non-negative node ids")).isNull)
-    // undirected: both orientations, deduped
-    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-    val nodes = und.select(col("a").as("node")).distinct()
+    // undirected: both orientations, deduped. Pinned once (round 19,
+    // guide §2.4): `und` feeds the node projection plus every round's
+    // neighbor join, and `nodes` every round's rebuild — unpinned, the
+    // union-distinct shuffle re-ran per reader per unrolled round
+    val und = truncate(
+      dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+        .distinct())
+    val nodes = truncate(und.select(col("a").as("node")).distinct())
     var labels = nodes.withColumn("label", col("node"))
     var it = 0
     for (_ <- 1 to rounds) {

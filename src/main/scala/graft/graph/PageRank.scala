@@ -43,12 +43,20 @@ object PageRank {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     def truncate(df: DataFrame): DataFrame =
       graft.operators.Checkpoints.pin(df, checkpointDir)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // pin the loop-invariant frames once (round 19, guide §2.4): the
+    // deduped edge list feeds FOUR readers (both node projections, the
+    // degree count, the degree join) and `nodes`/`withDeg` feed every
+    // unrolled iteration — exchange reuse does not recover the
+    // recomputes across the differently-keyed consumers, so unpinned
+    // the distinct shuffle re-ran per reader per iteration
+    val e = truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct())
+    val nodes = truncate(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val withDeg = e.join(outDeg, "src") // every edge has a source degree
+    val withDeg = truncate(e.join(outDeg, "src")) // edge + source degree
     var ranks = nodes.withColumn("rank", lit(1.0))
     var it = 0
     for (_ <- 1 to iterations) {
@@ -87,15 +95,18 @@ object PageRank {
     require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
     def truncate(df: DataFrame): DataFrame =
       graft.operators.Checkpoints.pin(df, checkpointDir)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // same loop-invariant pins as [[apply]] (round 19, guide §2.4)
+    val e = truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct())
+    val nodes = truncate(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     val mass = 1.0 / sources.size // same double the oracle inlines
     val restart = when(col("node").isin(sources: _*), lit(mass))
       .otherwise(lit(0.0))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val withDeg = e.join(outDeg, "src")
+    val withDeg = truncate(e.join(outDeg, "src"))
     var ranks = nodes.withColumn("rank", restart)
     var it = 0
     for (_ <- 1 to iterations) {
