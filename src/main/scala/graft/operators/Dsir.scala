@@ -40,9 +40,12 @@ object Dsir {
     * broadcastable. `isTarget` marks the in-domain subset (a SUBSET of
     * the pool, per the paper: raw counts include target docs). */
   def logRatios(toks: DataFrame, buckets: Int): DataFrame = {
-    val cnt = toks.groupBy("__b")
+    // pin the ≤ buckets-row count table (round 19, guide §2.4): the
+    // totals reduce and the ratio projection are two readers, and each
+    // re-ran the corpus token aggregation unpinned
+    val cnt = Checkpoints.pin(toks.groupBy("__b")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tgt_cnt"),
-        count(lit(1)).as("raw_cnt"))
+        count(lit(1)).as("raw_cnt")))
     val tot = cnt.agg(sum("tgt_cnt").as("__tT"), sum("raw_cnt").as("__rT"))
     // ln( (tgt+1)/(tgtTot+B) / ((raw+1)/(rawTot+B)) ) as one ln over a
     // ratio of exact double products; ppm fixed-point at the edge. Each
@@ -77,7 +80,11 @@ object Dsir {
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int = 2048): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val toks = tokenBuckets(df, idCol, textCol, isTarget, buckets)
+    // pin the exploded token stream once (round 19, guide §2.4): the
+    // model fit (logRatios) and the scoring join are separate readers
+    // — unpinned, each re-ran the corpus tokenize + md5-bucket pass
+    val toks = Checkpoints.pin(
+      tokenBuckets(df, idCol, textCol, isTarget, buckets))
     val lr = logRatios(toks, buckets)
       .select(col("bucket").as("__b"), col("log_ratio_ppm"))
     toks.join(broadcast(lr), Seq("__b"))
@@ -104,11 +111,13 @@ object Dsir {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val toks = tokenBuckets(df, idCol, textCol, isTarget, buckets)
     val sel = selected.select(col("id"), lit(true).as("__sel"))
-    val cnt = toks.join(broadcast(sel), Seq("id"), "left")
+    // pinned: three readers below (totals, observed terms, the final
+    // closed-form projection) each re-ran the corpus aggregation
+    val cnt = Checkpoints.pin(toks.join(broadcast(sel), Seq("id"), "left")
       .groupBy("__b")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tc"),
         count(lit(1)).as("pc"),
-        sum(when(col("__sel"), 1L).otherwise(0L)).as("sc"))
+        sum(when(col("__sel"), 1L).otherwise(0L)).as("sc")))
     val tot = cnt.agg(sum("tc").as("__tT"), sum("pc").as("__pT"),
       sum("sc").as("__sT"), count(lit(1)).as("__nObs"))
     // p_t(b)·ln(p_t(b)/p_x(b)) with the ln fed a ratio of exact double
