@@ -30,10 +30,11 @@ object JsDivergence {
       lit(1L).as("ca"), lit(0L).as("cb"))
     val b = current.select(categoryCol.cast("string").as("category"),
       lit(0L).as("ca"), lit(1L).as("cb"))
-    val counts = a.unionByName(b)
+    val counts = Checkpoints.pin(a.unionByName(b)
       .where(col("category").isNotNull)
       .groupBy("category")
-      .agg(sum("ca").as("n_base"), sum("cb").as("n_current"))
+      .agg(sum("ca").as("n_base"), sum("cb").as("n_current")))
+    // |categories| rows; pinned so totals + terms don't re-aggregate
     val tot = counts.agg(sum("n_base").as("__na"),
       sum("n_current").as("__nb"))
     val p = col("n_base").cast("double") / col("__na").cast("double")

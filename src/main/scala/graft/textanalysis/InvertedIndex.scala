@@ -97,11 +97,14 @@ object InvertedIndex {
       s"bm25FromIndex: duplicate query terms in $queryTerms")
     val tfs = postings.where(col("term").isin(terms: _*))
       .groupBy(col(idCol)).pivot("term", terms).agg(first("tf"))
-    val withTf = docStats.join(tfs, Seq(idCol), "left")
+    // pinned (round 19, guide §2.4): the stats reduce and the scoring
+    // projection both read this slim frame
+    val withTf = graft.operators.Checkpoints.pin(
+      docStats.join(tfs, Seq(idCol), "left")
       .select(col(idCol) +: col("dl").as("__dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           coalesce(col(s"`$t`"), lit(0L)).cast("double").as(s"__tf$i")
-        }: _*)
+        }: _*))
     val statAggs: Seq[Column] =
       count(lit(1)).cast("double").as("__n") +:
         avg("__dl").as("__avgdl") +:

@@ -41,9 +41,12 @@ object NaiveBayes {
         length(trim(col(textCol))) > 0)
       .select(labelCol.as("__pos"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
-    val counts = toks.groupBy("token")
+    // pin the vocabulary-sized count table (round 19, guide §2.4): the
+    // totals reduce and the ratio projection are two readers — each
+    // re-ran the corpus tokenize + token-count shuffle unpinned
+    val counts = graft.operators.Checkpoints.pin(toks.groupBy("token")
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
-        sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg")))
     val totals = counts.agg(sum("c_pos").as("__np"),
       sum("c_neg").as("__nn"), count(lit(1)).as("__v"))
     val pPos = (col("c_pos") + lit(alpha)) /

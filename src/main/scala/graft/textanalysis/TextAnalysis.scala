@@ -817,9 +817,12 @@ object TextAnalysis {
         .otherwise(size(filter(toks, x => x === lit(t))))
     val dl = tokenCount(col(textCol)).cast("double")
 
-    val perDoc = df.select(
+    // pinned (round 19, guide §2.4): the corpus-stats reduce and the
+    // scoring projection are two readers of this slim (id, dl, tf*)
+    // frame — unpinned, each re-ran the per-term tokenize/filter pass
+    val perDoc = graft.operators.Checkpoints.pin(df.select(
       (col(idCol) +: dl.as("__dl") +:
-        terms.zipWithIndex.map { case (t, i) => tfOf(t).cast("double").as(s"__tf$i") }): _*)
+        terms.zipWithIndex.map { case (t, i) => tfOf(t).cast("double").as(s"__tf$i") }): _*))
     // N, avgdl, and df(t) for every query term in ONE pass / one row
     val statAggs: Seq[Column] =
       count(lit(1)).cast("double").as("__n") +: avg("__dl").as("__avgdl") +:

@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
 object UnigramLm {
   def scoreDocs(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val toks = df
+    // pins (round 19, guide §2.4): `toks` feeds the model aggregation
+    // AND the scoring join; `model` feeds the totals reduce AND the
+    // log-prob projection — all separate readers that each re-ran the
+    // corpus tokenize (resp. the vocab aggregation) unpinned
+    val toks = graft.operators.Checkpoints.pin(df
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol),
-        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
-    val model = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
+        explode(split(trim(col(textCol)), "\\s+")).as("__w")))
+    val model = graft.operators.Checkpoints.pin(
+      toks.groupBy("__w").agg(count(lit(1)).as("__c")))
     val stats = model.agg(sum("__c").as("__T"),
       count(lit(1)).as("__V"))
     val scoredVocab = model.crossJoin(broadcast(stats))
