@@ -190,18 +190,27 @@ object Dedup {
     val aCol = s"${idCol}_a"
     val bCol = s"${idCol}_b"
     val rows = numHashes / bands
-    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
+    // members is read FOUR times downstream (both sides of the verified
+    // pair expansion, both sides of the exact-dup self-join) and each
+    // read re-ran the md5-of-sorted-word-set digest per document —
+    // pinned once (round 19, guide §2.4). Same for the per-digest
+    // signature/band frame, whose two posexploded join sides cannot
+    // rely on exchange reuse across the band-key rename.
+    val members = graft.operators.Checkpoints.pin(
+      df.select(col(idCol), wordSetKey(col(textCol)).as("__dig")))
     // per unique set: the minhash signature stays on the STRING set (the
     // r01-identical hash family / candidate buckets), while verification
     // uses the sorted word-HASH set — primitive-long merge kernel
-    val reps = df.select(wordSetKey(col(textCol)).as("__dig"),
+    val prep = graft.operators.Checkpoints.pin(
+      df.select(wordSetKey(col(textCol)).as("__dig"),
         wordSet(col(textCol)).as("__set"))
       .dropDuplicates("__dig")
       .withColumn("__hset", array_sort(transform(col("__set"), w => xxhash64(w))))
       .withColumn("__sig", minhashSignature(col("__set"), numHashes))
       .withColumn("__bands", bandHashes(col("__sig"), bands, rows))
-      .select(col("__dig"), col("__hset"), col("__bands"),
-        posexplode(col("__bands")).as(Seq("band", "bucket")))
+      .select(col("__dig"), col("__hset"), col("__bands")))
+    val reps = prep.select(col("__dig"), col("__hset"), col("__bands"),
+      posexplode(col("__bands")).as(Seq("band", "bucket")))
 
     bandedVerifyExpand(reps, members, aCol, bCol, threshold)
   }
@@ -279,7 +288,10 @@ object Dedup {
     // null-text documents from the keep/drop decision entirely, where
     // doc-level banding grouped them (identical all-null signatures).
     val dig = coalesce(wordSetKey(col(textCol)), lit(""))
-    val members = df.select(col(idCol), dig.as("__dig"))
+    // two readers (digMin + the final membership join), each re-running
+    // the md5 word-set digest per document unpinned (round 19)
+    val members = graft.operators.Checkpoints.pin(
+      df.select(col(idCol), dig.as("__dig")))
     val digMin = members.groupBy("__dig").agg(min(idCol).as("__dmin"))
     val bandRows = df
       .select(dig.as("__dig"), wordSet(col(textCol)).as("__set"))
@@ -306,9 +318,12 @@ object Dedup {
     * this is a groupBy + join-back and not a window. */
   private def representativeAssign(bandRows: DataFrame, members: DataFrame,
                                    idCol: String): DataFrame = {
-    val bucketMin = bandRows.groupBy("band", "bucket")
+    // bandRows feeds the bucket-min aggregate AND the join-back —
+    // pinned once so the signature/band build runs once (round 19)
+    val pinnedBands = graft.operators.Checkpoints.pin(bandRows)
+    val bucketMin = pinnedBands.groupBy("band", "bucket")
       .agg(min("__dmin").as("__bucket_min"))
-    val digRep = bandRows.select("__dig", "band", "bucket")
+    val digRep = pinnedBands.select("__dig", "band", "bucket")
       .join(bucketMin, Seq("band", "bucket"))
       .groupBy("__dig")
       .agg(min("__bucket_min").as("rep_id"))
@@ -509,15 +524,22 @@ object Dedup {
                          threshold: Double, numHashes: Int = 64,
                          bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val members = df.select(col(idCol), wordSetKey(col(textCol)).as("__dig"))
-    val uniq = df.select(wordSetKey(col(textCol)).as("__dig"),
+    // same pin set as the xx64 family (round 19, guide §2.4): members
+    // has four downstream readers, uniq two (the signature aggregation
+    // and the join-back), the signature/band frame two exploded sides
+    val members = graft.operators.Checkpoints.pin(
+      df.select(col(idCol), wordSetKey(col(textCol)).as("__dig")))
+    val uniq = graft.operators.Checkpoints.pin(
+      df.select(wordSetKey(col(textCol)).as("__dig"),
         wordSet(col(textCol)).as("__set"))
-      .dropDuplicates("__dig")
-    val reps = uniq.join(md5SigTable(uniq, "__set", numHashes), Seq("__dig"))
+      .dropDuplicates("__dig"))
+    val prep = graft.operators.Checkpoints.pin(
+      uniq.join(md5SigTable(uniq, "__set", numHashes), Seq("__dig"))
       .withColumn("__hset", array_sort(transform(col("__set"), w => xxhash64(w))))
       .withColumn("__bands", md5BandHashes(col("__sig"), bands, rows))
-      .select(col("__dig"), col("__hset"), col("__bands"),
-        posexplode(col("__bands")).as(Seq("band", "bucket")))
+      .select(col("__dig"), col("__hset"), col("__bands")))
+    val reps = prep.select(col("__dig"), col("__hset"), col("__bands"),
+      posexplode(col("__bands")).as(Seq("band", "bucket")))
     bandedVerifyExpand(reps, members, s"${idCol}_a", s"${idCol}_b", threshold)
   }
 
@@ -527,10 +549,13 @@ object Dedup {
                                 bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     val dig = coalesce(wordSetKey(col(textCol)), lit(""))
-    val members = df.select(col(idCol), dig.as("__dig"))
+    // two readers (digMin + the final membership join) — pinned once
+    val members = graft.operators.Checkpoints.pin(
+      df.select(col(idCol), dig.as("__dig")))
     val digMin = members.groupBy("__dig").agg(min(idCol).as("__dmin"))
-    val uniq = df.select(dig.as("__dig"), wordSet(col(textCol)).as("__set"))
-      .dropDuplicates("__dig")
+    val uniq = graft.operators.Checkpoints.pin(
+      df.select(dig.as("__dig"), wordSet(col(textCol)).as("__set"))
+      .dropDuplicates("__dig"))
     // LEFT join + all-null fallback signature: md5SigTable builds
     // signatures by exploding the word set, so the null-text sentinel
     // digest ("" — its set is NULL, explode emits nothing) has no
