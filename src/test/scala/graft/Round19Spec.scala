@@ -123,20 +123,21 @@ class Round19Spec extends SparkTestBase {
     "file statistic exists") {
     import graft.textanalysis.TextAnalysis
     val docs = queries.tbl(spark, sf, "documents")
-    def usesMinimizer(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.queryExecution.analyzed.toString.contains("winnow_minimizers")
+    // the decision itself is pinned through the package-visible
+    // predicate (the round-19 eager pins execute the winnow stage at
+    // construction, so the chosen chain is no longer visible in the
+    // final plan string)
     // a few-hundred-kB corpus sits far below the ~100k-doc crossover
-    assert(!usesMinimizer(
-      TextAnalysis.exactSubstrDedupAuto(docs, "doc_id", "text")))
+    assert(!TextAnalysis.minimizedChainChosen(docs,
+      TextAnalysis.MinimizedChainAboveBytes))
     // force the threshold under the file size: minimized chain
-    assert(usesMinimizer(TextAnalysis.exactSubstrDedupAuto(
-      docs, "doc_id", "text", minimizedAboveBytes = 1L)))
+    assert(TextAnalysis.minimizedChainChosen(docs, 1L))
     // no file leaves -> no trustworthy size -> the scale-safe default
     import spark.implicits._
     val mem = Seq((1L, "x" * 80), (2L, "y" * 80)).toDF("doc_id", "text")
       .localCheckpoint()
-    assert(usesMinimizer(
-      TextAnalysis.exactSubstrDedupAuto(mem, "doc_id", "text")))
+    assert(TextAnalysis.minimizedChainChosen(mem,
+      TextAnalysis.MinimizedChainAboveBytes))
     // and the two chains the chooser picks between agree on real data
     val full = TextAnalysis.exactSubstrDedup(docs, "doc_id", "text")
       .collect().map(_.toString).sorted.toSeq
