@@ -261,9 +261,15 @@ object TextAnalysis {
     val slim = df.where(col(textCol).isNotNull)
       .select(col(idCol), col(textCol).as("__txt"),
         length(col(textCol)).as("__len"))
-    if (graft.operators.ScanWidth.arrivesWide(slim)) slim
-    else slim.repartition(
-      df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    // pinned (round 19, guide §2.4): base feeds the gram/minimizer
+    // stream AND the candidate join AND the final re-stitch — three
+    // readers that each re-ran the scan (and the pre-spread shuffle,
+    // when it fires) unpinned. Same cleaned-corpus-pin trade the
+    // curation pipelines already make.
+    graft.operators.Checkpoints.pin(
+      if (graft.operators.ScanWidth.arrivesWide(slim)) slim
+      else slim.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col(idCol)))
   }
 
   /** 60-bit md5 fingerprint of the L-gram starting at char `__i` of
