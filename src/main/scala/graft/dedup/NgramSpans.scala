@@ -80,11 +80,17 @@ object NgramSpans {
   /** (doc, gram start, gram end) for every gram that occurs in >= 2
     * distinct documents.
     *
-    * Round-19 shape (guide §2.3/§2.4), output identical at every SF:
-    *   - grams shuffle as 60-bit md5 FINGERPRINTS, not strings — the
-    *     digest narrows both the duplicated-gram aggregation and the
-    *     hit join to 8-byte keys (the md5-replayable trade the dedup
-    *     family already runs; the scaladoc above always promised it);
+    * Round-19 shape (guide §2.3/§2.4):
+    *   - grams shuffle as md5 FINGERPRINTS, not strings — the digest
+    *     narrows both the duplicated-gram aggregation and the hit join
+    *     from the ~25-40-byte gram to a fixed-width key. Round 20
+    *     widened the key from the 60-bit prefix to the FULL 16-byte
+    *     digest: this gate's oracle groups by the gram STRING, and at
+    *     ~10^12 grams a 60-bit key expects ~10^5 birthday collisions
+    *     (each silently marking a unique gram duplicated) while the
+    *     full digest's expectation is ~10^-15 — output now matches the
+    *     string semantics up to that negligible probability, at every
+    *     SF, for +8 bytes on an already-slim key;
     *   - "occurs in >= 2 distinct docs" is min(doc) != max(doc) — one
     *     map-side-combined aggregate instead of count(distinct)'s
     *     expand;
@@ -107,7 +113,7 @@ object NgramSpans {
           k => concat_ws(" ", slice(col("__arr"), k + 1, lit(n))))))
         .toDF("__doc", "__s", "__gram")
         .select(col("__doc"), col("__s"),
-          graft.functions.Md5Prefix(col("__gram"), 15).as("__fp")))
+          graft.functions.Md5Prefix.bytes(col("__gram")).as("__fp")))
     val dup = grams.groupBy("__fp")
       .agg(min("__doc").as("__d0"), max("__doc").as("__d1"))
       .where(col("__d0") =!= col("__d1"))

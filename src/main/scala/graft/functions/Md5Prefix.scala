@@ -53,10 +53,52 @@ case class Md5PrefixExpr(child: Expression, nHex: Int)
       newChild: Expression): Md5PrefixExpr = copy(child = newChild)
 }
 
+/** The FULL 16-byte MD5 digest as BINARY — the collision-safe key for
+  * internal dedup shuffles whose oracle replays gram STRINGS (not an
+  * md5 prefix): at the 100 TB target a 60-bit prefix over ~10^12 grams
+  * expects 10^5-10^6 birthday collisions, each silently marking a
+  * unique gram as duplicated, while the full digest's expectation is
+  * ~10^-15 (round-19 verdict item 2). Same plan shape as the prefix
+  * key — one grouped aggregation and one hash join, +8 bytes/key —
+  * and skips the hex-encode/`unhex` round trip `unhex(md5(x))` would
+  * pay. NOT for keys an oracle recomputes as a 60-bit number (the
+  * span-twin and exact-substr gates replay the prefix in SQL — there
+  * the prefix IS the contract). */
+case class Md5BytesExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "md5_bytes"
+
+  override def nullSafeEval(bytes: Any): Any =
+    Md5Prefix.digest(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.Md5Prefix.digest($b)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5BytesExpr = copy(child = newChild)
+}
+
 object Md5Prefix {
 
   private val md = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
+
+  /** The raw 16-byte MD5 digest of `bytes` ([[Md5BytesExpr]]). */
+  def digest(bytes: Array[Byte]): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
+  /** Column API: full 16-byte md5 digest as BINARY. A string input
+    * casts to its UTF-8 bytes, matching `md5(stringCol)`. */
+  def bytes(in: Column): Column =
+    Shim.column(Md5BytesExpr(Shim.expression(in)))
 
   /** Unsigned value of the first `nHex` hex digits of md5(bytes):
     * digest nibbles high-to-low, exactly the number
