@@ -437,6 +437,13 @@ object Dedup {
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      // `next` is materialized (eager pin + the sum scan) — the
+      // superseded round's label blocks are dead from here; release
+      // them so the fixpoint holds one round of blocks, not O(rounds)
+      // (round-20 storage hygiene). `labels` is always a pin result
+      // (one LogicalRDD leaf of its own), so this never touches the
+      // p0/edges blocks every round still reads.
+      graft.operators.Checkpoints.release(labels)
       labels = next
       i += 1
     }

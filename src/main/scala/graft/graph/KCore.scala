@@ -82,8 +82,15 @@ object KCore {
           .select("u", "v")
         i += 1
       }
+      val prev = und
       und = Checkpoints.pin(block, checkpointDir)
       val after = und.count()
+      // the new block is materialized — the superseded round's pinned
+      // blocks are dead weight from here on; release them so a long
+      // peel (and a long-lived session) holds at most one round's
+      // blocks instead of accumulating every round's (round-20 storage
+      // hygiene; no-op for reliable-checkpoint frames)
+      Checkpoints.release(prev)
       done = after == prevCount
       prevCount = after
       r += steps

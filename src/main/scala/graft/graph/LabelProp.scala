@@ -50,16 +50,23 @@ object LabelProp {
         col("a") =!= col("b"))
       .where(assert_true(col("a") >= 0 && col("b") >= 0,
         lit("LabelProp needs non-negative node ids")).isNull)
-    // undirected: both orientations, deduped. Pinned once (round 19,
-    // guide §2.4): `und` feeds the node projection plus every round's
-    // neighbor join, and `nodes` every round's rebuild — unpinned, the
-    // union-distinct shuffle re-ran per reader per unrolled round
-    val und = truncate(
+    // undirected: both orientations, deduped. Pinned CONDITIONALLY
+    // (round 20): `und` feeds the node projection plus every round's
+    // neighbor join, and `nodes` every round's rebuild — exchange
+    // reuse does not recover those recomputes. But the round-19
+    // unconditional pins here were the driver's clearest in-suite
+    // regression (graph_label_prop 0.78x): on a small graph the two
+    // eager pin jobs outprice the re-scans they save. pinIfLarge keeps
+    // the pins exactly when the input bytes say recompute wins.
+    def invariant(df: DataFrame): DataFrame =
+      graft.operators.Checkpoints.pinIfLarge(df, checkpointDir)
+    val und = invariant(
       dir.union(dir.select(col("b").as("a"), col("a").as("b")))
         .distinct())
-    val nodes = truncate(und.select(col("a").as("node")).distinct())
+    val nodes = invariant(und.select(col("a").as("node")).distinct())
     var labels = nodes.withColumn("label", col("node"))
     var it = 0
+    var lastPinned: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val adopted = und
         .join(labels, col("b") === col("node"))
@@ -75,7 +82,14 @@ object LabelProp {
           coalesce(col("label"), col("node")).as("label"))
       it += 1
       if (checkpointEvery > 0 && it % checkpointEvery == 0 &&
-        it < rounds) labels = truncate(labels)
+        it < rounds) {
+        labels = truncate(labels)
+        // release the superseded pinned label frame — one round of
+        // blocks live at a time, never the shared und/nodes pins
+        // (round-20 storage hygiene)
+        lastPinned.foreach(graft.operators.Checkpoints.release)
+        lastPinned = Some(labels)
+      }
     }
     labels
   }

@@ -43,22 +43,30 @@ object PageRank {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     def truncate(df: DataFrame): DataFrame =
       graft.operators.Checkpoints.pin(df, checkpointDir)
-    // pin the loop-invariant frames once (round 19, guide §2.4): the
+    // pin the loop-invariant frames CONDITIONALLY (round 20): the
     // deduped edge list feeds FOUR readers (both node projections, the
     // degree count, the degree join) and `nodes`/`withDeg` feed every
     // unrolled iteration — exchange reuse does not recover the
-    // recomputes across the differently-keyed consumers, so unpinned
-    // the distinct shuffle re-ran per reader per iteration
-    val e = truncate(
+    // recomputes across the differently-keyed consumers. But each
+    // eager pin is a full extra job, and the round-19 unconditional
+    // pins cost more than the re-scans they save on small graphs (the
+    // driver's in-suite runs priced graph_label_prop at 0.78x, ppr
+    // 0.85x); pinIfLarge pins exactly when the input bytes say the
+    // recompute is the bigger number (100 TB direction preserved, the
+    // small-input plan back to its unpinned shape).
+    def invariant(df: DataFrame): DataFrame =
+      graft.operators.Checkpoints.pinIfLarge(df, checkpointDir)
+    val e = invariant(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct())
-    val nodes = truncate(
+    val nodes = invariant(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val withDeg = truncate(e.join(outDeg, "src")) // edge + source degree
+    val withDeg = invariant(e.join(outDeg, "src")) // edge + source degree
     var ranks = nodes.withColumn("rank", lit(1.0))
     var it = 0
+    var lastPinned: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contrib = withDeg
         .join(ranks, col("src") === col("node"))
@@ -71,7 +79,15 @@ object PageRank {
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
       it += 1
       if (checkpointEvery > 0 && it % checkpointEvery == 0 &&
-        it < iterations) ranks = truncate(ranks)
+        it < iterations) {
+        ranks = truncate(ranks)
+        // the new pin is materialized — the superseded rank blocks are
+        // dead; release exactly the previous PINNED frame (its plan is
+        // one LogicalRDD of its own), never the shared invariants
+        // (round-20 storage hygiene)
+        lastPinned.foreach(graft.operators.Checkpoints.release)
+        lastPinned = Some(ranks)
+      }
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -95,20 +111,23 @@ object PageRank {
     require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
     def truncate(df: DataFrame): DataFrame =
       graft.operators.Checkpoints.pin(df, checkpointDir)
-    // same loop-invariant pins as [[apply]] (round 19, guide §2.4)
-    val e = truncate(
+    // same CONDITIONAL loop-invariant pins as [[apply]] (round 20)
+    def invariant(df: DataFrame): DataFrame =
+      graft.operators.Checkpoints.pinIfLarge(df, checkpointDir)
+    val e = invariant(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct())
-    val nodes = truncate(
+    val nodes = invariant(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     val mass = 1.0 / sources.size // same double the oracle inlines
     val restart = when(col("node").isin(sources: _*), lit(mass))
       .otherwise(lit(0.0))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val withDeg = truncate(e.join(outDeg, "src"))
+    val withDeg = invariant(e.join(outDeg, "src"))
     var ranks = nodes.withColumn("rank", restart)
     var it = 0
+    var lastPinned: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contrib = withDeg
         .join(ranks, col("src") === col("node"))
@@ -121,7 +140,12 @@ object PageRank {
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
       it += 1
       if (checkpointEvery > 0 && it % checkpointEvery == 0 &&
-        it < iterations) ranks = truncate(ranks)
+        it < iterations) {
+        ranks = truncate(ranks)
+        // release the superseded pinned rank frame (see [[apply]])
+        lastPinned.foreach(graft.operators.Checkpoints.release)
+        lastPinned = Some(ranks)
+      }
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }

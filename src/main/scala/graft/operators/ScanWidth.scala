@@ -63,6 +63,42 @@ object ScanWidth {
     else Some(leafBytes.flatten.sum)
   }
 
+  /** Input bytes under `df`'s leaves for the size-conditional pin
+    * ([[Checkpoints.pinIfLarge]]), or None when any leaf has no
+    * trustworthy byte statistic. Extends [[leafFileBytes]] with the two
+    * leaf shapes a pin cascade produces:
+    *   - `LogicalRDD` (an upstream pin): the PERSISTED BLOCK bytes from
+    *     the block-manager storage report — ground truth, already in
+    *     driver memory, no job (an eager upstream pin is materialized
+    *     by the time a downstream operator probes). A reliable
+    *     checkpoint or an unpersisted RDD has no storage entry → None,
+    *     and None means "assume large" at the caller — the scale-safe
+    *     default (a cluster session with a checkpoint dir IS the
+    *     large regime).
+    *   - `LocalRelation` (driver-literal rows): its computed stats are
+    *     exact (rows are in driver memory).
+    * Plan-level stats of DERIVED nodes stay untrusted, per the
+    * [[leafFileBytes]] scaladoc. */
+  private[graft] def leafInputBytes(df: DataFrame): Option[BigInt] = {
+    val sc = df.sparkSession.sparkContext
+    lazy val storage = sc.getRDDStorageInfo
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val leafBytes = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(BigInt(fs.location.sizeInBytes))
+        case _ => None
+      }
+      case rd: org.apache.spark.sql.execution.LogicalRDD =>
+        storage.find(_.id == rd.rdd.id)
+          .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(loc.stats.sizeInBytes)
+      case _ => None
+    }
+    if (leafBytes.isEmpty || leafBytes.contains(None)) None
+    else Some(leafBytes.flatten.sum)
+  }
+
   /** Lower-bound scan split count from the optimized plan's leaf file
     * relations, or None when any leaf is not a file source. */
   private[graft] def fileSplitsLowerBound(df: DataFrame): Option[Long] =

@@ -261,12 +261,17 @@ object TextAnalysis {
     val slim = df.where(col(textCol).isNotNull)
       .select(col(idCol), col(textCol).as("__txt"),
         length(col(textCol)).as("__len"))
-    // pinned (round 19, guide §2.4): base feeds the gram/minimizer
+    // pinned CONDITIONALLY (round 20): base feeds the gram/minimizer
     // stream AND the candidate join AND the final re-stitch — three
     // readers that each re-ran the scan (and the pre-spread shuffle,
-    // when it fires) unpinned. Same cleaned-corpus-pin trade the
-    // curation pipelines already make.
-    graft.operators.Checkpoints.pin(
+    // when it fires) unpinned. But the round-19 unconditional pin was
+    // the family's clearest net loss at small corpora (the driver's
+    // dedup_exact_substr_min 0.87x): re-scanning a small corpus three
+    // times is cheaper than one eager pin job. pinIfLarge keeps the
+    // pin exactly when the corpus bytes say the three re-scans are the
+    // bigger number — the same cleaned-corpus-pin trade the curation
+    // pipelines make, now input-adaptive.
+    graft.operators.Checkpoints.pinIfLarge(
       if (graft.operators.ScanWidth.arrivesWide(slim)) slim
       else slim.repartition(
         df.sparkSession.sparkContext.defaultParallelism, col(idCol)))
