@@ -1108,21 +1108,34 @@ object Analytics {
     * deterministic lower-index rule and kept as a DataFrame so
     * assignment stays a broadcast join + pure map (never a per-group
     * literal CASE, which hits codegen limits at large |groups|).
-    * Materialized (|groups| rows) so multiple readers never rerun the
-    * grouped-sketch pass. */
+    * Materialized once so multiple readers never rerun the
+    * grouped-sketch pass — as DRIVER-LITERAL rows when the table fits
+    * [[LanedPrefix.broadcastRowCap]] (round 20: one limit-collect
+    * probes the size AND fetches; the later broadcast then builds
+    * driver-side with no job, replacing the former checkpoint + count
+    * + broadcast-build job chain), as an executor checkpoint beyond
+    * it. Returns (frame, fitsTheCap). */
   private def groupedCutTable(nn: DataFrame, groupCol: String,
                               rowKey: Column, valueCol: String,
-                              k: Int, nBuckets: Int): DataFrame = {
+                              k: Int, nBuckets: Int)
+      : (DataFrame, Boolean) = {
     val cutProbs = (1 until nBuckets).map(i =>
       (i.toString, i.toDouble / nBuckets))
-    qsketchQuantilesGrouped(
+    val aggDf = qsketchQuantilesGrouped(
         qsketchSampleGrouped(nn.withColumnRenamed(groupCol, "__g"),
           Seq("__g"), rowKey, valueCol, k), Seq("__g"), cutProbs)
       .groupBy("__g")
       .agg(array_sort(collect_list(struct(col("prob").cast("int")
         .as("i"), col("est_q").as("q")))).as("__cs"))
       .select(col("__g"), expr("transform(__cs, x -> x.q)").as("__cuts"))
-      .localCheckpoint()
+    val capN = math.min(LanedPrefix.broadcastRowCap,
+      (Int.MaxValue - 2).toLong).toInt
+    val head = aggDf.limit(capN + 1).collect()
+    if (head.length <= capN) {
+      import scala.jdk.CollectionConverters._
+      (nn.sparkSession.createDataFrame(head.toSeq.asJava, aggDf.schema),
+        true)
+    } else (aggDf.localCheckpoint(), false)
   }
 
   /** Per-group [[qsketchRangeBuckets]]: equi-depth range bucketing
@@ -1136,18 +1149,18 @@ object Analytics {
                                  k: Int, nBuckets: Int): DataFrame = {
     require(nBuckets > 1, s"nBuckets must exceed 1, got $nBuckets")
     val nn = df.where(col(valueCol).isNotNull)
-    val cuts = groupedCutTable(nn, groupCol, rowKey, valueCol, k, nBuckets)
     // ROW-CAPPED broadcast (round 15, the LanedPrefix.withPrefixGrouped
     // treatment extended to the CUT table): one row per group, so at
     // high group cardinality an unconditional hint ships a
     // driver-killing table (1.6M groups ≈ 100+ MB of cut arrays) while
-    // at gate-scale group counts the hint is exactly right. The cut
-    // table is already materialized (localCheckpoint inside
-    // groupedCutTable), so the count is one cached sweep; over the cap
-    // the planner is left free — a shuffled join on the group key, the
-    // same decision the sums join makes.
-    val cutsH = if (cuts.count() <= LanedPrefix.broadcastRowCap)
-      broadcast(cuts) else cuts
+    // at gate-scale group counts the hint is exactly right. Round 20:
+    // the fitting probe rides groupedCutTable's own limit-collect —
+    // no separate count job; over the cap the planner is left free —
+    // a shuffled join on the group key, the same decision the sums
+    // join makes.
+    val (cuts, small) =
+      groupedCutTable(nn, groupCol, rowKey, valueCol, k, nBuckets)
+    val cutsH = if (small) broadcast(cuts) else cuts
     nn.join(cutsH, nn(groupCol) === cutsH("__g"))
       .withColumn("bucket", aggregate(col("__cuts"), lit(0),
         (acc, c) => acc +
@@ -1163,7 +1176,8 @@ object Analytics {
     require(nBuckets > 1, s"nBuckets must exceed 1, got $nBuckets")
     val spark = df.sparkSession
     val nn = df.where(col(valueCol).isNotNull)
-    val cuts = groupedCutTable(nn, groupCol, rowKey, valueCol, k, nBuckets)
+    val (cuts, _) =
+      groupedCutTable(nn, groupCol, rowKey, valueCol, k, nBuckets)
     // same two-reader pin as the ungrouped form: lane counts and the
     // candidate fetch both collect, so the (group, v, bucket) slim
     // frame would otherwise compute twice

@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** The two-level distributed prefix sum over a VALUE-ordered domain —
   * the shape [[KsDrift]], [[RankNormalize]], and [[Auc]] all share
@@ -11,9 +14,23 @@ import org.apache.spark.sql.functions._
   * ([[Analytics.qsketchRangeBuckets]] — pure-map assignment off
   * broadcast literals, lanes respect value order), run the per-lane
   * window prefix (bounded by the lane), and add an exclusive
-  * cross-lane offset read off the ≤ nLanes-row per-lane totals (the
-  * only unpartitioned window, materialized once via localCheckpoint so
-  * offsets and grand totals share one pass).
+  * cross-lane offset read off the ≤ nLanes-row per-lane totals.
+  *
+  * FUSED ACTIONS (round 20, guide §1.2 — per-gate job count): the
+  * per-lane totals are ≤ nLanes rows (≤ |groups|·nLanes grouped), so
+  * instead of materializing them cluster-side (an eager checkpoint
+  * job) and deriving offsets/grand totals through windows plus TWO
+  * broadcast-build jobs, ONE driver collect fetches them and the
+  * exclusive prefix / grand totals are computed on the driver into
+  * literal (LocalRelation) frames — broadcast of a LocalRelation
+  * builds driver-side with no job. Arithmetic is the same exact
+  * long/decimal addition the window ran; JobAudit: agg_gini-family
+  * gates drop 2-4 jobs each. The grouped form keeps the round-14
+  * OVER-CAP contract: when the (group, lane) table exceeds
+  * [[BroadcastRowCap]] rows (probed by the same limit-collect, one
+  * job), it falls back to the materialized-frame window path with no
+  * broadcast hint — the planner-free shape that scales to any group
+  * cardinality.
   *
   * Input: `vals` with one row per DISTINCT `orderCol` value and long
   * `sumCols` counts. Output: (`vals` + a `<c>_cum` prefix column per
@@ -21,13 +38,46 @@ import org.apache.spark.sql.functions._
   * lane `bucket`, and a broadcastable 1-row totals frame with
   * `<c>_tot` columns). Never a one-task window over the data. */
 object LanedPrefix {
+
+  /** Exact driver-side addition over the JVM values a collected sum
+    * column carries (long counts, decimal(38,0) value sums) — null
+    * skips, mirroring `sum`'s null handling. */
+  private def addAny(a: Any, b: Any): Any = (a, b) match {
+    case (null, x) => x
+    case (x, null) => x
+    case (x: java.lang.Long, y: java.lang.Long) =>
+      java.lang.Long.valueOf(x.longValue + y.longValue)
+    case (x: java.lang.Integer, y: java.lang.Integer) =>
+      java.lang.Integer.valueOf(x.intValue + y.intValue)
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.valueOf(x.doubleValue + y.doubleValue)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+    case (x, y) => throw new IllegalArgumentException(
+      s"unsupported sum value pair: ${x.getClass} + ${y.getClass}")
+  }
+
+  /** The typed zero `coalesce(sum(...) OVER ..., 0)` produced for an
+    * empty exclusive window. */
+  private def zeroOf(dt: DataType): Any = dt match {
+    case LongType => java.lang.Long.valueOf(0L)
+    case IntegerType => java.lang.Integer.valueOf(0)
+    case DoubleType => java.lang.Double.valueOf(0.0)
+    case _: DecimalType => java.math.BigDecimal.ZERO
+    case other => throw new IllegalArgumentException(
+      s"unsupported sum type $other")
+  }
+
+  private def localFrame(spark: SparkSession, rows: Seq[Row],
+                         schema: StructType): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
   def withPrefix(vals: DataFrame, orderCol: String,
                  sumCols: Seq[String], k: Int, nLanes: Int,
                  inclusive: Boolean): (DataFrame, DataFrame) = {
     require(sumCols.nonEmpty, "at least one sum column")
     // pin the distinct-value table ONCE (round 19, guide §2.4): the
-    // sketch sample ends in a driver collect and the lane sums in an
-    // eager checkpoint, so they are SEPARATE executions from the final
+    // sketch sample ends in a driver collect and the lane sums below
+    // in another, so they are SEPARATE executions from the final
     // laned output — exchange reuse cannot span them, and without the
     // pin each of the three recomputes the upstream corpus scan plus
     // the distinct-collapse shuffle. The pinned frame is value-domain-
@@ -39,19 +89,34 @@ object LanedPrefix {
     val hi = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy("bucket").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, hi)
-    val wAcross = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sums = laned.groupBy("bucket")
+    val sumsDf = laned.groupBy("bucket")
       .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
         sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)
-      .localCheckpoint() // ≤ nLanes rows; one pass feeds offsets + totals
-    val offsets = sumCols.foldLeft(sums) { (df, c) =>
-      df.withColumn(s"__off_$c",
-        coalesce(sum(s"__t_$c").over(wAcross), lit(0L)))
-    }.select(col("bucket") +: sumCols.map(c => col(s"__off_$c")): _*)
-    val totals = sums.agg(
-      sum(s"__t_${sumCols.head}").as(s"${sumCols.head}_tot"),
-      sumCols.tail.map(c => sum(s"__t_$c").as(s"${c}_tot")): _*)
+    // ≤ nLanes rows by construction: ONE collect feeds offsets AND
+    // grand totals, both computed driver-side into literal frames
+    val sumRows = sumsDf.collect().sortBy(_.getInt(0))
+    val spark = vals.sparkSession
+    val tTypes = sumCols.map(c => sumsDf.schema(s"__t_$c").dataType)
+    val offSchema = StructType(sumsDf.schema("bucket") +:
+      sumCols.zip(tTypes).map { case (c, t) =>
+        StructField(s"__off_$c", t, nullable = true) })
+    val offRows = {
+      val acc = scala.collection.mutable.ArrayBuffer
+        .fill[Any](sumCols.size)(null)
+      sumRows.map { r =>
+        val out = Row.fromSeq(r.get(0) +: sumCols.indices.map(i =>
+          if (acc(i) == null) zeroOf(tTypes(i)) else acc(i)))
+        sumCols.indices.foreach(i => acc(i) = addAny(acc(i), r.get(i + 1)))
+        out
+      }.toSeq
+    }
+    val offsets = localFrame(spark, offRows, offSchema)
+    val totSchema = StructType(sumCols.zip(tTypes).map { case (c, t) =>
+      StructField(s"${c}_tot", t, nullable = true) })
+    // one row even over empty input (nulls), matching agg-over-empty
+    val totRow = Row.fromSeq(sumCols.indices.map(i =>
+      sumRows.foldLeft(null: Any)((a, r) => addAny(a, r.get(i + 1)))))
+    val totals = localFrame(spark, Seq(totRow), totSchema)
     val out = sumCols.foldLeft(
         laned.join(broadcast(offsets), Seq("bucket"))) { (df, c) =>
       df.withColumn(s"${c}_cum",
@@ -65,16 +130,18 @@ object LanedPrefix {
     * group's OWN equi-depth cuts ([[Analytics.qsketchRangeBucketsGrouped]]
     * — a broadcast cut-table join + pure map, never a per-group CASE),
     * the in-lane window partitions by (group, lane), and the cross-lane
-    * offsets come off the |groups|·nLanes per-(group,lane) totals with a
-    * group-partitioned window — every window here is partitioned, so the
-    * shape scales in BOTH the group count and the per-group domain size.
+    * offsets come off the |groups|·nLanes per-(group,lane) totals —
+    * driver-computed literals under [[BroadcastRowCap]], a
+    * group-partitioned window over the materialized frame beyond it —
+    * so the shape scales in BOTH the group count and the per-group
+    * domain size.
     *
     * Input: one row per DISTINCT (`groupCol`, `orderCol`) pair with long
     * `sumCols` counts; null groups are dropped (the cut-table join is an
     * equi-join). Output: (`vals` + `<c>_cum` prefix per sum column +
     * lane `bucket`, and a per-group totals frame keyed by `groupCol`
     * with `<c>_tot` columns — join it back on the group AS RETURNED:
-    * it carries a broadcast hint exactly when the materialized
+    * it is a broadcastable literal exactly when the materialized
     * (group, lane) table is under [[BroadcastRowCap]] rows, and is
     * left to the planner beyond, keeping the shape valid at any group
     * cardinality without shuffling the data-sized frame in the common
@@ -89,7 +156,7 @@ object LanedPrefix {
     require(groupCol != "__g" && groupCol != "__cuts",
       s"'$groupCol' collides with qsketchRangeBucketsGrouped internals")
     // same single-pin rationale as withPrefix: the grouped cut table
-    // (driver-collected sketch), the (group, lane) sums checkpoint and
+    // (driver-collected sketch), the (group, lane) sums collect and
     // the final laned output are separate executions that would each
     // recompute the distinct-(group, value) collapse
     val pinned = Checkpoints.pin(vals)
@@ -98,56 +165,100 @@ object LanedPrefix {
     val hi = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy(groupCol, "bucket").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, hi)
-    val wAcross = Window.partitionBy(groupCol).orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sums = laned.groupBy(groupCol, "bucket")
+    val sumsDf = laned.groupBy(groupCol, "bucket")
       .agg(sum(sumCols.head).as(s"__t_${sumCols.head}"),
         sumCols.tail.map(c => sum(c).as(s"__t_$c")): _*)
-      .localCheckpoint() // ≤ |groups|·nLanes rows; feeds offsets + totals
-    val offsets = sumCols.foldLeft(sums) { (df, c) =>
-      df.withColumn(s"__off_$c",
-        coalesce(sum(s"__t_$c").over(wAcross), lit(0L)))
-    }.select(col(groupCol) +: col("bucket") +:
-      sumCols.map(c => col(s"__off_$c")): _*)
-    val totals0 = sums.groupBy(groupCol).agg(
-      sum(s"__t_${sumCols.head}").as(s"${sumCols.head}_tot"),
-      sumCols.tail.map(c => sum(s"__t_$c").as(s"${c}_tot")): _*)
-    // ROW-CAPPED broadcast (round-13 ADVICE): an unconditional hint
-    // reintroduces a driver bottleneck at high group cardinality, but
-    // dropping the hint entirely plans a sort-merge join that SHUFFLES
-    // the data-sized laned frame on (group, lane) — the worse trade in
-    // the common regime. `sums` is already materialized (eager
-    // localCheckpoint), so counting it costs one cached-partition
-    // sweep; the hint is applied exactly when the (group, lane) table
-    // provably fits a broadcast, and beyond the cap the planner is
-    // left free (the totals frame, ≤ |groups| rows, inherits the same
-    // decision — callers join it back as returned).
-    val small = sums.count() <= LanedPrefix.broadcastRowCap
-    val (offsetsH, totals) =
-      if (small) (broadcast(offsets), broadcast(totals0))
-      else (offsets, totals0)
-    val out = sumCols.foldLeft(
-        laned.join(offsetsH, Seq(groupCol, "bucket"))) { (df, c) =>
-      df.withColumn(s"${c}_cum",
-        coalesce(sum(c).over(wIn), lit(0L)) + col(s"__off_$c"))
-    }.drop(sumCols.map(c => s"__off_$c"): _*)
-    (out, totals)
+    // ROW-CAPPED driver fusion (round 20, extending the round-13
+    // ADVICE cap): ONE limit-collect probes the (group, lane) table
+    // size AND fetches it when it fits — under the cap the offsets and
+    // per-group totals are driver-computed literal frames (the same
+    // bytes the broadcast would have shipped anyway; two checkpoint /
+    // count jobs and two broadcast-build jobs disappear). Beyond the
+    // cap the collected rows are discarded and the round-14
+    // planner-free fallback runs unchanged: materialized sums frame,
+    // windowed offsets, un-hinted joins.
+    val capN = math.min(LanedPrefix.broadcastRowCap,
+      (Int.MaxValue - 2).toLong).toInt
+    val head = sumsDf.limit(capN + 1).collect()
+    val spark = vals.sparkSession
+    if (head.length <= capN) {
+      val tTypes = sumCols.map(c => sumsDf.schema(s"__t_$c").dataType)
+      val offSchema = StructType(sumsDf.schema(groupCol) +:
+        sumsDf.schema("bucket") +:
+        sumCols.zip(tTypes).map { case (c, t) =>
+          StructField(s"__off_$c", t, nullable = true) })
+      val totSchema = StructType(sumsDf.schema(groupCol).copy(
+        name = groupCol) +:
+        sumCols.zip(tTypes).map { case (c, t) =>
+          StructField(s"${c}_tot", t, nullable = true) })
+      val offRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val totRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+      head.groupBy(_.get(0)).foreach { case (g, rows) =>
+        val acc = scala.collection.mutable.ArrayBuffer
+          .fill[Any](sumCols.size)(null)
+        rows.sortBy(_.getInt(1)).foreach { r =>
+          offRows += Row.fromSeq(g +: r.get(1) +:
+            sumCols.indices.map(i =>
+              if (acc(i) == null) zeroOf(tTypes(i)) else acc(i)))
+          sumCols.indices.foreach(i =>
+            acc(i) = addAny(acc(i), r.get(i + 2)))
+        }
+        totRows += Row.fromSeq(g +: sumCols.indices.map(acc(_)))
+      }
+      val offsets = localFrame(spark, offRows.toSeq, offSchema)
+      // the under-cap totals keep their broadcast hint (callers join
+      // the frame back AS RETURNED — the round-13 contract): a
+      // near-cap literal can exceed the auto-broadcast threshold and
+      // would otherwise shuffle the caller's data-sized side
+      val totals = broadcast(localFrame(spark, totRows.toSeq, totSchema))
+      val out = sumCols.foldLeft(
+          laned.join(broadcast(offsets), Seq(groupCol, "bucket"))) {
+        (df, c) =>
+          df.withColumn(s"${c}_cum",
+            coalesce(sum(c).over(wIn), lit(0L)) + col(s"__off_$c"))
+      }.drop(sumCols.map(c => s"__off_$c"): _*)
+      (out, totals)
+    } else {
+      // OVER-CAP fallback (round-14 contract, executable at spec scale
+      // via the test cap hook): materialize the sums frame once; the
+      // offsets come off a group-partitioned window and the joins are
+      // left to the planner — no driver-sized structure anywhere.
+      val wAcross = Window.partitionBy(groupCol).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sums = sumsDf.localCheckpoint()
+      val offsets = sumCols.foldLeft(sums) { (df, c) =>
+        df.withColumn(s"__off_$c",
+          coalesce(sum(s"__t_$c").over(wAcross), lit(0L)))
+      }.select(col(groupCol) +: col("bucket") +:
+        sumCols.map(c => col(s"__off_$c")): _*)
+      val totals = sums.groupBy(groupCol).agg(
+        sum(s"__t_${sumCols.head}").as(s"${sumCols.head}_tot"),
+        sumCols.tail.map(c => sum(s"__t_$c").as(s"${c}_tot")): _*)
+      val out = sumCols.foldLeft(
+          laned.join(offsets, Seq(groupCol, "bucket"))) { (df, c) =>
+        df.withColumn(s"${c}_cum",
+          coalesce(sum(c).over(wIn), lit(0L)) + col(s"__off_$c"))
+      }.drop(sumCols.map(c => s"__off_$c"): _*)
+      (out, totals)
+    }
   }
 
-  /** Max (group, lane) rows the grouped form will hint as broadcast —
-    * ~2M rows of (key, lane, k longs) is tens of MB, comfortably
-    * driver/executor-safe; larger cut tables fall back to the
-    * planner's choice. */
+  /** Max (group, lane) rows the grouped form will fetch to the driver
+    * and re-ship as broadcast literals — ~2M rows of (key, lane,
+    * k longs) is tens of MB, comfortably driver/executor-safe (the
+    * same bytes the pre-fusion broadcast hint shipped); larger tables
+    * fall back to the planner's choice. */
   val BroadcastRowCap: Long = 2000000L
 
   /** The cap actually consulted — test-overridable so the OVER-cap
-    * fallback (no hint; the planner picks, typically a sort-merge join
-    * on (group, lane)) is executable at spec scale without 2M real
-    * groups: the round-14 verdict flagged that the un-hinted branch —
-    * exactly the path a 100× group cardinality takes — was dead in
-    * every test and rehearsal. `LanedPrefixFallbackSpec` lowers it to
-    * 0, re-runs the grouped family, and pins value-identity with the
-    * hinted plan. Production never touches this. */
+    * fallback (no driver fetch; the planner picks, typically a
+    * sort-merge join on (group, lane)) is executable at spec scale
+    * without 2M real groups: the round-14 verdict flagged that the
+    * un-hinted branch — exactly the path a 100× group cardinality
+    * takes — was dead in every test and rehearsal.
+    * `LanedPrefixFallbackSpec` lowers it to 0, re-runs the grouped
+    * family, and pins value-identity with the fused plan. Production
+    * never touches this. */
   @volatile private[graft] var broadcastRowCap: Long = BroadcastRowCap
 
   /** Run `body` with the broadcast cap forced to `cap` (test hook). */
