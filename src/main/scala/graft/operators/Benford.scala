@@ -32,7 +32,7 @@ object Benford {
         cents >= 1)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // 9 rows; totals + shares share one pass
+      .transform(d => Checkpoints.pin(d)) // 9 rows; totals + shares share one pass (durable when the session has a checkpoint dir)
     val tot = counts.agg(sum("n").as("__t"))
     counts.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),

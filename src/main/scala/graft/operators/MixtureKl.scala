@@ -30,7 +30,7 @@ object MixtureKl {
     val counts = df.select(sourceCol.cast("string").as("source"))
       .where(col("source").isNotNull)
       .groupBy("source").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // |sources| rows; totals + terms share one pass
+      .transform(d => Checkpoints.pin(d)) // |sources| rows; totals + terms share one pass (durable when the session has a checkpoint dir)
     val tot = counts.agg(sum("n").as("__tot"))
     val recipe = target.toSeq.sortBy(_._1).toDF("source", "target_w")
     counts
