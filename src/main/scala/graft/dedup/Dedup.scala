@@ -383,8 +383,17 @@ object Dedup {
       .join(nodeIds, Seq("u"), "left_semi")
       .join(nodeIds.select(col("u").as("v")), Seq("v"), "left_semi")
       .select("u", "v"))
-    val edges = p0.unionAll(
-      p0.select(col("v").as("u"), col("u").as("v"))) // cached both ways
+    // both orientations, pinned PARTITIONED BY `v` when large (round
+    // 20, guide §2.4): every fixpoint round's neighbor join probes the
+    // union on v, and the checkpoint preserves the partitioning — one
+    // exchange at pin time instead of one per round once the label
+    // frame outgrows a broadcast. Small inputs keep the lazy union
+    // over the pinned p0 blocks (re-deriving a union from blocks is
+    // cheaper than a second materialization).
+    val edges = graft.operators.Checkpoints.pinIfLargeKeyed(
+      p0.unionAll(
+        p0.select(col("v").as("u"), col("u").as("v"))),
+      col("v"), checkpointDir)
     var labels = truncate(nodes.select(col(idCol).cast("long").as("u"),
       col(idCol).cast("long").as("lbl")))
     // Convergence rides the SUM of labels (exact decimal — no Long

@@ -60,9 +60,13 @@ object LabelProp {
     // the pins exactly when the input bytes say recompute wins.
     def invariant(df: DataFrame): DataFrame =
       graft.operators.Checkpoints.pinIfLarge(df, checkpointDir)
-    val und = invariant(
+    // `und` pins PARTITIONED BY `b` when large (round 20, guide §2.4):
+    // every round's neighbor join probes it on b, and the checkpoint
+    // preserves the partitioning — one exchange at pin time instead of
+    // one per round once labels outgrow a broadcast.
+    val und = graft.operators.Checkpoints.pinIfLargeKeyed(
       dir.union(dir.select(col("b").as("a"), col("a").as("b")))
-        .distinct())
+        .distinct(), col("b"), checkpointDir)
     val nodes = invariant(und.select(col("a").as("node")).distinct())
     var labels = nodes.withColumn("label", col("node"))
     var it = 0

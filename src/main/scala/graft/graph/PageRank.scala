@@ -63,7 +63,13 @@ object PageRank {
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val withDeg = invariant(e.join(outDeg, "src")) // edge + source degree
+    // pinned PARTITIONED BY `src` (round 20, guide §2.4): every
+    // iteration's contribution join probes withDeg on src, and the
+    // checkpoint preserves the partitioning — one exchange at pin time
+    // instead of one per iteration (ScaleRehearsal6: 3-iteration
+    // recurrence at 1.5M edges 5.6 → 3.5 s)
+    val withDeg = graft.operators.Checkpoints.pinIfLargeKeyed(
+      e.join(outDeg, "src"), col("src"), checkpointDir)
     var ranks = nodes.withColumn("rank", lit(1.0))
     var it = 0
     var lastPinned: Option[DataFrame] = None
@@ -124,7 +130,9 @@ object PageRank {
     val restart = when(col("node").isin(sources: _*), lit(mass))
       .otherwise(lit(0.0))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val withDeg = invariant(e.join(outDeg, "src"))
+    // same src-partitioned pin as [[apply]] (round 20)
+    val withDeg = graft.operators.Checkpoints.pinIfLargeKeyed(
+      e.join(outDeg, "src"), col("src"), checkpointDir)
     var ranks = nodes.withColumn("rank", restart)
     var it = 0
     var lastPinned: Option[DataFrame] = None

@@ -1213,10 +1213,15 @@ object Analytics {
       }.toSeq
       (g, n, cum, needs)
     }
+    // driver-literal rows (round 20): an RDD-backed frame here costs a
+    // job to build its broadcast; a LocalRelation broadcast builds
+    // driver-side with none
     val needDf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(
+      {
+        import scala.jdk.CollectionConverters._
         plans.flatMap(_._4).map(nd =>
-          org.apache.spark.sql.Row(nd.g, nd.lane, nd.ranks)), 1),
+          org.apache.spark.sql.Row(nd.g, nd.lane, nd.ranks)).asJava
+      },
       org.apache.spark.sql.types.StructType(Seq(
         df.schema(groupCol).copy(name = "__g"),
         org.apache.spark.sql.types.StructField("bucket",
@@ -1252,8 +1257,8 @@ object Analytics {
         org.apache.spark.sql.Row(g, label, lo + (hi - lo) * gfrac)
       }
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(outRows, 1),
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(outRows.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         df.schema(groupCol),
         org.apache.spark.sql.types.StructField("prob",

@@ -106,6 +106,23 @@ object Checkpoints {
       pin(df)
     else df
 
+  /** [[pinIfLarge]] with the pinned frame HASH-PARTITIONED by `key`
+    * first — for loop-invariant frames an unrolled iteration re-joins
+    * on the same key every round: `Dataset.checkpoint` preserves the
+    * physical output partitioning into the `LogicalRDD`, so one
+    * exchange at pin time replaces one per iteration (guide §2.4 —
+    * two operations keyed the same way share one exchange;
+    * ScaleRehearsal6 measured the 3-iteration PageRank recurrence at
+    * 1.5M edges 5.6 → 3.5 s with this). When the probe says small,
+    * the frame stays un-pinned AND un-repartitioned — the extra
+    * exchange only pays for itself when the per-iteration joins
+    * actually shuffle. */
+  def pinIfLargeKeyed(df: DataFrame, key: org.apache.spark.sql.Column,
+                      checkpointDir: Option[String]): DataFrame =
+    if (ScanWidth.leafInputBytes(df).forall(_ >= pinThreshold(df)))
+      pin(df.repartition(key), checkpointDir)
+    else df
+
   /** Release the storage blocks behind a previously [[pin]]ned frame —
     * the iterative-loop hygiene the round-19 verdict asked for: a peel
     * / fixpoint loop pins a NEW frame every round and the superseded

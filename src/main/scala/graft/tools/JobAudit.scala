@@ -49,6 +49,13 @@ object JobAudit {
     Thread.sleep(500)
     jobs.forEach(l => println(s"[jobaudit] $l"))
     println(s"[jobaudit] $gate: ${jobs.size} jobs, $n result rows")
+    // storage telemetry (round-20 verdict item 6): what the gate left
+    // pinned in the block manager — iterative loops should hold at
+    // most one round's blocks after the release hygiene
+    val storage = spark.sparkContext.getRDDStorageInfo
+    println(f"[jobaudit] storage after run: ${storage.length} rdds, " +
+      f"${storage.map(_.memSize).sum / 1024.0 / 1024}%.1f MB mem, " +
+      f"${storage.map(_.diskSize).sum / 1024.0 / 1024}%.1f MB disk")
     spark.stop()
   }
 }
